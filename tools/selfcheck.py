@@ -1,0 +1,122 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same sf dir, then compares row count, column names,
+and order-insensitive values (rows sorted by all columns, columns
+sorted by name). Exact equality on values — the same bar the driver's
+value-hash implies. Reports per-query PASS/FAIL with first diffs.
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+from vfs_spark.schema import TABLES  # noqa: E402
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0
+        return v
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _rows_to_set(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    ), [cols[i] for i in order]
+
+
+def check(spark, con, name, fn, sql, sf_dir):
+    t0 = time.time()
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    t_spark = time.time() - t0
+    t0 = time.time()
+    rel = con.sql(sql)
+    dcols = rel.columns
+    drows = rel.fetchall()
+    t_duck = time.time() - t0
+
+    problems = []
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
+    if len(srows) != len(drows):
+        problems.append(f"rowcount: spark={len(srows)} duck={len(drows)}")
+    if not problems:
+        sset, _ = _rows_to_set(scols, srows)
+        dset, _ = _rows_to_set(dcols, drows)
+        if sset != dset:
+            diffs = [
+                (a, b) for a, b in zip(sset, dset) if a != b
+            ][:3]
+            only_s = [r for r in sset if r not in set(dset)][:2]
+            problems.append(f"values: first diffs {diffs or only_s}")
+    status = "PASS" if not problems else "FAIL"
+    print(
+        f"{status}  {name:28s} rows={len(srows):6d} spark={t_spark:5.1f}s duck={t_duck:4.1f}s "
+        + ("; ".join(problems) if problems else "")
+    )
+    return not problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from vfs_spark.session import get_spark
+    from vfs_spark.queries import QUERIES, ORACLES
+
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    ok = fail = rows_only = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        if name not in ORACLES:
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"ROWS  {name:28s} rows={n:6d} (no oracle)")
+                rows_only += 1
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL  {name:28s} EXC {type(e).__name__}: {e}")
+                fail += 1
+            continue
+        try:
+            if check(spark, con, name, fn, ORACLES[name], sf_dir):
+                ok += 1
+            else:
+                fail += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name:28s} EXC {type(e).__name__}: {str(e)[:300]}")
+            fail += 1
+    print(f"\n{ok} pass, {fail} fail, {rows_only} rows-only")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()

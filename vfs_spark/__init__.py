@@ -1,0 +1,21 @@
+"""vfs_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of RaulMoldes/VFS (vector storage + k-NN
+search), re-expressed Spark-first, plus the LLM-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing) a
+100 TB-scale training-data pipeline needs.
+
+Design principles (see SURVEY.md):
+- DataFrame/SQL everywhere; Catalyst does the optimizing.
+- Distances and quantization are pure column expressions (JVM-side,
+  whole-stage codegen) — not Python UDFs.
+- Approximate search = MLlib LSH: fit the index ONCE as a batch job,
+  query many times (deliberately not the reference's
+  rebuild-per-query, SURVEY Q3).
+- Python only via Arrow-batched pandas UDFs, and only where column
+  expressions genuinely cannot express the op (SimHash, multimodal
+  decode).
+"""
+
+__version__ = "0.1.0"
+
+from vfs_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,9 @@
+from vfs_spark.functions.distance import (  # noqa: F401
+    euclidean,
+    cosine_distance,
+    cosine_similarity,
+    dot,
+    l2_norm,
+    euclidean_pandas_udf,
+)
+from vfs_spark.functions.quantize import quantize, dequantize  # noqa: F401

@@ -1,0 +1,83 @@
+"""Distance functions as pure column expressions.
+
+Reference: euclidean ``rank.rs:271-287``, cosine ``rank.rs:290-300``,
+SIMD variants ``rank.rs:14-56``. Here each distance is a Catalyst
+expression over ``ARRAY<T>`` columns — it runs inside whole-stage
+codegen on the JVM, which *is* Spark's vectorized path (the analogue
+of the reference's SIMD macros; see also ``euclidean_pandas_udf`` for
+the explicit NumPy-SIMD variant used in benchmarks).
+
+All math is done in DOUBLE (inputs cast up from FLOAT) with a
+left-to-right fold, which matches the DuckDB oracle's evaluation order
+so rounded results hash-compare equal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _dbl(col: Column | str) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast("array<double>")
+
+
+def array_lit(values: Sequence[float]) -> Column:
+    """A literal ARRAY<DOUBLE> column (e.g. a query vector)."""
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a, b = _dbl(a), _dbl(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def euclidean(a: Column | str, b: Column | str) -> Column:
+    """sqrt(Σ(a-b)²) — reference rank.rs:281-287. Dim mismatch yields
+    NULL (zip_with pads with null → null sum) rather than a panic;
+    pair with filter_dim_check (tcp.rs:306-311) for strictness."""
+    a, b = _dbl(a), _dbl(b)
+    sq = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """dot/(‖a‖·‖b‖); NULL on zero-norm input (SURVEY §7.4 NaN guard)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
+
+
+def cosine_distance(a: Column | str, b: Column | str) -> Column:
+    """1 − cosine_similarity — reference rank.rs:290-300."""
+    return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def euclidean_pandas_udf(query: Sequence[float]):
+    """Arrow-batched NumPy euclidean distance to a fixed query vector —
+    the explicit-SIMD analogue of the reference's ``dynamic_simd_*``
+    macros (rank.rs:14-56): NumPy vectorizes over contiguous batches
+    exactly as std::simd does over lanes. The column-expression
+    ``euclidean`` is preferred in plans (stays in codegen); this exists
+    for the SIMD-vs-SISD benchmark comparison (BASELINE.md)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(list(query), dtype=np.float64)
+
+    @pandas_udf("double")
+    def _dist(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.to_numpy())  # (batch, dim) float64
+        diff = mat.astype(np.float64) - q
+        return pd.Series(np.sqrt(np.einsum("ij,ij->i", diff, diff)))
+
+    return _dist

@@ -1,0 +1,44 @@
+"""f32 ↔ int8 quantization as column expressions.
+
+Reference: ``Vector::quantize`` (vector.rs:94-125) — with a defaulted
+scale factor, values are clamped to [-1, 1] then ``round(v * 127)``
+cast to i8; ``dequantize`` (vector.rs:135-154) is ``q / scale``.
+
+Divergences kept deliberately (SURVEY Q7): we do NOT mutate
+name/tags/created_at metadata on quantize/dequantize — quantization is
+a lossy storage representation, not an identity change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_SCALE = 127.0
+
+
+def quantize(vec: Column | str, scale_factor: float | None = None) -> Column:
+    """ARRAY<FLOAT> → ARRAY<TINYINT>. With no explicit scale, clamp to
+    [-1,1] and scale by 127 (vector.rs:98-108); with an explicit scale,
+    no clamp (matches the reference's Some(scale) branch)."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    vec = vec.cast("array<double>")
+    if scale_factor is None:
+        return F.transform(
+            vec,
+            lambda x: F.round(
+                F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x)) * DEFAULT_SCALE
+            ).cast("tinyint"),
+        )
+    return F.transform(
+        vec, lambda x: F.round(x * F.lit(float(scale_factor))).cast("tinyint")
+    )
+
+
+def dequantize(qvec: Column | str, scale_factor: float | Column = DEFAULT_SCALE) -> Column:
+    """ARRAY<TINYINT> → ARRAY<DOUBLE>: q / scale (vector.rs:135-139).
+    Round-trip property: |dequantize(quantize(v)) − clamp(v,−1,1)| ≤
+    1/254 per element."""
+    qvec = F.col(qvec) if isinstance(qvec, str) else qvec
+    scale = scale_factor if isinstance(scale_factor, Column) else F.lit(float(scale_factor))
+    return F.transform(qvec, lambda q: q.cast("double") / scale)

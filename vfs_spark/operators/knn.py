@@ -1,0 +1,113 @@
+"""Exact k-NN, top-k truncation, and result hydration.
+
+Reference: ``exact_search`` (rank.rs:119-186) loops batched scans,
+computes a distance per vector, sorts, truncates to k with a
+running-worst bound — i.e. a hand-rolled distributed-top-k. In Spark
+the whole thing is one declarative plan::
+
+    scan → project(distance expr) → orderBy(dist).limit(k)
+
+which Catalyst executes as ``TakeOrderedAndProject``: a per-partition
+bounded heap + single merge on the driver — strictly better than the
+reference's sort-whole-buffer-per-batch, and it scales out (each of
+1000 executors keeps only k candidates; the shuffle moves k·partitions
+rows, not N).
+
+Determinism: ties broken by id ascending (SURVEY Q8 — the reference's
+tie order is arrival order). Distances are rounded BEFORE ordering so
+the Spark plan and the DuckDB oracle pick identical boundary rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vfs_spark.functions.distance import array_lit, cosine_distance, euclidean
+
+DEFAULT_K = 5  # reference default result_limit (rank.rs:129)
+
+_METRICS = {"euclidean": euclidean, "cosine": cosine_distance}
+
+
+def distance_col(metric: str, vec_col: Column | str, query: Column) -> Column:
+    try:
+        fn = _METRICS[metric]
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; pick from {sorted(_METRICS)}")
+    return fn(vec_col, query)
+
+
+def exact_knn(
+    vectors: DataFrame,
+    query: Sequence[float] | Column,
+    k: int = DEFAULT_K,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k nearest neighbors of one query vector (rank.rs:119-186 +
+    truncate rank.rs:170-178). Returns (id, dist) rows ordered by
+    (dist asc, id asc)."""
+    q = query if isinstance(query, Column) else array_lit(query)
+    dist = F.round(distance_col(metric, vec_col, q), round_digits).alias("dist")
+    return (
+        vectors.select(F.col(id_col), dist)
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k per query for a whole DataFrame of query vectors — the
+    many-queries form the reference serves one HTTP request at a time.
+
+    Plan shape: broadcast the (small) query set against the (huge)
+    vector set → per-(query, vector) distance → per-query top-k via a
+    rank window partitioned by query_id. The broadcast avoids
+    shuffling the N-row vector table; the window shuffles only
+    N·Q/|partitions| distance rows, and at scale you bound that by
+    pre-filtering with an ANN index (operators/ann.py)."""
+    joined = vectors.crossJoin(F.broadcast(queries))
+    dist = F.round(
+        distance_col(metric, vec_col, F.col(query_vec_col)), round_digits
+    ).alias("dist")
+    ranked = joined.select(F.col(query_id_col), F.col(id_col), dist).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(
+                F.col("dist").asc(), F.col(id_col).asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).drop("rank")
+
+
+def topk_truncate(
+    scored: DataFrame, k: int = DEFAULT_K, dist_col: str = "dist", id_col: str = "vec_id"
+) -> DataFrame:
+    """Sort by distance asc, keep k (rank.rs:170-178) — exposed as its
+    own operator for parity with the reference's inline truncation."""
+    return scored.orderBy(F.col(dist_col).asc(), F.col(id_col).asc()).limit(k)
+
+
+def hydrate(results: DataFrame, vectors: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Re-attach full vector rows to (id, dist) hits (tcp.rs:408-427).
+    The reference does one point lookup per hit; here it's a single
+    broadcast hash join (results side is ≤k rows → broadcast it, the
+    big vector table never moves)."""
+    return vectors.join(F.broadcast(results), on=id_col, how="inner")

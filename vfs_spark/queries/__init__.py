@@ -1,0 +1,12 @@
+"""Query registry — importing this package registers every query.
+
+Keys map 1:1 to SURVEY.md §2's operator inventory (core vector-engine
+surface) plus the ⊕ extension operators (relational, text/dedup,
+similarity, multimodal).
+"""
+
+from vfs_spark.queries.registry import QUERIES, ORACLES  # noqa: F401
+from vfs_spark.queries.core import q_exact_knn  # noqa: F401
+
+# modules self-register on import
+import vfs_spark.queries.core  # noqa: F401,E402

@@ -1,0 +1,333 @@
+"""Core vector-engine queries — the reference's full operator surface
+(SURVEY.md §2.1) as registered, oracle-checked queries over the
+``embeddings`` fixture (vec_id LONG, embedding ARRAY<FLOAT>, label INT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vfs_spark.functions.distance import (
+    array_lit,
+    cosine_distance,
+    dot,
+    euclidean,
+    l2_norm,
+)
+from vfs_spark.functions.quantize import dequantize, quantize
+from vfs_spark.operators.knn import exact_knn, hydrate
+from vfs_spark.queries.registry import query
+from vfs_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB oracle side). All math in DOUBLE with a
+# sequential fold — mirrors the Spark column expressions exactly.
+
+def _sq_l2(a: str, b: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2)))"
+    )
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)^2)))"
+
+
+def _cos_dist(a: str, b: str) -> str:
+    return f"(1.0 - {_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
+
+
+_Q0 = "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"
+_QV = "(SELECT qv FROM q)"
+
+# quantize: round(clamp(v,-1,1) * 127) → int8  (vector.rs:94-108)
+_QUANT = (
+    "list_transform(embedding, x -> CAST(round(greatest(-1.0, "
+    "least(1.0, CAST(x AS DOUBLE))) * 127) AS INTEGER))"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vid: int = 0) -> list[float]:
+    """Driver-side point lookup of one query vector (≤1 row; the
+    analogue of the reference receiving a query over HTTP)."""
+    row = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") == vid)
+        .select("embedding")
+        .first()
+    )
+    return list(row[0])
+
+
+# ---------------------------------------------------------------------------
+# 2.1 #5 exact_knn (+ #7 + #13 fused) — the flagship query
+
+
+@query(
+    "exact_knn",
+    oracle=f"""
+{_Q0}
+SELECT e.vec_id AS vec_id, ROUND({_sq_l2('e.embedding', _QV)}, 6) AS dist
+FROM embeddings e
+ORDER BY dist ASC, vec_id ASC
+LIMIT 5
+""",
+)
+def q_exact_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 euclidean neighbors of vector 0 (rank.rs:119-186).
+    Physical plan: Parquet scan → codegen'd distance expr →
+    TakeOrderedAndProject (per-partition heap, k rows shuffled)."""
+    return exact_knn(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=5)
+
+
+@query(
+    "topk_truncate",
+    oracle=f"""
+{_Q0}
+SELECT e.vec_id AS vec_id, ROUND({_cos_dist('e.embedding', _QV)}, 6) AS dist
+FROM embeddings e
+ORDER BY dist ASC, vec_id ASC
+LIMIT 10
+""",
+)
+def q_topk_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#13 top-k truncation shown on the cosine path, k=10
+    (rank.rs:170-178; ties → id asc per SURVEY Q8)."""
+    return exact_knn(
+        _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10, metric="cosine"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.1 #7 / #8 distance functions over the whole collection
+
+
+@query(
+    "dist_euclidean",
+    oracle=f"""
+{_Q0}
+SELECT e.vec_id AS vec_id, ROUND({_sq_l2('e.embedding', _QV)}, 6) AS dist
+FROM embeddings e
+""",
+)
+def q_dist_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#7 euclidean distance (rank.rs:271-287) evaluated for every
+    stored vector against query 0 — pure column expression."""
+    q = array_lit(_query_vec(spark, sf_dir))
+    return _emb(spark, sf_dir).select(
+        "vec_id", F.round(euclidean("embedding", q), 6).alias("dist")
+    )
+
+
+@query(
+    "dist_cosine",
+    oracle=f"""
+{_Q0}
+SELECT e.vec_id AS vec_id, ROUND({_cos_dist('e.embedding', _QV)}, 6) AS dist
+FROM embeddings e
+""",
+)
+def q_dist_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#8 cosine distance 1 − dot/(‖a‖·‖b‖) (rank.rs:290-300)."""
+    q = array_lit(_query_vec(spark, sf_dir))
+    return _emb(spark, sf_dir).select(
+        "vec_id", F.round(cosine_distance("embedding", q), 6).alias("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.1 #3 point lookup, #4 batch scan, #18 dim filter
+
+
+@query(
+    "point_lookup_id",
+    oracle="""
+SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS e0
+FROM embeddings WHERE vec_id = 42
+""",
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#3 get-by-id (storage_manager.rs:235-296). The reference's
+    memtable → B-tree → linear-scan tiers collapse into one filter
+    with Parquet predicate pushdown doing the index's job."""
+    return _emb(spark, sf_dir).where(F.col("vec_id") == 42).select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+    )
+
+
+@query(
+    "batch_scan",
+    oracle="""
+SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS e0
+FROM embeddings
+""",
+)
+def q_batch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#4 full sequential scan (load_batch, storage_manager.rs:166-217).
+    Batching/cursor become Spark partition iteration; column pruning
+    means only referenced columns are read from Parquet."""
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+    )
+
+
+@query(
+    "filter_dim_check",
+    oracle="""
+SELECT vec_id FROM embeddings
+WHERE len(embedding) = (SELECT len(embedding) FROM embeddings WHERE vec_id = 0)
+""",
+)
+def q_filter_dim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#18 dimension-check filter (tcp.rs:306-311,370-375)."""
+    emb = _emb(spark, sf_dir)
+    dim = len(_query_vec(spark, sf_dir, 0))
+    return emb.where(F.size("embedding") == dim).select("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# 2.1 #1 id assignment, #15 snapshot state
+
+
+@query(
+    "insert_assign_ids",
+    oracle="""
+SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS new_id,
+       vec_id, label
+FROM embeddings
+""",
+)
+def q_insert_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#1 monotonically-increasing dense id assignment at insert
+    (storage_manager.rs:126-130,317-335). row_number() here for exact
+    oracle parity; the scale path (per-partition offsets, no global
+    sort) is operators/ids.assign_dense_ids."""
+    w = Window.orderBy("vec_id")
+    return _emb(spark, sf_dir).select(
+        F.row_number().over(w).cast("bigint").alias("new_id"), "vec_id", "label"
+    )
+
+
+@query(
+    "snapshot_state",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(max(vec_id) + 1 AS BIGINT) AS next_id
+FROM embeddings
+""",
+)
+def q_snapshot_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#15 snapshot: VFSState's next_id/current_offset are derived
+    state in Spark — recomputed, not persisted (SURVEY §1.5)."""
+    return _emb(spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        (F.max("vec_id") + 1).cast("bigint").alias("next_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.1 #17 result hydration
+
+
+@query(
+    "result_hydrate",
+    oracle=f"""
+{_Q0}
+SELECT e.vec_id AS vec_id, e.label AS label, hits.dist AS dist
+FROM (
+  SELECT e2.vec_id, ROUND({_sq_l2('e2.embedding', _QV)}, 6) AS dist
+  FROM embeddings e2 ORDER BY dist ASC, vec_id ASC LIMIT 5
+) hits JOIN embeddings e USING (vec_id)
+""",
+)
+def q_result_hydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#17 hydrate (id,dist) hits with their stored rows
+    (tcp.rs:408-427) — per-hit point lookups become one broadcast
+    hash join (k rows broadcast; the vector table never shuffles)."""
+    emb = _emb(spark, sf_dir)
+    hits = exact_knn(emb, _query_vec(spark, sf_dir), k=5)
+    return hydrate(hits, emb).select("vec_id", "label", "dist")
+
+
+# ---------------------------------------------------------------------------
+# 2.1 #11 / #12 quantization
+
+
+@query(
+    "quantize_vec",
+    oracle=f"""
+SELECT vec_id,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_aggregate(qv, 'min') AS INTEGER) AS q_min,
+       CAST(list_aggregate(qv, 'max') AS INTEGER) AS q_max
+FROM (SELECT vec_id, {_QUANT} AS qv FROM embeddings)
+""",
+)
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#11 f32→i8 quantization (vector.rs:94-125): round(clamp(v,-1,1)
+    ·127). Summarized as (sum, min, max) of the int8 codes — array
+    columns stay out of the hash compare, the arithmetic is fully
+    checked."""
+    qv = quantize("embedding")
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.aggregate(
+            qv, F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint")
+        ).alias("q_sum"),
+        F.array_min(qv).cast("int").alias("q_min"),
+        F.array_max(qv).cast("int").alias("q_max"),
+    )
+
+
+@query(
+    "dequantize_vec",
+    oracle=f"""
+SELECT vec_id,
+       ROUND(list_sum(list_transform(qv, q -> CAST(q AS DOUBLE) / 127.0)), 6) AS dq_sum,
+       CAST(list_aggregate(list_transform(list_zip(qv, embedding),
+            p -> abs(CAST(p[1] AS DOUBLE) / 127.0
+                 - greatest(-1.0, least(1.0, CAST(p[2] AS DOUBLE))))), 'max')
+            <= 1.0/254 + 1e-9 AS BOOLEAN) AS roundtrip_ok
+FROM (SELECT vec_id, embedding, {_QUANT} AS qv FROM embeddings)
+""",
+)
+def q_dequantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#12 dequantize q/scale (vector.rs:135-154) + the round-trip
+    property |dequantize(quantize(v)) − clamp(v,−1,1)| ≤ 1/254
+    (SURVEY §5.2.3) evaluated in-plan."""
+    qv = quantize("embedding")
+    dq = dequantize(qv)
+    clamped = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x)),
+    )
+    err = F.array_max(F.zip_with(dq, clamped, lambda a, b: F.abs(a - b)))
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.round(
+            F.aggregate(dq, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("dq_sum"),
+        (err <= F.lit(1.0 / 254 + 1e-9)).alias("roundtrip_ok"),
+    )

@@ -1,0 +1,27 @@
+"""Registry wiring queries() / oracle_sql() for the driver contract.
+
+Every operator from SURVEY.md §2 registers here: a (spark, sf_dir) →
+DataFrame callable, plus (when SQL-expressible) the DuckDB oracle that
+must hash-match it at sf0.01. Column names are aliased identically on
+both sides; floats are computed in DOUBLE and rounded on both sides;
+orderings always carry an id tiebreaker (SURVEY Q8).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco

@@ -1,0 +1,77 @@
+"""Canonical schemas (FIXTURES.md; SURVEY.md §1.5).
+
+The VFSVector collection (reference ``vector.rs:20-43``) maps to a
+DataFrame schema ``id LONG, embedding ARRAY<FLOAT>, name STRING,
+tags ARRAY<STRING>, created_at TIMESTAMP``; the driver fixture
+``embeddings`` (vec_id, embedding, label) is the ready-made instance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# VFSVector collection schema (reference vector.rs:11-43): the full
+# metadata-carrying form used by the engine facade (engine.py).
+VFS_VECTOR_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+        T.StructField("created_at", T.TimestampType(), True),
+    ]
+)
+
+# Quantized variant (reference vector.rs:29-35): ARRAY<TINYINT> + scale.
+VFS_QUANTIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("qvector", T.ArrayType(T.ByteType()), False),
+        T.StructField("scale_factor", T.FloatType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+        T.StructField("created_at", T.TimestampType(), True),
+    ]
+)
+
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("label", T.IntegerType(), True),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)

@@ -1,0 +1,1 @@
+from vfs_spark.sources.parquet import load_table, load_all, register_views  # noqa: F401

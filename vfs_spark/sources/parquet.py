@@ -1,0 +1,52 @@
+"""Parquet sources/sinks.
+
+The reference's storage layer (append-only framed binary log +
+memtable + id→offset B-tree, ``storage_manager.rs:139-217``,
+``serializer.rs:25-153``) collapses to Parquet here:
+
+- append-only log      → ``df.write.mode("append").parquet(dir)``
+- memtable buffering   → the writer's own buffering / micro-batches
+- id→offset index      → Parquet row-group min/max stats on ``id``
+  (write sorted-by-id within partitions so pushdown prunes row
+  groups — the declarative analogue of the B-tree)
+- batched scan cursor  → partitioned scan; ``files.maxPartitionBytes``
+  is the batch size knob.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vfs_spark.schema import TABLES
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (for spark.sql)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def append_vectors(df: DataFrame, dir_path: str, sort_by_id: bool = True) -> None:
+    """Append a batch of vectors (reference flush_memtable_to_disk,
+    storage_manager.rs:139-162). Sorting within partitions by id keeps
+    Parquet min/max stats tight so id point-lookups prune row groups —
+    the role the reference's BTreeMap index plays."""
+    if sort_by_id and "id" in df.columns:
+        df = df.sortWithinPartitions("id")
+    df.write.mode("append").parquet(dir_path)
