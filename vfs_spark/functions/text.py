@@ -1,0 +1,97 @@
+"""Text-analysis column expressions for the LLM-data-pipeline surface:
+tokenization, quality scoring, language-ID heuristic, fingerprinting,
+shingling. All pure Catalyst expressions (no Python in the hot path);
+each has an exactly-matching DuckDB SQL form in queries/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+# marker-token → language, evaluated in order (first hit wins)
+LANG_MARKERS = [
+    ("es", ("el", "la")),
+    ("de", ("der", "das")),
+    ("fr", ("le", "une")),
+    ("en", ("the", "and")),
+]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of lowercased, trimmed text."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(text)), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def stopword_ratio(toks: Column) -> Column:
+    in_list = lambda t: t.isin(*STOPWORDS)  # noqa: E731
+    return F.size(F.filter(toks, in_list)).cast("double") / F.size(toks)
+
+
+def distinct_ratio(toks: Column) -> Column:
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
+def quality_score(text: Column | str, n_chars: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: length saturation +
+    lexical diversity + non-stopword density. The shape every
+    pretraining-data quality filter takes; thresholds are corpus
+    policy, the operator is the engine's job."""
+    n_chars = F.col(n_chars) if isinstance(n_chars, str) else n_chars
+    toks = tokens(text)
+    len_score = F.least(F.lit(1.0), n_chars.cast("double") / 500.0)
+    return F.round(
+        0.4 * len_score
+        + 0.3 * distinct_ratio(toks)
+        + 0.3 * (1.0 - stopword_ratio(toks)),
+        6,
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Marker-token language heuristic (first matching rule wins).
+    A real pipeline swaps in a trained classifier; the operator shape
+    (pure expression, no shuffle) is what matters at 100 TB."""
+    toks = tokens(text)
+    expr = F.lit("unk")
+    for lang, markers in reversed(LANG_MARKERS):
+        cond = F.array_contains(toks, markers[0]) | F.array_contains(
+            toks, markers[1]
+        )
+        expr = F.when(cond, lang).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set — catches shuffled/duplicated-word copies that
+    byte-identical hashing misses."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles — the unit set for n-gram Jaccard
+    near-dedup and the MinHash input."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two (distinct-element) array columns."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - inter)

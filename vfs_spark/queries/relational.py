@@ -1,0 +1,316 @@
+"""⊕ Relational extension operators (SURVEY.md §2.2) over the TPC-H-ish
+star schema: equi-joins, group-by aggregations, windows, set ops,
+JSON extraction, event-time windowing.
+
+The reference has no relational surface (SURVEY §0); these exist
+because the north star extends the engine into a general large-scale
+pipeline. Scale notes per query in docstrings — broadcast the dims,
+pre-aggregate before joins, let AQE coalesce.
+
+Float policy: money sums over ~10⁵ rows are rounded to 0 decimals
+(partial-agg summation order differs between engines; at 15-16
+significant digits a whole-unit round is safely stable), per-group
+sums over small groups to 2, averages to 4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vfs_spark.queries.registry import query
+from vfs_spark.sources.parquet import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice), 0) AS BIGINT) AS sum_base_price,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary. Scale: partial (map-side)
+    aggregation means the shuffle carries only |groups|·|partitions|
+    rows; the shipdate filter pushes down to the Parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 0).cast("bigint").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 0).cast("bigint").alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0)
+        .cast("bigint")
+        .alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").cast("bigint").alias("count_order"),
+    )
+
+
+@query(
+    "join_order_revenue",
+    oracle="""
+SELECT l.l_orderkey AS o_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def q_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 open BUILDING orders by revenue.
+    Scale: customer (dim) broadcasts into orders, that result
+    broadcasts/shuffles into lineitem (fact); per-order sums are
+    small groups so ROUND(·,2) is cross-engine stable; top-10 is
+    TakeOrderedAndProject, no global sort materialized."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "join_region_revenue",
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 0) AS BIGINT) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: revenue by region/nation. Scale:
+    region/nation/customer are all broadcast dims; only
+    orders⋈lineitem shuffles, and AQE picks the strategy. Joins
+    ordered smallest-out so Catalyst folds the dim chain into one
+    broadcast stage."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = c.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == F.col("n_nationkey"),
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0)
+            .cast("bigint")
+            .alias("revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "window_topn_orders",
+    oracle="""
+SELECT o_custkey, o_orderkey, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+)
+def q_window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — rank window partitioned by the
+    grouping key. Scale: one hash shuffle on o_custkey; skewed
+    customers are split by AQE skew handling; rank≤3 prunes early
+    via WindowGroupLimit in Spark 3.5+/4.x."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "window_user_events",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS rn,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events
+""",
+)
+def q_window_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event sequencing: ordinal + running sum over event
+    time (ordered by event_id for cross-engine determinism). The
+    reference's closest concept is its insertion-ordered memtable."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.round(F.sum("value").over(wsum), 4).alias("running_value"),
+    )
+
+
+@query(
+    "set_except_customers",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+)
+def q_set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — EXCEPT (≡ left-anti join; Catalyst
+    plans both as an aggregate-free anti join when possible)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+@query(
+    "set_intersect_customers",
+    oracle="""
+SELECT c_custkey FROM customer
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+)
+def q_set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers that do have orders — INTERSECT (≡ left-semi join)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+@query(
+    "agg_distinct_customers",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count per group. Scale: exact count-distinct expands
+    to a two-phase aggregate; swap in approx_count_distinct (HLL)
+    when 2% error is acceptable — it removes the expansion shuffle."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "parse_event_props",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+)
+def q_parse_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (the reference's serde-on-the-wire,
+    tcp.rs:117-138, as a column op): get_json_object stays in the
+    JVM; at scale prefer from_json with an explicit schema once per
+    pipeline, then prune columns."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+
+
+@query(
+    "event_window_counts",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows — the batch twin of the
+    Structured Streaming pipeline (vfs_spark/streaming): identical
+    F.window() aggregation semantics, so the streaming path is
+    verified against this oracle-checked batch result."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,224 @@
+"""⊕ Text-analysis + deduplication queries over ``documents`` (and
+``embeddings`` for vector near-dup) — the LLM-training-data-pipeline
+surface: token stats, quality scoring, language ID, fingerprinting,
+exact dedup, n-gram Jaccard near-dedup, embedding-cosine near-dup.
+
+Scale design: every per-document op is a pure projection (no
+shuffle). Pairwise near-dup ops are BLOCKED joins (lang / label as
+the blocking key here; MinHash-LSH band buckets in
+operators/dedup.py are the real 100 TB path — same output contract,
+sub-quadratic candidate generation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vfs_spark.functions.distance import cosine_similarity
+from vfs_spark.functions.text import (
+    fingerprint,
+    jaccard,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from vfs_spark.queries.registry import query
+from vfs_spark.sources.parquet import load_table
+
+_TOKS = "string_split(lower(trim(text)), ' ')"
+_STOP = "('the', 'a', 'of', 'and', 'to')"
+_FP = f"md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))"
+# distinct word 3-gram shingles (1-based inclusive list slicing)
+_SHINGLES = (
+    "list_distinct([array_to_string(toks[i:i+2], ' ') "
+    "for i in range(1, len(toks) - 1)])"
+)
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(CAST(n_chars AS DOUBLE) / len({_TOKS}), 6) AS chars_per_token
+FROM documents
+""",
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — the unit-economics op of every
+    corpus pipeline. Pure projection; scales embarrassingly."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = token_count("text")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round(F.col("n_chars").cast("double") / n, 6).alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       ROUND(0.4 * least(1.0, CAST(n_chars AS DOUBLE) / 500.0)
+           + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))
+           + 0.3 * (1.0 - CAST(len(list_filter({_TOKS}, t -> t IN {_STOP})) AS DOUBLE)
+                          / len({_TOKS})), 6) AS quality
+FROM documents
+""",
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristic: length saturation + lexical diversity +
+    non-stopword density (functions/text.quality_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text", "n_chars").alias("quality"))
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+SELECT doc_id,
+       CASE
+         WHEN list_contains({_TOKS}, 'el') OR list_contains({_TOKS}, 'la') THEN 'es'
+         WHEN list_contains({_TOKS}, 'der') OR list_contains({_TOKS}, 'das') THEN 'de'
+         WHEN list_contains({_TOKS}, 'le') OR list_contains({_TOKS}, 'une') THEN 'fr'
+         WHEN list_contains({_TOKS}, 'the') OR list_contains({_TOKS}, 'and') THEN 'en'
+         ELSE 'unk'
+       END AS lang_guess
+FROM documents
+""",
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (functions/text.lang_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"SELECT doc_id, {_FP} AS fp FROM documents",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive md5 fingerprint over the sorted distinct
+    token set — the key for exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, {_FP} AS fp FROM documents)
+GROUP BY fp
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the fingerprint, keep the lowest
+    doc_id per group. One shuffle on the hash key; at 100 TB this is
+    the canonical map-side-combine aggregation (the fingerprint is
+    computed in the scan stage, only (fp, id) pairs shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, lang, {_SHINGLES} AS shingles
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / (len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles))) >= 0.3
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup by word-3-gram Jaccard ≥ 0.3 over lang-blocked
+    pairs. The blocked self-join keeps this oracle-checkable; the
+    production path for unblocked corpora is MinHash-LSH banding
+    (operators/dedup.py, `dedup_minhash`) — same pair contract,
+    O(n·bands) instead of O(n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "lang", word_shingles("text").alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    j = jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(j, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.3)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)^2)))
+          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)^2)))),
+         6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)^2)))
+          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)^2)))),
+         6) >= 0.3
+""",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine similarity ≥ 0.3 over label-blocked
+    pairs. Blocking bounds the join to |block|² work per key; the
+    unblocked scale path is random-projection LSH bucketing
+    (operators/ann.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = F.round(
+        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.3)
+    )
