@@ -1,0 +1,64 @@
+"""ANN correctness = recall vs exact (SURVEY §5.2 / §7.4: the
+reference's own HNSW returns at most 1 result (Q2), so parity is
+defined against exact search, not the buggy output)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vfs_spark.operators import ann as ann_ops
+from vfs_spark.operators.knn import exact_knn
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return emb.where(F.col("vec_id") == 0).first()["embedding"]
+
+
+def test_lsh_recall_vs_exact(emb, qvec):
+    model, vdf = ann_ops.build_lsh_index(emb, num_hash_tables=5, bucket_length=2.0)
+    approx = ann_ops.approx_knn(model, vdf, qvec, k=10)
+    exact = exact_knn(emb, qvec, k=10)
+    assert ann_ops.recall_at_k(approx, exact) >= 0.5
+
+
+def test_lsh_model_roundtrip(tmp_path, emb, qvec):
+    """Index persistence = snapshot/restore of the ANN structure
+    (#15/#16 for the index)."""
+    model, vdf = ann_ops.build_lsh_index(emb)
+    path = str(tmp_path / "lsh_model")
+    model.write().overwrite().save(path)
+    from pyspark.ml.feature import BucketedRandomProjectionLSHModel
+
+    loaded = BucketedRandomProjectionLSHModel.load(path)
+    a = sorted(r["vec_id"] for r in ann_ops.approx_knn(model, vdf, qvec, k=5).collect())
+    b = sorted(r["vec_id"] for r in ann_ops.approx_knn(loaded, vdf, qvec, k=5).collect())
+    assert a == b
+
+
+def test_ivf_recall_and_k(emb, qvec):
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=8)
+    got = ann_ops.ivf_search(km, assigned, qvec, k=5, nprobe=4)
+    rows = got.collect()
+    assert len(rows) == 5
+    exact = exact_knn(emb, qvec, k=5)
+    assert ann_ops.recall_at_k(got, exact) >= 0.4
+
+
+def test_ivf_full_probe_equals_exact(emb, qvec):
+    """nprobe = n_clusters degrades IVF to exact — sanity anchor."""
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=4)
+    got = ann_ops.ivf_search(km, assigned, qvec, k=5, nprobe=4)
+    exact = exact_knn(emb, qvec, k=5)
+    assert ann_ops.recall_at_k(got, exact) == 1.0
+
+
+def test_cosine_index_normalizes(emb, qvec):
+    model, vdf = ann_ops.build_lsh_index(emb, metric="cosine")
+    got = ann_ops.approx_knn(model, vdf, qvec, k=5, metric="cosine")
+    exact = exact_knn(emb, qvec, k=5, metric="cosine")
+    assert ann_ops.recall_at_k(got, exact) >= 0.4

@@ -1,0 +1,71 @@
+import pytest
+from pyspark.sql import functions as F
+
+from vfs_spark.functions.text import jaccard, word_shingles
+from vfs_spark.operators import dedup as dedup_ops
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def exact_jaccard_pairs(docs, threshold):
+    sh = docs.select("doc_id", word_shingles("text").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    j = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return {
+        (r["da"], r["db"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"), j.alias("j")
+        )
+        .where(F.col("j") >= threshold)
+        .collect()
+    }
+
+
+def test_minhash_recall_vs_exact(docs):
+    truth = exact_jaccard_pairs(docs, 0.5)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ops.minhash_near_dup_pairs(
+            docs, jaccard_threshold=0.5, num_hash_tables=5
+        ).collect()
+    }
+    assert truth, "fixture should contain planted near-dups"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8
+
+
+def test_simhash_deterministic():
+    a = dedup_ops._simhash64("the quick brown fox")
+    b = dedup_ops._simhash64("the quick brown fox")
+    assert a == b
+    assert a != dedup_ops._simhash64("a completely different sentence here")
+
+
+def test_simhash_near_identical_docs_within_hamming(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappb"),  # 1 token off
+        (3, "totally unrelated words about completely other topics xyz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_ops.simhash_near_dup_pairs(df, max_hamming=16).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    rows = [
+        (10, "same words here"),
+        (11, "here same words"),  # same token set → same fingerprint
+        (12, "different content entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_ops.exact_dedup(df).collect())
+    assert kept == [10, 12]

@@ -1,0 +1,87 @@
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vfs_spark.functions.distance import (
+    array_lit,
+    cosine_distance,
+    cosine_similarity,
+    euclidean,
+    euclidean_pandas_udf,
+)
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    rows = [
+        (1, [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+        (2, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
+        (3, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        (4, [-1.0, 2.5, 0.5], [3.0, -2.0, 1.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "id int, a array<float>, b array<float>"
+    )
+
+
+def _py_euclid(a, b):
+    return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+
+def test_euclidean_matches_python(pairs):
+    got = {
+        r["id"]: r["d"]
+        for r in pairs.select("id", euclidean("a", "b").alias("d")).collect()
+    }
+    rows = pairs.collect()
+    for r in rows:
+        assert got[r["id"]] == pytest.approx(_py_euclid(r["a"], r["b"]), abs=1e-6)
+
+
+def test_cosine_identical_vectors_zero_distance(pairs):
+    d = (
+        pairs.where(F.col("id") == 1)
+        .select(cosine_distance("a", "b").alias("d"))
+        .first()["d"]
+    )
+    assert d == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cosine_orthogonal_is_one(pairs):
+    d = (
+        pairs.where(F.col("id") == 3)
+        .select(cosine_distance("a", "b").alias("d"))
+        .first()["d"]
+    )
+    assert d == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cosine_zero_vector_is_null_not_nan(pairs):
+    # SURVEY §7.4: guard NaN on zero vectors
+    r = (
+        pairs.where(F.col("id") == 2)
+        .select(cosine_similarity("a", "b").alias("s"))
+        .first()
+    )
+    assert r["s"] is None
+
+
+def test_dim_mismatch_yields_null(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [1.0, 2.0, 3.0])], "a array<float>, b array<float>"
+    )
+    assert df.select(euclidean("a", "b").alias("d")).first()["d"] is None
+
+
+def test_pandas_udf_matches_column_expr(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    q = emb.first()["embedding"]
+    expr = emb.select(
+        "vec_id", F.round(euclidean("embedding", array_lit(q)), 6).alias("d")
+    )
+    udf = emb.select(
+        "vec_id",
+        F.round(euclidean_pandas_udf(q)(F.col("embedding")), 6).alias("d"),
+    )
+    assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, udf.collect()))

@@ -1,0 +1,71 @@
+import pytest
+
+from vfs_spark.engine import VFSEngine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    e = VFSEngine(spark, str(tmp_path / "store"))
+    e.init(vector_dimension=4)
+    return e
+
+
+def test_insert_assigns_dense_ids(engine):
+    ids = engine.insert([[1.0, 2.0, 3.0, 4.0], [4.0, 3.0, 2.0, 1.0]])
+    assert ids == [1, 2]
+    ids2 = engine.insert([[0.0, 0.0, 0.0, 0.0]])
+    assert ids2 == [3]  # next_id continues (storage_manager.rs:126-130)
+
+
+def test_dimension_check_rejects(engine):
+    with pytest.raises(ValueError):
+        engine.insert([[1.0, 2.0]])  # tcp.rs:306-311
+
+
+def test_get_by_id(engine):
+    engine.insert([[1.0, 2.0, 3.0, 4.0]], names=["first"], tags=[["x"]])
+    row = engine.get(1)
+    assert row["name"] == "first" and row["tags"] == ["x"]
+    assert engine.get(99) is None
+
+
+def test_search_exact(engine):
+    engine.insert([[1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 3.0, 5.0], [9.0, 9.0, 9.0, 9.0]])
+    hits = engine.search([1.0, 2.0, 3.0, 4.0], top_k=2).collect()
+    assert [r["id"] for r in hits] == [1, 2]
+    assert hits[0]["dist"] == 0.0
+
+
+def test_query_dim_check(engine):
+    with pytest.raises(ValueError):
+        engine.search([1.0])  # tcp.rs:370-375
+
+
+def test_snapshot_restore_roundtrip(engine):
+    engine.insert([[1.0, 2.0, 3.0, 4.0]])
+    engine.snapshot("s1")
+    engine.insert([[5.0, 6.0, 7.0, 8.0]])
+    assert engine.vectors().count() == 2
+    engine.restore("s1")
+    assert engine.vectors().count() == 1
+    assert engine.next_id() == 2
+
+
+def test_quantized_storage_transparent(spark, tmp_path):
+    """quantize flag → int8 at rest, dequantized on read
+    (storage_manager.rs:143-151,202-210); lossy within 1/254."""
+    e = VFSEngine(spark, str(tmp_path / "qstore"))
+    e.init(vector_dimension=3, quantize_storage=True)
+    e.insert([[0.5, -0.5, 1.0]])
+    got = e.get(1)["embedding"]
+    for x, want in zip(got, [0.5, -0.5, 1.0]):
+        assert abs(x - want) <= 1.0 / 254 + 1e-6
+
+
+def test_truncate_data(spark, tmp_path):
+    e = VFSEngine(spark, str(tmp_path / "tstore"))
+    e.init(vector_dimension=2)
+    e.insert([[1.0, 1.0]])
+    e.init(vector_dimension=2, truncate_data=True)
+    assert e.vectors().count() == 0
+    assert e.next_id() == 1

@@ -1,0 +1,23 @@
+from pyspark.sql import functions as F
+
+from vfs_spark.operators.ids import assign_dense_ids
+
+
+def test_ordered_ids_match_row_number(spark):
+    df = spark.createDataFrame([(c,) for c in "dacb"], "k string")
+    got = {r["k"]: r["id"] for r in assign_dense_ids(df, order_col="k").collect()}
+    assert got == {"a": 1, "b": 2, "c": 3, "d": 4}
+
+
+def test_scalable_ids_dense_and_unique(spark):
+    df = spark.range(0, 10_000).repartition(16).select(F.col("id").alias("x"))
+    out = assign_dense_ids(df, id_name="new_id")
+    ids = [r["new_id"] for r in out.select("new_id").collect()]
+    assert len(ids) == 10_000
+    assert sorted(ids) == list(range(1, 10_001))  # dense, unique, starts at 1
+
+
+def test_start_offset(spark):
+    df = spark.range(0, 5)
+    out = assign_dense_ids(df, id_name="nid", start=100)
+    assert sorted(r["nid"] for r in out.collect()) == [100, 101, 102, 103, 104]

@@ -1,0 +1,55 @@
+import pytest
+from pyspark.sql import functions as F
+
+from vfs_spark.operators.knn import exact_knn, hydrate, knn_batch, topk_truncate
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [0.0, 2.0], 1),
+        (4, [3.0, 3.0], 1),
+        (5, [1.0, 0.0], 0),  # tie with id 2 at distance 1 from origin
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_exact_knn_order_and_ties(vecs):
+    got = exact_knn(vecs, [0.0, 0.0], k=3).collect()
+    # ties broken by id asc (SURVEY Q8)
+    assert [(r["vec_id"], r["dist"]) for r in got] == [
+        (1, 0.0),
+        (2, 1.0),
+        (5, 1.0),
+    ]
+
+
+def test_default_k_is_5(vecs):
+    assert exact_knn(vecs, [0.0, 0.0]).count() == 5  # rank.rs:129 default
+
+
+def test_knn_batch_matches_per_query(vecs):
+    queries = vecs.where(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = knn_batch(vecs, queries, k=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qid, emb in [(1, [0.0, 0.0]), (2, [1.0, 0.0])]:
+        expect = [r["vec_id"] for r in exact_knn(vecs, emb, k=2).collect()]
+        assert by_q[qid] == expect
+
+
+def test_hydrate_attaches_full_rows(vecs):
+    hits = exact_knn(vecs, [0.0, 0.0], k=2)
+    out = hydrate(hits, vecs)
+    assert set(out.columns) == {"vec_id", "embedding", "label", "dist"}
+    assert out.count() == 2
+
+
+def test_topk_truncate(vecs):
+    scored = vecs.select("vec_id", F.lit(1.0).alias("dist"))
+    assert topk_truncate(scored, k=3).count() == 3

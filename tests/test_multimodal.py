@@ -1,0 +1,45 @@
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vfs_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "payload two")], "doc_id long, text string"
+    )
+    return multimodal.as_media(df, "doc_id", F.encode(F.col("text"), "utf-8"))
+
+
+def test_media_contract_schema(media):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "payload",
+        "media_type",
+        "meta",
+    ]
+    assert media.schema["payload"].dataType.simpleString() == "binary"
+
+
+def test_extract_features_deterministic(media):
+    got = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert got[1]["byte_len"] == len(b"hello world")
+    assert got[1]["content_md5"] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_fake_embed_shape(media):
+    rows = multimodal.fake_embed(media, dim=16).collect()
+    for r in rows:
+        assert len(r["embedding"]) == 16
+        assert all(0.0 <= x <= 1.0 for x in r["embedding"])
+
+
+def test_decode_image_is_stubbed(media):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError, NotImplementedError)):
+        multimodal.decode_image(media).collect()

@@ -1,0 +1,65 @@
+"""Physical-plan audits: not "does it return the right rows" but "is
+this the plan you'd accept on a 1000-executor cluster" (pushdown,
+pruning, broadcast, top-k without global sort)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vfs_spark.operators.knn import exact_knn, hydrate
+from vfs_spark.plans import explain as ex
+from vfs_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_point_lookup_pushes_filter(emb):
+    df = emb.where(F.col("vec_id") == 42).select("vec_id", "label")
+    ex.assert_pushed_filters(df, "EqualTo(vec_id,42)")
+
+
+def test_scan_prunes_columns(emb):
+    df = emb.select("vec_id", "label")
+    ex.assert_read_schema_only(df, ["vec_id", "label"])
+
+
+def test_exact_knn_is_take_ordered(emb):
+    q = emb.first()["embedding"]
+    df = exact_knn(emb, q, k=5)
+    ex.assert_take_ordered(df)
+
+
+def test_hydrate_is_broadcast_join(emb):
+    q = emb.first()["embedding"]
+    hits = exact_knn(emb, q, k=5)
+    ex.assert_broadcast_join(hydrate(hits, emb))
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    from vfs_spark.queries.relational import q_join_region_revenue
+
+    df = q_join_region_revenue(spark, sf_dir)
+    ex.assert_broadcast_join(df)
+    ex.assert_no_cartesian(df)
+
+
+def test_knn_batch_no_shuffle_of_big_side(spark, sf_dir, emb):
+    """The broadcast side is the query set; the vector table must not
+    appear under an Exchange before the distance projection."""
+    from vfs_spark.operators.knn import knn_batch
+
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = ex.formatted_plan(knn_batch(emb, queries, k=2))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_distance_expr_stays_in_codegen(emb):
+    q = emb.first()["embedding"]
+    df = exact_knn(emb, q, k=5)
+    assert ex.codegen_stage_count(df) >= 1
+    assert "BatchEvalPython" not in ex.formatted_plan(df)  # no row-Python

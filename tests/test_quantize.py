@@ -1,0 +1,55 @@
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from vfs_spark.functions.quantize import dequantize, quantize
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-2.0, 2.0) for _ in range(16)]) for i in range(50)
+    ]
+    return spark.createDataFrame(rows, "id int, v array<float>")
+
+
+def test_quantize_range_is_int8(vecs):
+    q = vecs.select(
+        F.array_min(quantize("v")).alias("lo"), F.array_max(quantize("v")).alias("hi")
+    ).collect()
+    for r in q:
+        assert -127 <= r["lo"] <= r["hi"] <= 127
+
+
+def test_roundtrip_within_half_step(vecs):
+    """|dequantize(quantize(v)) − clamp(v,−1,1)| ≤ 1/254 per element
+    (vector.rs:94-125,135-139; SURVEY §5.2.3)."""
+    clamped = F.transform(
+        F.col("v").cast("array<double>"),
+        lambda x: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x)),
+    )
+    err = F.array_max(
+        F.zip_with(dequantize(quantize("v")), clamped, lambda a, b: F.abs(a - b))
+    )
+    worst = vecs.select(F.max(err).alias("worst")).first()["worst"]
+    assert worst <= 1.0 / 254 + 1e-9
+
+
+def test_explicit_scale_skips_clamp(spark):
+    # reference Some(scale) branch: no clamp (vector.rs:109-114)
+    df = spark.createDataFrame([([2.0, -3.0],)], "v array<float>")
+    got = df.select(quantize("v", scale_factor=10.0).alias("q")).first()["q"]
+    assert got == [20, -30]
+
+
+def test_metadata_not_mutated(spark):
+    """SURVEY Q7: quantization must not rewrite name/tags/created_at
+    (the reference re-stamps created_at and renames; we keep stable)."""
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.5], "a", ["t"])], "id int, v array<float>, name string, tags array<string>"
+    )
+    out = df.withColumn("q", quantize("v")).drop("v")
+    row = out.first()
+    assert row["name"] == "a" and row["tags"] == ["t"]

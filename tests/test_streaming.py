@@ -1,0 +1,34 @@
+"""Streaming semantics verified against the oracle-checked batch
+query: the windowed stream over events must produce exactly the rows
+q_event_window_counts produces in batch."""
+
+import pytest
+
+from vfs_spark.queries.relational import q_event_window_counts
+from vfs_spark.streaming import ingest
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    stream = ingest.read_event_stream(spark, sf_dir)
+    assert stream.isStreaming
+    windowed = ingest.windowed_counts(stream)
+    ingest.run_to_memory(windowed, "stream_counts_test")
+    got = {
+        tuple(r)
+        for r in spark.table("stream_counts_test").collect()
+    }
+    want = {tuple(r) for r in q_event_window_counts(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_stream_append_vectors(spark, sf_dir, tmp_path):
+    stream = ingest.read_event_stream(spark, sf_dir)
+    q = ingest.stream_append_vectors(
+        stream.selectExpr("event_id as id", "value"),
+        str(tmp_path / "data"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    n_stream = spark.read.parquet(str(tmp_path / "data")).count()
+    n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n_stream == n_batch

@@ -1,0 +1,53 @@
+import pytest
+from pyspark.sql import functions as F
+
+from vfs_spark.functions import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox and the lazy dog", 37),
+        (2, "el gato la casa words more words", 32),
+        (3, "xyz qqq zzz", 11),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+
+def test_token_count(docs):
+    got = {r["doc_id"]: r["n"] for r in docs.select("doc_id", tx.token_count("text").alias("n")).collect()}
+    assert got == {1: 8, 2: 7, 3: 3}
+
+
+def test_lang_id_marker_priority(docs):
+    got = {r["doc_id"]: r["l"] for r in docs.select("doc_id", tx.lang_id("text").alias("l")).collect()}
+    # doc 2 contains 'el' and 'la' → es wins before en; doc 3 no markers
+    assert got == {1: "en", 2: "es", 3: "unk"}
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "c b a"), (3, "a b d")], "id long, text string"
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", tx.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = df.select(tx.word_shingles("text", 3).alias("sh")).first()["sh"]
+    assert got == ["a b c", "b c d"]
+
+
+def test_jaccard(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>"
+    )
+    j = df.select(tx.jaccard(F.col("x"), F.col("y")).alias("j")).first()["j"]
+    assert j == pytest.approx(2 / 4)
+
+
+def test_quality_score_bounds(docs):
+    scores = [r["q"] for r in docs.select(tx.quality_score("text", "n_chars").alias("q")).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)

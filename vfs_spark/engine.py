@@ -1,0 +1,173 @@
+"""VFSEngine — a thin facade mirroring the reference's API verbs
+(main.rs:27-33; tcp.rs handlers): init, insert, get, search, flush,
+snapshot, restore — over a Parquet-backed vector store.
+
+The reference serializes all work behind one global mutex
+(main.rs:49); here every verb is a Spark job that parallelizes across
+the cluster. State (next_id etc., storage_manager.rs:18-26) is
+derived, not mutable: next_id = max(id)+1 recomputed from storage,
+snapshots are directory copies of immutable Parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vfs_spark.functions.quantize import dequantize, quantize
+from vfs_spark.operators.knn import exact_knn
+from vfs_spark.schema import VFS_VECTOR_SCHEMA
+
+
+class VFSEngine:
+    """One engine instance ≈ one reference server deployment (a single
+    vectors collection with a fixed dimension, tcp.rs:26-63)."""
+
+    def __init__(self, spark: SparkSession, storage_dir: str):
+        self.spark = spark
+        self.storage_dir = storage_dir
+        self.vector_dimension: int | None = None
+        self.quantize_on_write = False
+
+    # -- /init (tcp.rs:270-299) -------------------------------------------
+    def init(
+        self,
+        vector_dimension: int,
+        truncate_data: bool = False,
+        quantize_storage: bool = False,
+    ) -> None:
+        self.vector_dimension = vector_dimension
+        self.quantize_on_write = quantize_storage
+        if truncate_data and os.path.isdir(self._data_dir):
+            shutil.rmtree(self._data_dir)
+        os.makedirs(self.storage_dir, exist_ok=True)
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.storage_dir, "vectors")
+
+    def _have_data(self) -> bool:
+        d = self._data_dir
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        )
+
+    # -- /vectors POST (tcp.rs:302-355) -----------------------------------
+    def insert(
+        self,
+        vectors: Sequence[Sequence[float]],
+        names: Sequence[str] | None = None,
+        tags: Sequence[Sequence[str]] | None = None,
+    ) -> list[int]:
+        """Insert a batch; assigns dense ids continuing from the stored
+        max (next_id, storage_manager.rs:126-130). Dimension enforced
+        as in tcp.rs:306-311."""
+        if self.vector_dimension is None:
+            raise RuntimeError("engine not initialized (POST /init first)")
+        for v in vectors:
+            if len(v) != self.vector_dimension:
+                raise ValueError(
+                    f"dimension mismatch: got {len(v)}, want {self.vector_dimension}"
+                )
+        next_id = self.next_id()
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        rows = [
+            (
+                next_id + i,
+                [float(x) for x in v],
+                (names[i] if names else f"vec_{next_id + i}"),
+                (list(tags[i]) if tags else []),
+                now,
+            )
+            for i, v in enumerate(vectors)
+        ]
+        df = self.spark.createDataFrame(rows, schema=VFS_VECTOR_SCHEMA)
+        self._flush(df)
+        return [r[0] for r in rows]
+
+    def _flush(self, df: DataFrame) -> None:
+        """Memtable flush analogue (storage_manager.rs:139-162):
+        optionally quantize at rest, append, keep id stats tight."""
+        if self.quantize_on_write:
+            df = df.withColumn("embedding_q", quantize("embedding")).drop("embedding")
+        df.sortWithinPartitions("id").write.mode("append").parquet(self._data_dir)
+
+    # -- full collection view ---------------------------------------------
+    def vectors(self) -> DataFrame:
+        """The stored collection, dequantized transparently when the
+        store is quantized (storage_manager.rs:202-210)."""
+        if not self._have_data():
+            return self.spark.createDataFrame([], schema=VFS_VECTOR_SCHEMA)
+        df = self.spark.read.parquet(self._data_dir)
+        if "embedding_q" in df.columns:
+            df = df.withColumn(
+                "embedding", dequantize("embedding_q").cast("array<float>")
+            ).drop("embedding_q")
+        return df
+
+    def next_id(self) -> int:
+        if not self._have_data():
+            return 1
+        row = self.spark.read.parquet(self._data_dir).agg(F.max("id")).first()
+        return (row[0] or 0) + 1
+
+    # -- /vectors/<id> GET (tcp.rs:242-268) -------------------------------
+    def get(self, vec_id: int):
+        """Point lookup; Parquet min/max pruning plays the B-tree's
+        role (storage_manager.rs:235-296)."""
+        return self.vectors().where(F.col("id") == vec_id).first()
+
+    # -- /search (tcp.rs:358-434) -----------------------------------------
+    def search(
+        self,
+        query: Sequence[float],
+        top_k: int = 5,
+        search_type: str = "exact",
+        distance_method: str = "euclidean",
+    ) -> DataFrame:
+        """k = top_k per the documented semantics (SURVEY Q1 — the
+        reference actually misroutes top_k into batch size)."""
+        if self.vector_dimension is not None and len(query) != self.vector_dimension:
+            raise ValueError("query dimension mismatch")
+        vecs = self.vectors()
+        if search_type == "exact":
+            return exact_knn(
+                vecs, query, k=top_k, metric=distance_method, id_col="id",
+                vec_col="embedding",
+            )
+        from vfs_spark.operators.ann import approx_knn, build_lsh_index
+
+        model, vdf = build_lsh_index(vecs, vec_col="embedding", metric=distance_method)
+        return approx_knn(
+            model, vdf, query, k=top_k, id_col="id", metric=distance_method
+        )
+
+    # -- /flush (tcp.rs:437-446) ------------------------------------------
+    def flush(self) -> None:
+        """No-op with commit semantics: Parquet appends are durable at
+        write time (the memtable lives inside the writer)."""
+
+    # -- /snapshot + /restore (storage_manager.rs:367-427) ----------------
+    def snapshot(self, name: str = "snapshot") -> str:
+        dest = os.path.join(self.storage_dir, "snapshots", name)
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        if self._have_data():
+            shutil.copytree(self._data_dir, dest)
+        else:
+            os.makedirs(dest)
+        return dest
+
+    def restore(self, name: str = "snapshot") -> None:
+        src = os.path.join(self.storage_dir, "snapshots", name)
+        if not os.path.isdir(src):
+            raise FileNotFoundError(src)
+        if os.path.isdir(self._data_dir):
+            shutil.rmtree(self._data_dir)
+        shutil.copytree(src, self._data_dir)

@@ -74,10 +74,9 @@ def euclidean_pandas_udf(query: Sequence[float]):
 
     q = np.asarray(list(query), dtype=np.float64)
 
-    @pandas_udf("double")
-    def _dist(col: pd.Series) -> pd.Series:
+    def _dist(col):
         mat = np.stack(col.to_numpy())  # (batch, dim) float64
         diff = mat.astype(np.float64) - q
         return pd.Series(np.sqrt(np.einsum("ij,ij->i", diff, diff)))
 
-    return _dist
+    return pandas_udf(_dist, "double")

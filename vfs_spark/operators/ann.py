@@ -1,0 +1,164 @@
+"""Approximate nearest-neighbor search — the Spark-first replacement
+for the reference's HNSW (ann.rs:225-792).
+
+The reference rebuilds its HNSW graph per query (rank.rs:214-239,
+SURVEY Q3) — the canonical "doesn't fit Spark" design. Here the
+index-building phase is an MLlib Estimator fit (a batch job that
+scales out), and the model is persisted and reused across queries:
+
+- ``build_lsh_index``  — BucketedRandomProjectionLSH.fit (euclidean);
+  cosine via L2-normalization first (cosine order ≡ euclidean order
+  on the unit sphere: ‖a−b‖² = 2−2·a·b for unit vectors).
+- ``approx_knn``       — model.approxNearestNeighbors (single key).
+- ``approx_knn_join``  — approxSimilarityJoin (many queries at once;
+  the join form generalizes VFS /search to a whole query table).
+- ``build_ivf_index`` / ``ivf_search`` — KMeans coarse quantizer +
+  cluster-pruned brute force: the classic IVF layout; at 100 TB the
+  vectors live Hive-partitioned by cluster id so a query scans only
+  nprobe/k of the data (partition pruning does the index's job).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vfs_spark.functions.distance import array_lit, euclidean, l2_norm
+
+DEFAULT_BUCKET_LENGTH = 2.0
+DEFAULT_NUM_HASH_TABLES = 3  # plays the role of HNSW ef/M recall knobs
+SEED = 42
+
+
+def _to_vector_df(
+    df: DataFrame, vec_col: str = "embedding", normalize: bool = False
+) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    arr = F.col(vec_col).cast("array<double>")
+    if normalize:
+        arr = F.transform(arr, lambda x: x / l2_norm(F.col(vec_col)))
+    return df.withColumn("features", array_to_vector(arr))
+
+
+def build_lsh_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bucket_length: float = DEFAULT_BUCKET_LENGTH,
+    num_hash_tables: int = DEFAULT_NUM_HASH_TABLES,
+    metric: str = "euclidean",
+):
+    """Fit the LSH index over the full collection — the batch analogue
+    of HNSW construction (ann.rs:432-509), done ONCE, not per query.
+    Returns (model, indexed_df); persist with model.write().save(path)
+    (≈ snapshot_state #15)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    vdf = _to_vector_df(df, vec_col, normalize=(metric == "cosine"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=SEED,
+    )
+    model = lsh.fit(vdf)
+    return model, vdf
+
+
+def approx_knn(
+    model,
+    indexed_df: DataFrame,
+    query: Sequence[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    metric: str = "euclidean",
+) -> DataFrame:
+    """Approximate top-k for one query vector (rank.rs:189-268 →
+    model.approxNearestNeighbors). Distance returned is euclidean in
+    the (possibly normalized) index space."""
+    from pyspark.ml.linalg import Vectors
+
+    import numpy as np
+
+    q = np.asarray(list(query), dtype=float)
+    if metric == "cosine":
+        n = np.linalg.norm(q)
+        if n > 0:
+            q = q / n
+    res = model.approxNearestNeighbors(indexed_df, Vectors.dense(q), k, distCol="dist")
+    return res.select(F.col(id_col), F.round(F.col("dist"), 6).alias("dist"))
+
+
+def approx_knn_join(
+    model,
+    indexed_df: DataFrame,
+    indexed_queries: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Bulk form: all (query, candidate) pairs within `threshold`
+    euclidean distance via LSH bucket join — sub-quadratic candidate
+    generation (the 100 TB path for batch re-ranking pipelines)."""
+    return model.approxSimilarityJoin(
+        indexed_queries, indexed_df, threshold, distCol="dist"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index: KMeans coarse quantizer + cluster pruning
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = SEED,
+):
+    """Coarse-quantize the collection with KMeans; returns
+    (kmeans_model, df + cluster_id). At scale, write the result
+    partitioned by cluster_id so ivf_search prunes partitions."""
+    from pyspark.ml.clustering import KMeans
+
+    vdf = _to_vector_df(df, vec_col)
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features")
+    model = km.fit(vdf)
+    assigned = model.transform(vdf).withColumnRenamed("prediction", "cluster_id")
+    return model, assigned
+
+
+def ivf_search(
+    km_model,
+    assigned_df: DataFrame,
+    query: Sequence[float],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search only the nprobe clusters whose centroids are nearest the
+    query (driver-side argsort over ≤n_clusters centroids), then exact
+    top-k within them. Scans nprobe/n_clusters of the data — with
+    cluster-partitioned storage this is partition pruning."""
+    import numpy as np
+
+    q = np.asarray(list(query), dtype=float)
+    centers = np.stack([np.asarray(c) for c in km_model.clusterCenters()])
+    nearest = np.argsort(((centers - q) ** 2).sum(axis=1))[:nprobe].tolist()
+    cand = assigned_df.where(F.col("cluster_id").isin(nearest))
+    dist = F.round(euclidean(vec_col, array_lit(q)), 6).alias("dist")
+    return (
+        cand.select(F.col(id_col), dist)
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, id_col: str = "vec_id") -> float:
+    """Recall of an approximate result set vs the exact top-k — the
+    correctness criterion for ANN (SURVEY §5.2: assert recall, don't
+    compare to the reference's degenerate 1-result HNSW, Q2)."""
+    a = {r[0] for r in approx.select(id_col).collect()}
+    e = {r[0] for r in exact.select(id_col).collect()}
+    return len(a & e) / max(1, len(e))

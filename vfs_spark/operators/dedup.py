@@ -1,0 +1,172 @@
+"""Scalable near-duplicate detection: MinHash-LSH and SimHash.
+
+The oracle-checked pairwise forms live in queries/text.py (blocked
+self-joins). These are the sub-quadratic production paths:
+
+- MinHash-LSH (shingle → hash vector → band bucket → bucket join):
+  MLlib MinHashLSH.approxSimilarityJoin generates candidate pairs in
+  O(n·tables) shuffle volume instead of O(n²) comparisons.
+- SimHash: 64-bit weighted-majority fingerprint via an Arrow-batched
+  pandas UDF (bit arithmetic over md5 digests — genuinely outside
+  Catalyst's expression algebra), then exact-match or banded join on
+  the fingerprint for hamming-proximity candidates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from vfs_spark.functions.text import tokens, word_shingles
+
+SEED = 42
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.3,
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Candidate near-dup pairs with estimated jaccard ≥ threshold.
+
+    Pipeline: distinct word-3-gram shingles → binary HashingTF
+    (2^18-dim sparse) → MinHashLSH fit → approxSimilarityJoin at
+    distance (1 − threshold). Returns (doc_a, doc_b, jaccard_dist)
+    with doc_a < doc_b. Shuffle volume is bands·n rows, not n²."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feat = tf.transform(sh)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=SEED
+    )
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(
+        feat, feat, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("doc_a"),
+            F.col(f"datasetB.{id_col}").alias("doc_b"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+
+def _simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens: per-token md5 → 64 bits,
+    weighted-majority per bit position. Deterministic."""
+    acc = [0] * 64
+    for tok in text.lower().split():
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for b in range(64):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out - (1 << 63)  # two's-complement into signed int64
+
+
+def simhash_udf():
+    """Arrow-batched SimHash UDF (built lazily — pandas_udf needs an
+    active SparkSession to parse its return type)."""
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        return texts.map(_simhash64)
+
+    return _simhash
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — Arrow-batched; the only Python-side text op in
+    the engine (bit-twiddling over md5 is not expressible as a
+    reasonable Catalyst expression)."""
+    return docs.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Banding: split the 64-bit fingerprint into max_hamming+1 16-bit
+    bands; by pigeonhole, any pair within the hamming budget agrees on
+    ≥1 band, so an equi-join per band finds ALL such pairs with
+    shuffle volume (bands·n) — never a cross join. Hamming is
+    verified exactly on the candidates via bit_count(xor)."""
+    fp = simhash_fingerprints(docs, id_col, text_col)
+    n_bands = max_hamming + 1
+    band_width = 64 // n_bands
+    bands = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.shiftrightunsigned(F.col("simhash"), i * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_no", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per normalized-token-set fingerprint (lowest id
+    wins) — dropDuplicates generalized to a computed key."""
+    from vfs_spark.functions.text import fingerprint
+
+    with_fp = docs.withColumn("_fp", fingerprint("text"))
+    w = F.row_number().over(Window.partitionBy("_fp").orderBy(F.col(id_col).asc()))
+    return with_fp.withColumn("_rn", w).where(F.col("_rn") == 1).drop("_fp", "_rn")

@@ -1,0 +1,56 @@
+"""Dense monotonically-increasing id assignment (reference next_id
+counter, storage_manager.rs:126-130,317-335).
+
+Two strategies (SURVEY §4.3.1):
+
+- ``assign_dense_ids(order_col=...)``: row_number over a global order.
+  Exactly reproducible (the oracle-checked form), but the window
+  collapses to a single partition — fine for tests, wrong at 100 TB.
+- ``assign_dense_ids()`` (scale path): two-phase zipWithIndex-style —
+  count rows per partition, prefix-sum the counts driver-side
+  (|partitions| integers, trivially small), then add each row's
+  within-partition ordinal to its partition's offset. No global sort,
+  no single-partition window, one extra narrow pass; ids are dense
+  and unique but partition-order-dependent (stable for a given
+  layout, not content-deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def assign_dense_ids(
+    df: DataFrame, id_name: str = "id", start: int = 1, order_col: str | None = None
+) -> DataFrame:
+    if order_col is not None:
+        w = Window.orderBy(order_col)
+        return df.withColumn(
+            id_name, (F.row_number().over(w) + (start - 1)).cast("bigint")
+        )
+
+    pid = F.spark_partition_id()
+    with_pid = df.withColumn("_pid", pid)
+    # per-partition counts → driver-side prefix sums (tiny)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, start
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    offset_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("_pid"),
+    )
+    w_local = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    return (
+        with_pid.withColumn("_local", F.row_number().over(w_local) - 1)
+        .withColumn(id_name, (offset_col + F.col("_local")).cast("bigint"))
+        .drop("_pid", "_local")
+    )

@@ -1,0 +1,136 @@
+"""Multimodal column plumbing: opaque binary payloads + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+Image/audio/video decode libraries are not in this container, so the
+decode kernels are STUBBED (deterministic fake features /
+NotImplementedError), but the Spark-side contract — schema, batch
+shape, partition sizing, UDF signature — is real and tested. Swapping
+in a real decoder changes only the body of the kernel.
+
+Scale notes: binary payloads ride the Arrow channel in batches; keep
+``spark.sql.files.maxPartitionBytes`` at 64-128 MiB so a partition of
+payloads fits executor memory, and repartition by size (not count)
+before expensive kernels so stragglers don't dominate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("content_md5", T.StringType(), True),
+    ]
+)
+
+
+def as_media(
+    df: DataFrame, id_col: str, payload_col, media_type: str = "text"
+) -> DataFrame:
+    """Wrap any source into the media contract (id, payload BINARY,
+    media_type, meta). The fixtures have no binary column, so tests
+    derive payloads from document text via encode(text,'utf-8')."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload_col.cast("binary").alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        F.create_map().alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Deterministic per-payload feature extraction (byte length +
+    content md5) via mapInPandas — the real pipeline shape for any
+    decode/featurize kernel. Fully oracle-checkable because the
+    kernel is deterministic."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": payloads.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("int64"),
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        if b is not None
+                        else None
+                    ),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=EXTRACT_SCHEMA)
+
+
+def decode_image(media: DataFrame, target_size: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Image decode + resize → ARRAY<FLOAT> pixels. STUB: the decode
+    kernel needs an image library not present in this container; the
+    plumbing (schema, mapInPandas batch contract) is the deliverable.
+
+    Raises NotImplementedError from the executor kernel if invoked.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("pixels", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image decode requires an image library (PIL/opencv) not "
+            "available in this environment; swap this kernel body"
+        )
+        yield  # pragma: no cover
+
+    return media.mapInPandas(kernel, schema=out_schema)
+
+
+def fake_embed(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic fake embedding from the payload digest — stands
+    in for a model-forward-pass kernel so downstream ANN/dedup paths
+    can be exercised end-to-end without the model runtime."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for b in pdf["payload"]:
+                if b is None:
+                    embs.append(None)
+                    continue
+                digest = hashlib.sha256(bytes(b)).digest()
+                embs.append(
+                    [
+                        int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65535.0
+                        for i in range(dim)
+                    ]
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
+
+    return media.mapInPandas(kernel, schema=out_schema)

@@ -1,0 +1,1 @@
+from vfs_spark.plans.explain import formatted_plan, assert_pushed_filters, assert_no_cartesian  # noqa: F401

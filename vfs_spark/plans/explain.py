@@ -1,0 +1,66 @@
+"""Physical-plan audit helpers — the engine's "is this the plan I'd
+want at 100 TB?" checks, used by tests/test_plans.py:
+
+- point lookups must reach the Parquet scan as PushedFilters;
+- scans must prune to the referenced columns (ReadSchema);
+- top-k must be TakeOrderedAndProject (never a global Sort + Limit
+  materialization);
+- small-side joins must be broadcast, and nothing should degenerate
+  into a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def assert_pushed_filters(df: DataFrame, fragment: str) -> None:
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan and fragment in plan, (
+        f"expected pushed filter {fragment!r}; plan:\n{plan}"
+    )
+
+
+def assert_read_schema_only(df: DataFrame, columns: list[str]) -> None:
+    """The scan must read exactly `columns` — column pruning proof."""
+    plan = formatted_plan(df)
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, f"no ReadSchema in plan:\n{plan}"
+    read_cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c]
+    assert sorted(read_cols) == sorted(columns), (
+        f"scan reads {read_cols}, expected {columns}"
+    )
+
+
+def assert_take_ordered(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, f"top-k not TakeOrdered:\n{plan}"
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"no broadcast join in plan:\n{plan}"
+    )
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, f"cartesian product:\n{plan}"
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    plan = formatted_plan(df)
+    import re
+
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    ids |= set(re.findall(r"\[codegen id : (\d+)\]", plan))
+    return len(ids)

@@ -1,0 +1,120 @@
+"""⊕ Similarity-search + scalable-dedup queries: brute-force batch ANN
+(oracle-checked), LSH approximate k-NN, IVF search, MinHash/SimHash
+near-dedup, and the multimodal extraction pipeline.
+
+Approximate ops are registered WITHOUT oracles (driver records
+rows-only) — their correctness gate is recall-vs-exact, asserted in
+tests/test_ann.py (SURVEY §5.2: assert recall, not hash equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vfs_spark.functions.distance import euclidean
+from vfs_spark.operators import ann as ann_ops
+from vfs_spark.operators import dedup as dedup_ops
+from vfs_spark.operators import multimodal
+from vfs_spark.queries.core import _query_vec
+from vfs_spark.queries.registry import query
+from vfs_spark.sources.parquet import load_table
+
+
+@query(
+    "knn_batch_bruteforce",
+    oracle="""
+SELECT query_id, vec_id, dist FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         ROUND(sqrt(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2))), 6) AS dist,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(sqrt(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2))), 6) ASC,
+                 e.vec_id ASC) AS rnk
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+) WHERE rnk <= 3
+""",
+)
+def q_knn_batch_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine/euclidean top-k for a batch of query vectors
+    — the exact baseline every ANN variant is measured against.
+    Plan: broadcast the query set (tiny) against the collection, rank
+    per query. At 100 TB the broadcast side stays small (queries) so
+    the big table never shuffles; only k rows per query survive."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    joined = emb.crossJoin(F.broadcast(queries_df))
+    dist = F.round(euclidean("embedding", F.col("query_vec")), 6).alias("dist")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.select("query_id", "vec_id", dist)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .drop("rnk")
+    )
+
+
+@query("approx_knn")  # rows-only: gated on recall vs exact (tests/test_ann.py)
+def q_approx_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#6 approximate k-NN via BucketedRandomProjectionLSH — the
+    Spark-first HNSW replacement (SURVEY §3.2): fit once (batch index
+    build), query the model. The reference rebuilds its graph per
+    query (Q3); here the fit is amortized across queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model, vdf = ann_ops.build_lsh_index(emb)
+    return ann_ops.approx_knn(model, vdf, _query_vec(spark, sf_dir), k=5)
+
+
+@query("ann_ivf")  # rows-only: recall-gated in tests
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: KMeans coarse quantizer, probe the 4 nearest of 16
+    cells, exact top-5 within — scans ~25% of the collection; with
+    cluster-partitioned storage that's physical partition pruning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=16)
+    return ann_ops.ivf_search(km, assigned, _query_vec(spark, sf_dir), k=5, nprobe=4)
+
+
+@query("dedup_minhash")  # rows-only: recall vs exact jaccard in tests
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup candidates (jaccard ≥ 0.3) — the
+    sub-quadratic production path for dedup_ngram_jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_near_dup_pairs(docs, jaccard_threshold=0.3)
+
+
+@query("dedup_simhash")  # rows-only: determinism + banding checked in tests
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole banding —
+    shuffle is O(n·bands); the pandas-UDF fingerprint is the engine's
+    one Python text kernel."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+@query(
+    "multimodal_extract",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(strlen(text) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5
+FROM documents
+""",
+)
+def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline plumbing: binary payload column →
+    mapInPandas feature kernel (byte length + content digest). The
+    kernel is deterministic, so the Arrow round-trip is fully
+    oracle-checked — proving the batch contract, schema, and
+    binary-column handling end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.as_media(docs, "doc_id", F.encode(F.col("text"), "utf-8"))
+    return multimodal.extract_features(media)

@@ -15,7 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vfs_spark.functions.distance import cosine_similarity
 from vfs_spark.functions.text import (
     fingerprint,
     jaccard,
@@ -202,12 +201,22 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: cosine similarity ≥ 0.3 over label-blocked
     pairs. Blocking bounds the join to |block|² work per key; the
     unblocked scale path is random-projection LSH bucketing
-    (operators/ann.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    (operators/ann.py).
+
+    Perf: norms are computed once per row BEFORE the self-join (each
+    row meets ~|block| partners; recomputing ‖·‖ per pair is O(dim)
+    wasted work per partner). Same FP values → same oracle."""
+    from vfs_spark.functions.distance import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
+    )
     a = emb.alias("a")
     b = emb.alias("b")
     sim = F.round(
-        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
     )
     return (
         a.join(

@@ -1,0 +1,90 @@
+"""Structured Streaming ingest — the streaming analogue of the
+reference's memtable + flush-every-10 cadence (storage_manager.rs:12,
+139-157): micro-batches buffer writes, ``foreachBatch`` appends them
+to the vector store, and windowed aggregation mirrors the batch
+``event_window_counts`` query (whose DuckDB oracle therefore verifies
+the streaming semantics too).
+
+Scale: watermarking bounds state; the sink append is the same
+Parquet append as the batch path, so batch and streaming share one
+storage layout (checkpointing replaces snapshot/restore #15/#16).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vfs_spark.schema import EVENTS_SCHEMA
+
+
+def read_event_stream(
+    spark: SparkSession, src_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
+    """File-source stream over the fixture events table (nanos ts
+    handled as in the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", glob)
+        .parquet(src_dir)
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark —
+    identical aggregation to queries/relational.q_event_window_counts
+    so the batch oracle doubles as the streaming correctness check."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(
+    windowed: DataFrame, table_name: str = "stream_counts"
+) -> "DataFrame":
+    """Drain the stream with an availableNow trigger into an in-memory
+    sink (complete mode) and block until done — the test harness path."""
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_append_vectors(
+    events: DataFrame, dest_dir: str, checkpoint_dir: str
+):
+    """foreachBatch append into the Parquet vector-store layout — the
+    memtable-flush analogue: each micro-batch is one flush
+    (storage_manager.rs:139-157); checkpointing provides exactly-once
+    appends and replaces snapshot/restore."""
+
+    def _flush(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(dest_dir)
+
+    return (
+        events.writeStream.foreachBatch(_flush)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
