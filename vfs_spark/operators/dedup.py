@@ -50,7 +50,10 @@ def minhash_near_dup_pairs(
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
     )
-    feat = tf.transform(sh)
+    # cache: the featurized table is scanned as BOTH sides of the LSH
+    # self-join (and once more by fit) — without caching, shingling +
+    # hashing re-run three times.
+    feat = tf.transform(sh).cache()
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=SEED
     )
@@ -69,19 +72,40 @@ def minhash_near_dup_pairs(
     )
 
 
+# token → ±1 bit-vector memo; corpus vocabularies are tiny relative to
+# token counts, so hashing each distinct token once per executor makes
+# the kernel O(tokens) adds instead of O(tokens·64) Python bit ops.
+_TOKEN_VECS: dict[str, "object"] = {}
+
+
+def _token_vec(tok: str):
+    import numpy as np
+
+    v = _TOKEN_VECS.get(tok)
+    if v is None:
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        v = np.fromiter(
+            ((1 if (h >> b) & 1 else -1) for b in range(64)), dtype=np.int32, count=64
+        )
+        _TOKEN_VECS[tok] = v
+    return v
+
+
 def _simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens: per-token md5 → 64 bits,
     weighted-majority per bit position. Deterministic."""
-    acc = [0] * 64
-    for tok in text.lower().split():
-        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-        for b in range(64):
-            acc[b] += 1 if (h >> b) & 1 else -1
+    import numpy as np
+
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in toks:
+        acc += _token_vec(tok)
     out = 0
-    for b in range(64):
-        if acc[b] > 0:
-            out |= 1 << b
-    return out - (1 << 63)  # two's-complement into signed int64
+    for b in np.nonzero(acc > 0)[0].tolist():
+        out |= 1 << b
+    return out if out < (1 << 63) else out - (1 << 64)  # two's complement
 
 
 def simhash_udf():
