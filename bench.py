@@ -50,7 +50,7 @@ def main() -> None:
     load_table(spark, sf_dir, "embeddings").count()
 
     # -- vector engine ------------------------------------------------------
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     n_q = 100
     queries_df = emb.where(F.col("vec_id") < n_q).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")

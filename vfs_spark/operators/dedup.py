@@ -161,6 +161,9 @@ def simhash_near_dup_pairs(
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_no", "band.band_val")
+    # cache: both sides of the self-join read `bands`; without it the
+    # pandas-UDF fingerprint pass runs twice over the corpus.
+    bands = bands.cache()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

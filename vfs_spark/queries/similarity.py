@@ -45,7 +45,7 @@ def q_knn_batch_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: broadcast the query set (tiny) against the collection, rank
     per query. At 100 TB the broadcast side stays small (queries) so
     the big table never shuffles; only k rows per query survive."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -68,7 +68,7 @@ def q_approx_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first HNSW replacement (SURVEY §3.2): fit once (batch index
     build), query the model. The reference rebuilds its graph per
     query (Q3); here the fit is amortized across queries."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     model, vdf = ann_ops.build_lsh_index(emb)
     return ann_ops.approx_knn(model, vdf, _query_vec(spark, sf_dir), k=5)
 
@@ -78,7 +78,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search: KMeans coarse quantizer, probe the 4 nearest of 16
     cells, exact top-5 within — scans ~25% of the collection; with
     cluster-partitioned storage that's physical partition pruning."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     km, assigned = ann_ops.build_ivf_index(emb, n_clusters=16)
     return ann_ops.ivf_search(km, assigned, _query_vec(spark, sf_dir), k=5, nprobe=4)
 
@@ -87,7 +87,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup candidates (jaccard ≥ 0.3) — the
     sub-quadratic production path for dedup_ngram_jaccard."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return dedup_ops.minhash_near_dup_pairs(docs, jaccard_threshold=0.3)
 
 
@@ -96,7 +96,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole banding —
     shuffle is O(n·bands); the pandas-UDF fingerprint is the engine's
     one Python text kernel."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return dedup_ops.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
@@ -115,6 +115,6 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel is deterministic, so the Arrow round-trip is fully
     oracle-checked — proving the batch contract, schema, and
     binary-column handling end to end."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     media = multimodal.as_media(docs, "doc_id", F.encode(F.col("text"), "utf-8"))
     return multimodal.extract_features(media)

@@ -74,7 +74,7 @@ FROM documents
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristic: length saturation + lexical diversity +
     non-stopword density (functions/text.quality_score)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return docs.select("doc_id", quality_score("text", "n_chars").alias("quality"))
 
 
@@ -157,7 +157,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path for unblocked corpora is MinHash-LSH banding
     (operators/dedup.py, `dedup_minhash`) — same pair contract,
     O(n·bands) instead of O(n²)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     sh = docs.select("doc_id", "lang", word_shingles("text").alias("shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -208,7 +208,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     wasted work per partner). Same FP values → same oracle."""
     from vfs_spark.functions.distance import dot, l2_norm
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "label", "embedding", l2_norm("embedding").alias("nrm")
     )
     a = emb.alias("a")

@@ -43,6 +43,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Split even small inputs across all cores: scan parallelism is
+        # otherwise bytes-driven, so a compute-heavy op (shingling,
+        # UDF hashing) over a few-MB file runs on ONE core. maxSplitBytes
+        # = max(openCostInBytes, totalBytes/minPartitionNum), so the
+        # 4 MiB default open cost must drop too or small files never
+        # split. At real scale inputs exceed this floor and both
+        # settings are inert.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("VFS_DRIVER_MEMORY", "16g"))

@@ -28,7 +28,47 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# One scan-partition budget (mirrors spark.sql.files.maxPartitionBytes).
+_FAN_OUT_CEILING = 128 * 1024 * 1024
+
+
+def _table_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    return os.path.getsize(path)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
+    """Read a fixture table.
+
+    ``fan_out=True`` is for compute-bound consumers (shingling, UDF
+    hashing, distance kernels): when the WHOLE table fits inside one
+    scan-partition budget, parquet row-group layout caps scan
+    parallelism (a single row group = one core no matter how many byte
+    splits), so we explicitly spread the rows across all cores — a
+    sub-128MB shuffle, i.e. free. Above the budget the input already
+    splits and this is a no-op. Keep it OFF for filter-heavy access
+    paths: repartition sits between the scan and the filter, and the
+    point-lookup path (#3) relies on pushdown reaching the scan.
+    """
+    df = _load_raw(spark, sf_dir, name)
+    if fan_out:
+        try:
+            small = _table_bytes(table_path(sf_dir, name)) < _FAN_OUT_CEILING
+        except OSError:
+            small = False
+        if small:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
+def _load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
         # rejects; read the raw int64 nanos and truncate to micros with
