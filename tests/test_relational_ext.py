@@ -1,0 +1,88 @@
+"""Semantics tests for the relational extension operators added on top
+of the oracle gate: as-of tie rules, rollup completeness, pivot
+single-pass shape. (Value parity vs DuckDB is covered by selfcheck.)"""
+
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _asof(spark, rows):
+    """Run the asof_join_events union-tag kernel on literal events."""
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("tag"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        views.union(purchases)
+        .withColumn("last_view", F.last("view_ts", ignorenulls=True).over(w))
+        .where(F.col("tag") == 1)
+        .select("event_id", "user_id", "last_view")
+    )
+    return {r.event_id: r.last_view for r in out.collect()}
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    got = _asof(
+        spark,
+        [
+            Row(event_id=1, user_id=7, ts=t(10), event_type="view"),
+            Row(event_id=2, user_id=7, ts=t(20), event_type="view"),
+            Row(event_id=3, user_id=7, ts=t(25), event_type="purchase"),
+            Row(event_id=4, user_id=7, ts=t(30), event_type="view"),
+            # equal-instant view must count (ASOF <=)
+            Row(event_id=5, user_id=7, ts=t(40), event_type="view"),
+            Row(event_id=6, user_id=7, ts=t(40), event_type="purchase"),
+            # purchase with no prior view -> null
+            Row(event_id=7, user_id=9, ts=t(5), event_type="purchase"),
+            Row(event_id=8, user_id=9, ts=t(50), event_type="view"),
+        ],
+    )
+    assert got[3] == t(20)  # latest of the two earlier views
+    assert got[6] == t(40)  # same-instant view visible
+    assert got[7] is None  # nothing at-or-before
+
+
+def test_rollup_has_all_grouping_levels(spark, sf_dir):
+    from vfs_spark.queries.registry import QUERIES
+
+    out = QUERIES["agg_rollup_revenue"](spark, sf_dir).collect()
+    levels = {(r.returnflag == "ALL", r.linestatus == "ALL") for r in out}
+    # leaf, per-flag subtotal, grand total — never (ALL, concrete)
+    assert (False, False) in levels
+    assert (True, True) in levels
+    assert (True, False) not in levels
+    grand = [r for r in out if r.returnflag == "ALL" and r.linestatus == "ALL"]
+    leaf_n = sum(r.n_items for r in out if r.returnflag != "ALL" and r.linestatus != "ALL")
+    assert len(grand) == 1 and grand[0].n_items == leaf_n
+
+
+def test_pivot_is_single_pass(spark, sf_dir):
+    """Explicit pivot values -> no eager distinct-values job before
+    planning: the events relation is scanned exactly once (the
+    pivotfirst Aggregate stacks on the grouping Aggregate — that pair
+    is pivot's normal single-scan shape)."""
+    from vfs_spark.queries.registry import QUERIES
+
+    df = QUERIES["pivot_event_values"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1
+    assert "pivotfirst" in plan

@@ -314,3 +314,220 @@ def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "join_semi_customers",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def q_join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 big order. Scale: the probe
+    side streams; no fact columns are carried past the join (semi
+    joins never widen rows), and the filtered build side broadcasts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(
+        F.broadcast(o), c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "join_anti_customers",
+    oracle="""
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all — the join-form
+    twin of set_except_customers (EXCEPT rewrites to this plan), kept
+    as its own operator because anti joins preserve payload columns."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "set_union_segments",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+""",
+)
+def q_set_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two segment selections — completes the set
+    algebra (union/intersect/except). Scale: union is a zero-shuffle
+    concat; only the final distinct shuffles."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    return a.union(b).distinct()
+
+
+@query(
+    "agg_rollup_revenue",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(ROUND(SUM(l_extendedprice), 0) AS BIGINT) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: per (flag,status), per flag, and grand
+    total in ONE pass — Spark expands grouping sets map-side, so the
+    shuffle still carries only |groups| rows per partition."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 0).cast("bigint").alias("sum_price"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n_items",
+        )
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`). Scale note: exact percentile shuffles all
+    values per group; at 100 TB swap to approx_percentile (t-digest) —
+    same operator shape, bounded memory."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "pivot_event_values",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+       ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+       ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+FROM events GROUP BY 1
+""",
+)
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily sum(value) per event type as columns. The pivot
+    value list is EXPLICIT — with it, pivot is a single-pass
+    conditional aggregation; without it Spark runs an extra distinct
+    job over the key space first (never do that at 100 TB)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
+    piv = ev.groupBy("day").pivot("event_type", types).agg(F.sum("value"))
+    return piv.select("day", *[F.round(F.col(t), 4).alias(t) for t in types])
+
+
+@query(
+    "window_lag_events",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(value - lag(value) OVER w, 4) AS value_delta,
+       CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) AS gap_seconds
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag()-based deltas per user: value change and inter-event gap.
+    Sessionization's building block; one shuffle on user_id shared by
+    both window expressions (same frame spec)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        .cast("bigint")
+        .alias("gap_seconds"),
+    )
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+SELECT p.event_id, p.user_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native operator): for each purchase,
+    the latest view by the same user at-or-before it.
+
+    Implementation is the scalable union-tag trick, NOT a range join:
+    tag both sides, union, then last_value(view_ts) IGNORE NULLS over
+    (user_id ORDER BY ts, tag) — one shuffle on user_id, no pair
+    explosion, no row ever meets more than its own prefix. A
+    join-then-filter would be O(|views|·|purchases|) per user."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    # ties: at equal ts the view row (tag 0) sorts first, so a view at
+    # exactly the purchase instant IS visible — matches ASOF `<=`.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.union(purchases)
+        .withColumn("last_view", F.last("view_ts", ignorenulls=True).over(w))
+        .where(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("last_view", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_view_ts"
+            ),
+        )
+    )

@@ -231,3 +231,50 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos_sim") >= 0.3)
     )
+
+
+@query(
+    "filter_by_tag",
+    oracle="""
+SELECT doc_id, [lang, source] AS tags
+FROM documents
+WHERE list_contains([lang, source], 'en')
+""",
+)
+def q_filter_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-membership filter over the reference's metadata model
+    (vector.rs:15 — tags: Vec<String>; never queried there, queryable
+    here): documents tagged by (lang, source), filtered with
+    array_contains — a pure pushdown-friendly predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tags = F.array("lang", "source")
+    return docs.select("doc_id", tags.alias("tags")).where(
+        F.array_contains("tags", "en")
+    )
+
+
+_BPE_RE = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+@query(
+    "text_token_bpe",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT)
+         AS n_pieces,
+       CAST(len(list_distinct(regexp_extract_all(lower(text), '{_BPE_RE}')))
+         AS BIGINT) AS n_distinct_pieces
+FROM documents
+""",
+)
+def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word piece counting: alphanumeric runs + individual
+    punctuation as separate pieces (the pre-tokenization split every
+    BPE tokenizer applies). Regex evaluates in the JVM — no UDF."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pieces = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("bigint").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("bigint").alias("n_distinct_pieces"),
+    )
