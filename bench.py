@@ -89,6 +89,13 @@ def main() -> None:
         "dedup_simhash",
         "multimodal_extract",
         "knn_batch_bruteforce",
+        "similarity_join",
+        "asof_join_events",
+        "sessionize_events",
+        "agg_rollup_revenue",
+        "agg_percentiles",
+        "pivot_event_values",
+        "text_token_bpe",
     ]
     for name in registry_bench:
         timed(name, lambda n=name: _run(QUERIES[n](spark, sf_dir)))

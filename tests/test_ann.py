@@ -62,3 +62,32 @@ def test_cosine_index_normalizes(emb, qvec):
     got = ann_ops.approx_knn(model, vdf, qvec, k=5, metric="cosine")
     exact = exact_knn(emb, qvec, k=5, metric="cosine")
     assert ann_ops.recall_at_k(got, exact) >= 0.4
+
+
+def test_similarity_join_finds_true_pairs(spark, sf_dir):
+    """The LSH bucket join must recover a decent share of the TRUE
+    within-threshold pairs (recall), and report exact distances for
+    what it does return (no false positives past the threshold)."""
+    from vfs_spark.queries.registry import QUERIES
+    import vfs_spark.queries  # noqa: F401  (register)
+
+    got = QUERIES["similarity_join"](spark, sf_dir).collect()
+    assert all(r.dist <= 3.0 for r in got)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from vfs_spark.functions.distance import euclidean
+
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    true_pairs = {
+        (r.query_id, r.vec_id)
+        for r in emb.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", euclidean("embedding", F.col("qv")).alias("d"))
+        .where((F.col("d") <= 3.0) & (F.col("query_id") != F.col("vec_id")))
+        .collect()
+    }
+    found = {(r.query_id, r.vec_id) for r in got}
+    assert found <= true_pairs  # exact re-check filters fp's
+    if true_pairs:
+        assert len(found & true_pairs) / len(true_pairs) >= 0.5

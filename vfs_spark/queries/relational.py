@@ -531,3 +531,51 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts)
+                   > CAST(30 * 60 AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM numbered GROUP BY user_id, sess_no
+""",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap) via the
+    applyInPandas kernel shared with the streaming stateful operator
+    (streaming/sessionize.py) — so the DuckDB oracle value-checks the
+    same session arithmetic the applyInPandasWithState path runs
+    incrementally."""
+    from vfs_spark.streaming.sessionize import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_batch(ev, gap_s=30 * 60)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+        "sum_value",
+    )

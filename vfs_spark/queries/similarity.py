@@ -118,3 +118,23 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     media = multimodal.as_media(docs, "doc_id", F.encode(F.col("text"), "utf-8"))
     return multimodal.extract_features(media)
+
+
+@query("similarity_join")  # rows-only: candidate set is LSH-approximate
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk ANN: approxSimilarityJoin of a query subset against the
+    collection — the join form of /search (one LSH bucket join instead
+    of per-query scans; the 100 TB batch re-ranking path). Pairs
+    within euclidean distance 3.0, exact distance attached."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    model, vdf = ann_ops.build_lsh_index(emb)
+    vdf = vdf.cache()  # both join sides derive from it
+    queries_df = vdf.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("features")
+    )
+    pairs = ann_ops.approx_knn_join(model, vdf, queries_df, threshold=3.0)
+    return pairs.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("vec_id"),
+        F.round(F.col("dist"), 6).alias("dist"),
+    ).where(F.col("query_id") != F.col("vec_id"))

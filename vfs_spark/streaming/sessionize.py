@@ -1,0 +1,153 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` — the capability class Spark's built-in
+windows don't cover (session boundaries depend on per-key state, not
+a fixed grid).
+
+The reference has no streaming at all (SURVEY §2.2); this is the ⊕
+training-pipeline extension: clickstream → per-user sessions with
+event counts / value sums / duration, emitted when a session closes
+(no event for `gap` seconds past the watermark) — the standard
+prelude to per-session document assembly in an LLM data pipeline.
+
+Scale: state is one small dict per live (user) key, partitioned by
+the grouping key across executors; the watermark bounds both state
+size and timer fan-out. The same kernel also runs in BATCH mode over
+``applyInPandas`` (group = all of a user's events at once) — that
+path is what the DuckDB oracle checks, so the per-group session
+arithmetic is value-verified even though the incremental trigger
+path is rows-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+_STATE_SCHEMA = "start long, end long, n long, total double"
+
+DEFAULT_GAP_S = 30 * 60
+
+
+def _sessions_from_sorted(ts_us: list, values: list, gap_s: int):
+    """Split one user's time-ordered events into gap-based sessions.
+    Timestamps are int microseconds; pure function shared by the batch
+    and streaming paths."""
+    out = []
+    start = prev = ts_us[0]
+    n, total = 0, 0.0
+    for t, v in zip(ts_us, values):
+        if t - prev > gap_s * 1_000_000:
+            out.append((start, prev, n, total))
+            start, n, total = t, 0, 0.0
+        prev = t
+        n += 1
+        total += float(v)
+    out.append((start, prev, n, total))
+    return out
+
+
+def sessionize_batch(
+    events: DataFrame, gap_s: int = DEFAULT_GAP_S
+) -> DataFrame:
+    """Batch sessionization via applyInPandas: one group per user,
+    events sorted in-kernel. One shuffle on user_id; the kernel is
+    O(events-per-user) with bounded memory per group."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()  # ns -> us
+        sessions = _sessions_from_sorted(ts_us, pdf["value"].tolist(), gap_s)
+        uid = pdf["user_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "session_start": pd.to_datetime([s[0] for s in sessions], unit="us"),
+                "session_end": pd.to_datetime([s[1] for s in sessions], unit="us"),
+                "n_events": [s[2] for s in sessions],
+                "sum_value": [round(s[3], 4) for s in sessions],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(kernel, SESSION_SCHEMA)
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_s: int = DEFAULT_GAP_S,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization with explicit per-key state: open
+    session state lives in the state store; an event-time timeout
+    (watermark past session end + gap) closes idle sessions. Emits one
+    row per CLOSED session."""
+
+    def kernel(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, end, n, total = state.get
+            state.remove()
+            yield _session_row(user_id, start, end, n, total)
+            return
+        closed = []
+        cur = list(state.get) if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()  # ns -> us
+            for t, v in zip(ts_us, pdf["value"].tolist()):
+                if cur is None:
+                    cur = [t, t, 0, 0.0]
+                elif t - cur[1] > gap_s * 1_000_000:
+                    closed.append(tuple(cur))
+                    cur = [t, t, 0, 0.0]
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += float(v)
+        if cur is not None:
+            state.update(tuple(cur))
+            # close when the EVENT-TIME watermark passes session end +
+            # gap (never wall clock: a drain trigger would otherwise
+            # sit through the gap in real time). Must stay above the
+            # current watermark or Spark rejects the timer.
+            tmo_ms = cur[1] // 1000 + gap_s * 1000
+            state.setTimeoutTimestamp(max(tmo_ms, state.getCurrentWatermarkMs() + 1))
+        for start, end, n, total in closed:
+            yield _session_row(user_id, start, end, n, total)
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            kernel,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _session_row(user_id, start, end, n, total) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": pd.to_datetime([start], unit="us"),
+            "session_end": pd.to_datetime([end], unit="us"),
+            "n_events": [n],
+            "sum_value": [round(total, 4)],
+        }
+    )
