@@ -54,6 +54,9 @@ def minhash_near_dup_pairs(
     # self-join (and once more by fit) — without caching, shingling +
     # hashing re-run three times.
     feat = tf.transform(sh).cache()
+    feat.count()  # materialize BEFORE the self-join: both sides read the
+    # cache in ONE job, and unmaterialized blocks would race and compute
+    # the shingling twice concurrently.
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=SEED
     )
@@ -164,6 +167,7 @@ def simhash_near_dup_pairs(
     # cache: both sides of the self-join read `bands`; without it the
     # pandas-UDF fingerprint pass runs twice over the corpus.
     bands = bands.cache()
+    bands.count()  # materialize before the self-join (see minhash note)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -128,7 +128,8 @@ def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     within euclidean distance 3.0, exact distance attached."""
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     model, vdf = ann_ops.build_lsh_index(emb)
-    vdf = vdf.cache()  # both join sides derive from it
+    vdf = vdf.cache()
+    vdf.count()  # materialize: both join sides read it in one job
     queries_df = vdf.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("features")
     )
