@@ -63,3 +63,51 @@ def test_distance_expr_stays_in_codegen(emb):
     df = exact_knn(emb, q, k=5)
     assert ex.codegen_stage_count(df) >= 1
     assert "BatchEvalPython" not in ex.formatted_plan(df)  # no row-Python
+
+
+def test_semi_anti_joins_stay_joins(spark, sf_dir):
+    """Semi/anti must plan as (broadcast) hash joins, not rewrite into
+    aggregates or cartesian shapes."""
+    from vfs_spark.queries.registry import QUERIES
+
+    semi = ex.formatted_plan(QUERIES["join_semi_customers"](spark, sf_dir))
+    anti = ex.formatted_plan(QUERIES["join_anti_customers"](spark, sf_dir))
+    assert "LeftSemi" in semi and "CartesianProduct" not in semi
+    assert "LeftAnti" in anti and "CartesianProduct" not in anti
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union-tag as-of join must shuffle exactly once (on user_id
+    for the window) — no join operator, no pair explosion."""
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.plan_tree(QUERIES["asof_join_events"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Batch sessionization: one hash shuffle on user_id feeding the
+    Arrow-batched kernel; nothing else moves."""
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.plan_tree(QUERIES["sessionize_events"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_rollup_single_scan(spark, sf_dir):
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.plan_tree(QUERIES["agg_rollup_revenue"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # grouping-sets expansion, map-side
+
+
+def test_simhash_band_join_no_cartesian(spark, sf_dir):
+    from vfs_spark.queries.registry import QUERIES
+
+    df = QUERIES["dedup_simhash"](spark, sf_dir)
+    plan = ex.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

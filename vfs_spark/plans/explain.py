@@ -64,3 +64,11 @@ def codegen_stage_count(df: DataFrame) -> int:
     ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
     ids |= set(re.findall(r"\[codegen id : (\d+)\]", plan))
     return len(ids)
+
+
+def plan_tree(df: DataFrame) -> str:
+    """Just the operator tree of the formatted plan (the detail
+    sections repeat every node name, which breaks count-based
+    assertions)."""
+    text = formatted_plan(df)
+    return text.split("\n\n", 1)[0]
