@@ -43,3 +43,32 @@ def test_decode_image_is_stubbed(media):
 
     with pytest.raises((PythonException, Py4JJavaError, NotImplementedError)):
         multimodal.decode_image(media).collect()
+
+
+def test_frame_sample_every_k(spark):
+    from vfs_spark.operators import multimodal
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.lit(7).cast("long").alias("media_id"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit("video").alias("media_type"),
+        F.create_map(F.lit("n_frames"), F.lit("25")).alias("meta"),
+    )
+    got = sorted(r.frame_no for r in multimodal.frame_sample(df, every_k=10).collect())
+    assert got == [0, 10, 20]
+
+
+def test_audio_stub_raises(spark):
+    import pytest
+    from vfs_spark.operators import multimodal
+    from pyspark.sql import functions as F
+
+    media = spark.range(1).select(
+        F.col("id").alias("media_id"),
+        F.lit(b"x").alias("payload"),
+        F.lit("audio").alias("media_type"),
+        F.create_map().alias("meta"),
+    )
+    with pytest.raises(Exception, match="audio decode"):
+        multimodal.decode_audio(media).collect()

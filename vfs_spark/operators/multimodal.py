@@ -43,16 +43,17 @@ EXTRACT_SCHEMA = T.StructType(
 
 
 def as_media(
-    df: DataFrame, id_col: str, payload_col, media_type: str = "text"
+    df: DataFrame, id_col: str, payload_col, media_type: str = "text", meta=None
 ) -> DataFrame:
     """Wrap any source into the media contract (id, payload BINARY,
-    media_type, meta). The fixtures have no binary column, so tests
-    derive payloads from document text via encode(text,'utf-8')."""
+    media_type, meta MAP<STRING,STRING>). The fixtures have no binary
+    column, so tests derive payloads from document text via
+    encode(text,'utf-8')."""
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         payload_col.cast("binary").alias("payload"),
         F.lit(media_type).alias("media_type"),
-        F.create_map().alias("meta"),
+        (meta if meta is not None else F.create_map()).alias("meta"),
     )
 
 
@@ -106,14 +107,15 @@ def decode_image(media: DataFrame, target_size: tuple[int, int] = (224, 224)) ->
     return media.mapInPandas(kernel, schema=out_schema)
 
 
-def fake_embed(media: DataFrame, dim: int = 16) -> DataFrame:
+def fake_embed(media: DataFrame, dim: int = 16, dtype: str = "float") -> DataFrame:
     """Deterministic fake embedding from the payload digest — stands
     in for a model-forward-pass kernel so downstream ANN/dedup paths
     can be exercised end-to-end without the model runtime."""
+    elem = T.DoubleType() if dtype == "double" else T.FloatType()
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
-            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+            T.StructField("embedding", T.ArrayType(elem), True),
         ]
     )
 
@@ -134,3 +136,42 @@ def fake_embed(media: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
 
     return media.mapInPandas(kernel, schema=out_schema)
+
+
+def decode_audio(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Audio decode + resample → ARRAY<FLOAT> samples. STUB (no audio
+    library in this container); plumbing contract mirrors decode_image."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("samples", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "audio decode requires an audio library (soundfile/librosa) "
+            "not available in this environment; swap this kernel body"
+        )
+        yield  # pragma: no cover
+
+    return media.mapInPandas(kernel, schema=out_schema)
+
+
+def frame_sample(media: DataFrame, every_k: int = 10) -> DataFrame:
+    """Video frame sampling WITHOUT decoding: expand every k-th frame
+    index from the typed metadata (meta['n_frames']) — pure Catalyst
+    (explode over sequence), no Python. The decode of each sampled
+    frame is then decode_image's job. At 100 TB the explode happens
+    after partition-local filtering, so only sampled frame rows ever
+    shuffle."""
+    n_frames = F.element_at(F.col("meta"), "n_frames").cast("int")
+    return (
+        media.where(n_frames > 0)
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), n_frames - 1, F.lit(every_k))
+            ).alias("frame_no"),
+        )
+    )

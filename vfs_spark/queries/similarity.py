@@ -139,3 +139,51 @@ def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("datasetB.vec_id").alias("vec_id"),
         F.round(F.col("dist"), 6).alias("dist"),
     ).where(F.col("query_id") != F.col("vec_id"))
+
+
+@query(
+    "multimodal_embed",
+    oracle="""
+SELECT doc_id AS media_id,
+       [ROUND(CAST(('0x' || substr(sha256(text), 4*i + 1, 4)) AS INTEGER)
+              / 65535.0, 6) FOR i IN range(0, 8)] AS embedding
+FROM documents
+""",
+)
+def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-kernel plumbing: payload → mapInPandas model-stub
+    (sha256-derived deterministic vector) — the shape of a real
+    model-forward-pass stage. Deterministic kernel → fully
+    oracle-checked (per-element vs DuckDB's sha256)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    media = multimodal.as_media(docs, "doc_id", F.encode(F.col("text"), "utf-8"))
+    emb = multimodal.fake_embed(media, dim=8, dtype="double")
+    return emb.select(
+        "media_id",
+        F.transform("embedding", lambda x: F.round(x, 6)).alias("embedding"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id AS media_id, CAST(unnest(range(0, (n_chars % 120) + 1, 10)) AS INTEGER) AS frame_no
+FROM documents
+WHERE (n_chars % 120) + 1 > 0
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over typed media metadata (meta['n_frames'],
+    synthesized from n_chars here): every-10th frame index, expanded
+    with explode(sequence(...)) — zero Python, zero decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.as_media(
+        docs,
+        "doc_id",
+        F.encode(F.col("text"), "utf-8"),
+        media_type="video",
+        meta=F.create_map(
+            F.lit("n_frames"), ((F.col("n_chars") % 120) + 1).cast("string")
+        ),
+    )
+    return multimodal.frame_sample(media, every_k=10)
