@@ -278,3 +278,36 @@ def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(pieces).cast("bigint").alias("n_pieces"),
         F.size(F.array_distinct(pieces)).cast("bigint").alias("n_distinct_pieces"),
     )
+
+
+@query(
+    "text_rolling_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_sort(list_distinct([md5(substr(lower(text), CAST(i AS INTEGER), 8))
+                 FOR i IN range(1, CAST(len(lower(text)) AS BIGINT) - 6)]))[1:4]
+         AS sketch
+FROM documents
+WHERE len(text) >= 8
+""",
+)
+def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document sketch: hash every char-8-gram (the
+    rolling window), keep the 4 lexicographically-smallest distinct
+    hashes — a bottom-k sketch (winnowing's batch cousin): identical
+    or near-identical byte streams share sketch elements even under
+    edits. Pure Catalyst (substring/transform/array_sort/slice);
+    per-doc work is O(len·k) in the scan stage, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    low = F.lower("text")
+    idx = F.sequence(F.lit(1), F.length(low) - 7)
+    sketch = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.md5(F.encode(low.substr(i, F.lit(8)), "utf-8")))
+            )
+        ),
+        1,
+        4,
+    )
+    return docs.where(F.length("text") >= 8).select("doc_id", sketch.alias("sketch"))
