@@ -86,3 +86,19 @@ def test_pivot_is_single_pass(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Relation") == 1
     assert "pivotfirst" in plan
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from vfs_spark.queries.registry import QUERIES
+
+    approx = {
+        r.o_orderstatus: r.n_customers_approx
+        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderstatus: r.n_customers
+        for r in QUERIES["agg_distinct_customers"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(2, 0.05 * e), (k, approx[k], e)

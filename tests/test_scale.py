@@ -1,0 +1,72 @@
+"""Scale-toolkit proofs: bucketed joins must plan with NO shuffle;
+salted joins must produce exactly the unsalted result while spreading
+the hot key."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vfs_spark.operators import scale
+from vfs_spark.plans import explain as ex
+from vfs_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    # warehouse dir is fixed at session start; just use a unique db
+    spark.sql("CREATE DATABASE IF NOT EXISTS scale_test")
+    spark.catalog.setCurrentDatabase("scale_test")
+    yield spark
+    spark.sql("DROP DATABASE IF EXISTS scale_test CASCADE")
+    spark.catalog.setCurrentDatabase("default")
+
+
+def test_bucketed_join_no_exchange(warehouse, sf_dir):
+    spark = warehouse
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    scale.write_bucketed(orders, "orders_b", "o_orderkey", n_buckets=8,
+                         sort_col="o_orderkey")
+    scale.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", "o_orderkey", n_buckets=8, sort_col="o_orderkey",
+    )
+    a = scale.read_bucketed(spark, "orders_b")
+    b = scale.read_bucketed(spark, "lineitem_b")
+    # disable broadcast so the test exercises the shuffle decision
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_orderkey").select("o_orderkey", "l_quantity")
+        tree = ex.plan_tree(joined)
+        assert "Exchange" not in tree, tree
+        n = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert n == lineitem.join(orders, orders.o_orderkey == lineitem.l_orderkey).count()
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    plain = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).agg(F.count("*"), F.round(F.sum("o_totalprice"), 2)).first()
+    salted = scale.salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        "k",
+        n_salts=8,
+    ).agg(F.count("*"), F.round(F.sum("o_totalprice"), 2)).first()
+    assert tuple(plain) == tuple(salted)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A single hot key must land in every salt bucket on the big side."""
+    big = spark.range(0, 8000).select(F.lit(1).alias("k"), F.col("id"))
+    small = spark.range(0, 1).select(F.lit(1).alias("k"), F.lit("x").alias("v"))
+    out = scale.salted_join(big, small, "k", n_salts=8)
+    assert out.count() == 8000
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(8))
+    )
+    n_buckets = salted_big.select("_salt").distinct().count()
+    assert n_buckets == 8

@@ -1,0 +1,63 @@
+"""Scale toolkit: the join strategies that matter at 100 TB.
+
+The reference is single-node and has no shuffle concept at all
+(SURVEY §4.2); these operators exist because the north star is a
+1000-executor cluster where the shuffle IS the cost model:
+
+- ``write_bucketed`` / ``read_bucketed``: co-locate both sides of a
+  recurring join at WRITE time (bucketBy on the join key). Joining two
+  tables bucketed the same way needs NO Exchange — the per-bucket
+  files are already partitioned identically, so a 100 TB fact⋈fact
+  join runs shuffle-free.
+- ``salted_join``: explode a hot build-side key into S salted copies
+  and scatter the probe side uniformly — turns one straggler
+  partition into S even ones. AQE's skew splitting handles moderate
+  skew automatically; salting is for the pathological key that
+  exceeds a single executor's memory even after AQE splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist bucketed-by-join-key (and optionally sorted within
+    buckets, which additionally removes the join's Sort step)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name, format="parquet")
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)
+
+
+def salted_join(
+    big: DataFrame,
+    skewed: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where `skewed` has pathological hot keys: replicate
+    each `skewed` row across n_salts salt values, scatter `big` rows
+    uniformly over the same salt space, join on (key, salt). Shuffle
+    volume grows n_salts× on the (small) skewed side only; the hot
+    key's probe rows now spread over n_salts reducers."""
+    salted_small = skewed.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    salted_big = big.withColumn(
+        "_salt", (F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)))
+    )
+    out = salted_big.join(salted_small, [key, "_salt"], how)
+    return out.drop("_salt")

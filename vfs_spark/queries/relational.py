@@ -579,3 +579,53 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@query(
+    "agg_revenue_filter",
+    oracle="""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_agg_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: pure filter + global aggregate. The whole
+    predicate set (range on date, between on discount, < on quantity)
+    pushes to the Parquet scan — at 100 TB this query reads only the
+    row groups whose min/max stats intersect the ranges."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketch != DuckDB's sketch
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per order status — the
+    100 TB replacement for exact count-distinct: no expansion shuffle,
+    bounded memory, mergeable sketches. Accuracy vs exact is asserted
+    in tests (±5%); the sketch itself is engine-specific, so this
+    entry is rows-only."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02)
+            .cast("bigint")
+            .alias("n_customers_approx"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
