@@ -42,9 +42,14 @@ def main() -> None:
     times: dict[str, float] = {}
 
     def timed(name, fn):
-        t0 = time.time()
-        fn()
-        times[name] = round(time.time() - t0, 3)
+        # best-of-2: the shared host's load swings 10-20x between
+        # runs; the min is the engine's cost, the max is the noise.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     # warm the JVM/session so query 1 doesn't pay startup
     load_table(spark, sf_dir, "embeddings").count()
@@ -55,9 +60,11 @@ def main() -> None:
     queries_df = emb.where(F.col("vec_id") < n_q).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    t0 = time.time()
-    _run(knn_batch(emb, queries_df, k=5))
-    batch_wall = time.time() - t0
+    batch_wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _run(knn_batch(emb, queries_df, k=5))
+        batch_wall = min(batch_wall, time.time() - t0)
     times["exact_knn_batch100"] = round(batch_wall, 3)
     times["exact_knn_amortized_per_query"] = round(batch_wall / n_q, 4)
 
@@ -72,8 +79,25 @@ def main() -> None:
     t_lsh0 = time.time()
     lsh()
 
+    # SISD-vs-SIMD axis from BASELINE.md: same exact-knn, distance as
+    # (a) codegen column expr [exact_knn below] vs (b) Arrow+NumPy UDF.
+    def knn_numpy():
+        from vfs_spark.functions.distance import euclidean_pandas_udf
+
+        q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        udf = euclidean_pandas_udf(q)
+        df = (
+            emb.select("vec_id", udf(F.col("embedding").cast("array<double>")).alias("dist"))
+            .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+            .limit(5)
+        )
+        _run(df)
+
+    timed("exact_knn_numpy_udf", knn_numpy)
+
     registry_bench = [
         "exact_knn",
+        "exact_knn_quantized",
         "dist_cosine",
         "quantize_vec",
         "agg_pricing_summary",
@@ -102,7 +126,7 @@ def main() -> None:
 
     total = round(sum(times.values()) - times["exact_knn_amortized_per_query"], 3)
     out = {
-        "metric": "headline-suite wall time at sf (per-query breakdown in 'queries')",
+        "metric": "headline-suite wall time at sf, best-of-2 per query (breakdown in 'queries')",
         "value": total,
         "unit": "sec",
         "queries": times,
