@@ -91,3 +91,22 @@ def test_similarity_join_finds_true_pairs(spark, sf_dir):
     assert found <= true_pairs  # exact re-check filters fp's
     if true_pairs:
         assert len(found & true_pairs) / len(true_pairs) >= 0.5
+
+
+def test_ivf_partitioned_store_prunes(spark, emb, qvec, tmp_path):
+    """The persisted IVF layout must (a) return the same result as the
+    in-memory IVF search and (b) plan the probe as partition pruning —
+    only nprobe of the cluster directories appear in the scan."""
+    from vfs_spark.plans import explain as ex
+
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=8)
+    path = str(tmp_path / "ivf")
+    ann_ops.write_ivf_partitioned(assigned, path)
+    got = ann_ops.ivf_search_partitioned(spark, km, path, qvec, k=5, nprobe=2)
+    plan = ex.formatted_plan(got)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster_id" in m.group(1), plan
+    mem = ann_ops.ivf_search(km, assigned, qvec, k=5, nprobe=2)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem.collect()]

@@ -162,3 +162,42 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, id_col: str = "vec_id") -> 
     a = {r[0] for r in approx.select(id_col).collect()}
     e = {r[0] for r in exact.select(id_col).collect()}
     return len(a & e) / max(1, len(e))
+
+
+def write_ivf_partitioned(
+    assigned_df: DataFrame, path: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> None:
+    """Persist the IVF layout: one Hive partition per cluster_id. This
+    IS the index at rest — a query that probes nprobe clusters reads
+    only those directories (partition pruning), the distributed
+    analogue of an inverted-file's posting lists."""
+    assigned_df.select(id_col, vec_col, "cluster_id").write.mode(
+        "overwrite"
+    ).partitionBy("cluster_id").parquet(path)
+
+
+def ivf_search_partitioned(
+    spark: SparkSession,
+    km_model,
+    path: str,
+    query,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the partitioned IVF store: centroid argsort on the driver
+    (≤n_clusters rows), then a scan whose cluster_id IN (...) filter
+    prunes to nprobe partition directories before any file is opened."""
+    import numpy as np
+
+    q = np.asarray(list(query), dtype=float)
+    centers = np.stack([np.asarray(c) for c in km_model.clusterCenters()])
+    nearest = np.argsort(((centers - q) ** 2).sum(axis=1))[:nprobe].tolist()
+    cand = spark.read.parquet(path).where(F.col("cluster_id").isin(nearest))
+    dist = F.round(euclidean(vec_col, array_lit(q)), 6).alias("dist")
+    return (
+        cand.select(F.col(id_col), dist)
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

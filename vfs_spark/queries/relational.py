@@ -629,3 +629,57 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_orders"),
         )
     )
+
+
+@query(
+    "agg_having_customers",
+    oracle="""
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING SUM(o_totalprice) > 1500000
+""",
+)
+def q_agg_having_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped HAVING: big-spend customers. The post-
+    aggregation predicate runs on |groups| rows after the map-side
+    combine — nothing extra shuffles."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).cast("bigint").alias("total_spend"),
+            F.sum("o_totalprice").alias("_raw"),
+        )
+        .where(F.col("_raw") > 1500000)
+        .drop("_raw")
+    )
+
+
+@query(
+    "join_left_order_counts",
+    oracle="""
+SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+""",
+)
+def q_join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: orders per customer INCLUDING zero-order
+    customers (left outer + null-skipping count). Scale: pre-aggregate
+    orders by custkey BEFORE the join so the outer join moves
+    |customers|+|groups| rows, never |orders|."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("_n"))
+    )
+    return c.join(
+        per_cust, c.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_orders"),
+    )
