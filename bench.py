@@ -110,6 +110,7 @@ def main() -> None:
         "text_fingerprint",
         "dedup_exact",
         "dedup_minhash",
+        "dedup_minhash_native",
         "dedup_simhash",
         "multimodal_extract",
         "knn_batch_bruteforce",

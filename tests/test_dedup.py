@@ -69,3 +69,26 @@ def test_exact_dedup_keeps_lowest_id(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = sorted(r["doc_id"] for r in dedup_ops.exact_dedup(df).collect())
     assert kept == [10, 12]
+
+
+def test_minhash_native_recall_and_precision(spark, sf_dir):
+    """Native MinHash: every returned pair must truly have jaccard >=
+    0.3 (exact verify is built in), and recall vs the exhaustive
+    lang-blocked ground truth must be high."""
+    from vfs_spark.queries.registry import QUERIES
+    import vfs_spark.queries  # noqa: F401
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_minhash_native"](spark, sf_dir).collect()
+    }
+    truth = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    # ground truth is lang-blocked, native is unblocked -> superset ok;
+    # precision: every returned pair is genuinely >= threshold
+    assert all(j >= 0.3 for j in got.values())
+    if truth:
+        found = sum(1 for p in truth if p in got)
+        assert found / len(truth) >= 0.8, (found, len(truth))

@@ -201,3 +201,74 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     with_fp = docs.withColumn("_fp", fingerprint("text"))
     w = F.row_number().over(Window.partitionBy("_fp").orderBy(F.col(id_col).asc()))
     return with_fp.withColumn("_rn", w).where(F.col("_rn") == 1).drop("_fp", "_rn")
+
+
+def minhash_native_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.3,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Pure-Catalyst MinHash-LSH — no MLlib, no vector conversion:
+
+    1. distinct word-3-gram shingles per doc (scan stage);
+    2. signature i = min(xxhash64(shingle, i)) — seeded JVM hash,
+       n_hashes array passes, all inside the shingle row's codegen;
+    3. OR-banding with r=1: a pair is a candidate if ANY signature
+       matches (P(candidate) = 1-(1-j)^n, ≈0.83 at j=0.3, n=5) —
+       explode n rows per doc, equi-join on (hash_idx, value);
+    4. exact Jaccard verify on the shingle sets for candidates only.
+
+    Same contract as minhash_near_dup_pairs; shuffle volume is
+    n_hashes·|docs| candidate rows plus the (tiny) verify join — and
+    the whole pipeline is whole-stage-codegen JVM."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(text_col).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    sh = sh.cache()
+    sh.count()  # materialize: signatures + verify both read it
+
+    sig = sh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hash_idx"),
+                        F.array_min(
+                            F.transform(
+                                "shingles", lambda s, i=i: F.xxhash64(s, F.lit(i))
+                            )
+                        ).alias("sig"),
+                    )
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.hash_idx", "b.sig")
+
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.hash_idx") == F.col("b.hash_idx"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )

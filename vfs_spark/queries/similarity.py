@@ -187,3 +187,13 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return multimodal.frame_sample(media, every_k=10)
+
+
+@query("dedup_minhash_native")  # rows-only: candidate set is LSH-random
+def q_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst MinHash near-dedup (seeded xxhash64 signatures +
+    OR-banding + exact-Jaccard verify) — the no-MLlib twin of
+    dedup_minhash: whole pipeline in JVM codegen, exact jaccard on
+    returned pairs."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return dedup_ops.minhash_native_pairs(docs, jaccard_threshold=0.3)
