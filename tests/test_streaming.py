@@ -63,3 +63,30 @@ def test_sessionize_stream_matches_batch(spark, sf_dir):
     # only the last (still-open) session per user may be missing
     n_users = len({t[0] for t in want})
     assert len(got) >= len(want) - n_users
+
+
+def test_stream_dedup_drops_resends(spark, sf_dir):
+    """Feed the fixture events twice (two files) — the deduped stream
+    must emit each event_id exactly once."""
+    import shutil, tempfile, os
+
+    src = tempfile.mkdtemp(prefix="dedup_src")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "a.parquet"))
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "b.parquet"))
+    try:
+        stream = ingest.read_event_stream(spark, src, glob="*.parquet")
+        deduped = ingest.stream_dedup(stream, ["event_id"])
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("dedup_stream_test")
+        n_distinct = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert got.count() == n_distinct
+        assert got.select("event_id").distinct().count() == n_distinct
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

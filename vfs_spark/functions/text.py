@@ -95,3 +95,22 @@ def jaccard(a: Column, b: Column) -> Column:
     """Jaccard similarity of two (distinct-element) array columns."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
     return inter / (F.size(a) + F.size(b) - inter)
+
+
+def quality_score_e6(text: Column | str, n_chars: Column | str) -> Column:
+    """quality_score in exact integer micro-units (BIGINT), for
+    cross-engine comparison: 0.4*len + 0.3*diversity + 0.3*density
+    as 400000·len/500 (= 800·min(c,500), exact integer) plus per-term
+    round(300000·d/t). Each division is ONE correctly-rounded IEEE op
+    on integer operands, so every engine computes the identical
+    double; summing rounded integers avoids the multi-term
+    decimal-boundary ambiguity that a float sum + round(x,6) has."""
+    n_chars = F.col(n_chars) if isinstance(n_chars, str) else n_chars
+    toks = tokens(text)
+    t = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    s = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    t1 = (F.least(n_chars, F.lit(500)) * 800).cast("bigint")
+    t2 = F.round(F.lit(300000.0) * d / t).cast("bigint")
+    t3 = F.round(F.lit(300000.0) * (t - s) / t).cast("bigint")
+    return t1 + t2 + t3

@@ -64,18 +64,26 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_score",
     oracle=f"""
 SELECT doc_id,
-       ROUND(0.4 * least(1.0, CAST(n_chars AS DOUBLE) / 500.0)
-           + 0.3 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))
-           + 0.3 * (1.0 - CAST(len(list_filter({_TOKS}, t -> t IN {_STOP})) AS DOUBLE)
-                          / len({_TOKS})), 6) AS quality
+       CAST(least(n_chars, 500) * 800
+            + ROUND(300000.0 * len(list_distinct({_TOKS})) / len({_TOKS}))
+            + ROUND(300000.0 * (len({_TOKS})
+                    - len(list_filter({_TOKS}, t -> t IN {_STOP})))
+                    / len({_TOKS})) AS BIGINT) AS quality_e6
 FROM documents
 """,
 )
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristic: length saturation + lexical diversity +
-    non-stopword density (functions/text.quality_score)."""
+    non-stopword density, in integer micro-units (see
+    functions/text.quality_score_e6: per-term integer rounding makes
+    the value bit-identical across engines; a float sum + round(x,6)
+    is ambiguous exactly at decimal boundaries — observed at sf0.1)."""
+    from vfs_spark.functions.text import quality_score_e6
+
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    return docs.select("doc_id", quality_score("text", "n_chars").alias("quality"))
+    return docs.select(
+        "doc_id", quality_score_e6("text", "n_chars").alias("quality_e6")
+    )
 
 
 @query(

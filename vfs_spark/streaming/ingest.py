@@ -88,3 +88,23 @@ def stream_append_vectors(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with
+    state bounded by the event-time watermark
+    (dropDuplicatesWithinWatermark — late re-sends inside the
+    watermark dedupe, state for keys older than it is evicted).
+
+    The streaming twin of the batch dedup_exact operator: same
+    keep-first contract, incremental state instead of a groupBy. At
+    100 TB/day the state store holds only one small entry per key per
+    watermark window, partitioned across executors."""
+    key_cols = key_cols or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
