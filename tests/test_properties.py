@@ -1,0 +1,79 @@
+"""Property-based checks (hypothesis) over the engine's numeric
+kernels — quantization round-trip, distance identities, SimHash
+determinism — evaluated through the REAL Spark expressions, one
+DataFrame per example (small max_examples: each example is a job)."""
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from vfs_spark.functions.distance import array_lit, cosine_distance, euclidean
+from vfs_spark.functions.quantize import dequantize, quantize
+
+finite = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False,
+    width=32,
+)
+vec = st.lists(finite, min_size=1, max_size=8)
+
+
+@settings(max_examples=8, deadline=None)
+@given(v=vec)
+def test_quantize_roundtrip_bound(spark, v):
+    """|dequantize(quantize(v)) − clamp(v,−1,1)| ≤ 1/254 per element
+    (vector.rs:94-125,135-139 contract)."""
+    df = spark.createDataFrame([(v,)], "embedding: array<float>")
+    err = F.array_max(
+        F.zip_with(
+            dequantize(quantize("embedding")),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x)),
+            ),
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    got = df.select(err.alias("e")).first()["e"]
+    assert got <= 1.0 / 254 + 1e-7
+
+
+@settings(max_examples=6, deadline=None)
+@given(v=vec)
+def test_euclidean_identity_and_symmetry(spark, v):
+    df = spark.createDataFrame([(v,)], "embedding: array<float>")
+    q = array_lit([float(x) for x in v])
+    self_d = df.select(euclidean("embedding", q).alias("d")).first()["d"]
+    assert self_d is not None and abs(self_d) < 1e-4  # d(x,x) = 0 (f32 noise)
+    zero = array_lit([0.0] * len(v))
+    d1 = df.select(euclidean("embedding", zero).alias("d")).first()["d"]
+    norm = math.sqrt(sum(float(F) ** 2 for F in [float(x) for x in v]))
+    # f32 storage rounds each element; tolerance scales with magnitude
+    assert d1 == pytest.approx(norm, rel=1e-5, abs=1e-4)
+
+
+@settings(max_examples=6, deadline=None)
+@given(v=st.lists(finite, min_size=2, max_size=8))
+def test_cosine_bounds_and_zero_guard(spark, v):
+    df = spark.createDataFrame([(v,)], "embedding: array<float>")
+    q = array_lit([1.0] * len(v))
+    d = df.select(cosine_distance("embedding", q).alias("d")).first()["d"]
+    if any(float(x) != 0.0 for x in v):
+        assert -1e-9 <= d <= 2 + 1e-9
+    else:
+        assert d is None  # zero-norm guard: NULL, never NaN (SURVEY §7.4)
+
+
+@settings(max_examples=5, deadline=None)
+@given(words=st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=12), min_size=0, max_size=6))
+def test_simhash_deterministic_and_order_sensitive(spark, words):
+    from vfs_spark.operators.dedup import _simhash64
+
+    text = " ".join(words)
+    a, b = _simhash64(text), _simhash64(text)
+    assert a == b
+    assert -(1 << 63) <= a < (1 << 63)  # valid signed int64
+    # token-multiset invariance: shuffled token order hashes equal
+    toks = text.lower().split()
+    assert _simhash64(" ".join(reversed(toks))) == _simhash64(" ".join(toks))
