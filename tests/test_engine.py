@@ -69,3 +69,20 @@ def test_truncate_data(spark, tmp_path):
     e.init(vector_dimension=2, truncate_data=True)
     assert e.vectors().count() == 0
     assert e.next_id() == 1
+
+
+def test_jsonl_roundtrip_vectors(spark, sf_dir, tmp_path):
+    """JSONL sink/source round-trip of the vector collection —
+    including ARRAY<FLOAT> embeddings and timestamps — must be
+    lossless under an explicit schema."""
+    from vfs_spark.sources.jsonl import read_jsonl, write_jsonl
+    from vfs_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = str(tmp_path / "emb_jsonl")
+    write_jsonl(emb, p)
+    back = read_jsonl(spark, p, emb.schema)
+    assert back.schema == emb.schema
+    a = sorted(tuple(r) for r in emb.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b

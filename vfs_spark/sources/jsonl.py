@@ -1,0 +1,36 @@
+"""JSON-lines source/sink — the reference's wire format (JSON bodies
+over HTTP, tcp.rs:19-57) as a storage format.
+
+Rules that matter at scale:
+
+- ALWAYS pass an explicit schema on read: schema inference is a full
+  extra pass over 100 TB before the first real job.
+- JSONL is the interchange/ingest format; convert to Parquet
+  (columnar, stats, pushdown) at the pipeline boundary — reading
+  JSONL gets no column pruning or predicate pushdown.
+- Vector columns (ARRAY<FLOAT>) round-trip losslessly as JSON arrays;
+  timestamps are written ISO-8601 (timestampFormat pinned so a
+  different cluster timezone can't reinterpret them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("timestampFormat", TS_FMT).json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", TS_FMT)
+        .option("mode", "FAILFAST")  # corrupt ingest should fail loudly
+        .json(path)
+    )
