@@ -36,24 +36,6 @@ _STATE_SCHEMA = "start long, end long, n long, total double"
 DEFAULT_GAP_S = 30 * 60
 
 
-def _sessions_from_sorted(ts_us: list, values: list, gap_s: int):
-    """Split one user's time-ordered events into gap-based sessions.
-    Timestamps are int microseconds; pure function shared by the batch
-    and streaming paths."""
-    out = []
-    start = prev = ts_us[0]
-    n, total = 0, 0.0
-    for t, v in zip(ts_us, values):
-        if t - prev > gap_s * 1_000_000:
-            out.append((start, prev, n, total))
-            start, n, total = t, 0, 0.0
-        prev = t
-        n += 1
-        total += float(v)
-    out.append((start, prev, n, total))
-    return out
-
-
 def sessionize_batch(
     events: DataFrame, gap_s: int = DEFAULT_GAP_S
 ) -> DataFrame:
@@ -62,17 +44,26 @@ def sessionize_batch(
     O(events-per-user) with bounded memory per group."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(["ts", "event_id"])
-        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()  # ns -> us
-        sessions = _sessions_from_sorted(ts_us, pdf["value"].tolist(), gap_s)
+        ts_us = (pdf["ts"].astype("int64").to_numpy() // 1000)  # ns -> us
+        vals = pdf["value"].to_numpy(dtype="float64")
+        # vectorized gap split: boundary where inter-event gap > gap_s
+        starts = np.empty(len(ts_us), dtype=bool)
+        starts[0] = True
+        np.greater(np.diff(ts_us), gap_s * 1_000_000, out=starts[1:])
+        bounds = np.flatnonzero(starts)  # first index of each session
+        ends = np.append(bounds[1:], len(ts_us)) - 1  # last index
+        sums = np.add.reduceat(vals, bounds)  # left-to-right, == loop order
         uid = pdf["user_id"].iloc[0]
         return pd.DataFrame(
             {
                 "user_id": uid,
-                "session_start": pd.to_datetime([s[0] for s in sessions], unit="us"),
-                "session_end": pd.to_datetime([s[1] for s in sessions], unit="us"),
-                "n_events": [s[2] for s in sessions],
-                "sum_value": [round(s[3], 4) for s in sessions],
+                "session_start": pd.to_datetime(ts_us[bounds], unit="us"),
+                "session_end": pd.to_datetime(ts_us[ends], unit="us"),
+                "n_events": (ends - bounds + 1).astype("int64"),
+                "sum_value": np.round(sums, 4),
             }
         )
 
