@@ -1,0 +1,83 @@
+"""Storage-layout proofs: sort-on-write must produce the tight
+row-group min/max stats that make id point-lookups prune — the
+measured version of the 'Parquet stats play the B-tree's role' claim
+(sources/parquet.py, storage_manager.rs:61-63 analogue)."""
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from vfs_spark.sources.parquet import append_vectors
+
+
+def _row_group_ranges(path_glob):
+    ranges = []
+    for f in glob.glob(path_glob):
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.names.index("id")
+        for rg in range(pf.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            ranges.append((st.min, st.max))
+    return ranges
+
+
+def test_sorted_write_gives_prunable_row_groups(spark, tmp_path):
+    dest = str(tmp_path / "vectors")
+    df = (
+        spark.range(0, 40_000)
+        .select(
+            F.col("id"),
+            F.array(*[F.rand(seed=7) for _ in range(8)]).alias("embedding"),
+        )
+        # deliberately scrambled input: sort-on-write must fix it
+        .orderBy(F.rand(seed=13))
+        .coalesce(1)
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("parquet.block.size", str(64 * 1024))
+    try:
+        append_vectors(df, dest, sort_by_id=True)
+    finally:
+        hconf.unset("parquet.block.size")
+
+    ranges = _row_group_ranges(f"{dest}/*.parquet")
+    assert len(ranges) >= 4, f"need multiple row groups, got {len(ranges)}"
+    # sorted write => disjoint id ranges => a point lookup intersects
+    # exactly one row group (the pruning the reference's B-tree gave)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping row groups: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    probe = 31_337
+    hits = [r for r in ranges if r[0] <= probe <= r[1]]
+    assert len(hits) == 1
+
+    # and the scan-side filter is pushed (plan-level half of the proof)
+    from vfs_spark.plans import explain as ex
+
+    lookup = spark.read.parquet(dest).where(F.col("id") == probe)
+    ex.assert_pushed_filters(lookup, f"EqualTo(id,{probe})")
+    assert lookup.count() == 1
+
+
+def test_unsorted_write_overlaps(spark, tmp_path):
+    """Control: without sort-on-write the ranges overlap — the pruning
+    claim is about the layout, not about Parquet magic."""
+    dest = str(tmp_path / "vectors_unsorted")
+    df = (
+        spark.range(0, 40_000)
+        .select(F.col("id"), F.lit("x").alias("pad"))
+        .orderBy(F.rand(seed=13))
+        .coalesce(1)
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("parquet.block.size", str(64 * 1024))
+    try:
+        append_vectors(df, dest, sort_by_id=False)
+    finally:
+        hconf.unset("parquet.block.size")
+    ranges = _row_group_ranges(f"{dest}/*.parquet")
+    if len(ranges) >= 2:
+        ranges.sort()
+        overlaps = sum(1 for a, b in zip(ranges, ranges[1:]) if a[1] >= b[0])
+        assert overlaps > 0
