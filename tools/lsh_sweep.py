@@ -1,0 +1,63 @@
+"""LSH tuning sweep: recall@10 vs exact, and query cost, across
+(bucketLength, numHashTables) — run at sf0.01/sf0.1 to pick the
+defaults in operators/ann.py. Usage:
+
+    python tools/lsh_sweep.py [sf_dir] [n_queries]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    from vfs_spark.session import get_spark
+    from vfs_spark.sources.parquet import load_table
+    from vfs_spark.operators import ann as ann_ops
+    from vfs_spark.operators.knn import exact_knn
+
+    spark = get_spark("lsh-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).cache()
+    emb.count()
+    queries = [r["embedding"] for r in emb.limit(n_q).collect()]
+    exact_sets = [
+        {r["vec_id"] for r in exact_knn(emb, q, k=10).collect()} for q in queries
+    ]
+
+    print(f"{'bucketLen':>9} {'tables':>6} {'fit_s':>6} {'q_ms':>7} {'recall@10':>9}")
+    for bl in (1.0, 2.0, 4.0, 8.0):
+        for nt in (1, 3, 5):
+            t0 = time.time()
+            model, vdf = ann_ops.build_lsh_index(
+                emb, bucket_length=bl, num_hash_tables=nt
+            )
+            vdf = vdf.cache()
+            vdf.count()
+            fit_s = time.time() - t0
+            t0 = time.time()
+            recalls = []
+            for q, ex in zip(queries, exact_sets):
+                got = {
+                    r["vec_id"]
+                    for r in ann_ops.approx_knn(model, vdf, q, k=10).collect()
+                }
+                recalls.append(len(got & ex) / len(ex))
+            q_ms = (time.time() - t0) / len(queries) * 1000
+            vdf.unpersist()
+            print(
+                f"{bl:>9.1f} {nt:>6d} {fit_s:>6.2f} {q_ms:>7.0f} "
+                f"{sum(recalls) / len(recalls):>9.2f}"
+            )
+
+
+if __name__ == "__main__":
+    main()
