@@ -111,3 +111,11 @@ def test_simhash_band_join_no_cartesian(spark, sf_dir):
     plan = ex.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sql_exists_decorrelates_to_semi_join(spark, sf_dir):
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.plan_tree(QUERIES["sql_exists_customers"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Subquery" not in plan  # fully decorrelated, no per-row exec

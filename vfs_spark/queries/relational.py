@@ -683,3 +683,30 @@ def q_join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_orders"),
     )
+
+
+@query(
+    "sql_exists_customers",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def q_sql_exists_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() surface (everything else here uses the
+    DataFrame API; both compile to the same Catalyst plans): a
+    correlated EXISTS that the optimizer decorrelates into a
+    left-semi hash join — no per-row subquery execution ever happens.
+    Decorrelation is asserted in tests/test_plans.py."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        """
+    )
