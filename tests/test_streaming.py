@@ -3,6 +3,7 @@ query: the windowed stream over events must produce exactly the rows
 q_event_window_counts produces in batch."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from vfs_spark.queries.relational import q_event_window_counts
 from vfs_spark.streaming import ingest
@@ -90,3 +91,30 @@ def test_stream_dedup_drops_resends(spark, sf_dir):
         assert got.select("event_id").distinct().count() == n_distinct
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_append_ivf_queryable(spark, sf_dir, tmp_path):
+    """Vectors streamed through the IVF maintenance path must land
+    cluster-partitioned and give the same partition-pruned search
+    results as a batch-built store."""
+    from vfs_spark.operators import ann as ann_ops
+    from vfs_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=8)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    dest = str(tmp_path / "ivf_stream")
+    q = ingest.stream_append_ivf(
+        stream, km, dest, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    got = ann_ops.ivf_search_partitioned(spark, km, dest, qvec, k=5, nprobe=3)
+    want = ann_ops.ivf_search(km, assigned, qvec, k=5, nprobe=3)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]

@@ -710,3 +710,34 @@ def q_sql_exists_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND o.o_orderpriority = '1-URGENT')
         """
     )
+
+
+@query(
+    "agg_cube_status_priority",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass (rollup's
+    lattice sibling) — map-side Expand again, 4 output row-sets for
+    the price of one scan."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).cast("bigint").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )

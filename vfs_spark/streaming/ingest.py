@@ -108,3 +108,37 @@ def stream_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def stream_append_ivf(
+    vectors: DataFrame,
+    km_model,
+    dest_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+):
+    """Streaming index maintenance: each micro-batch of vectors is
+    cluster-assigned with the (pre-fitted) KMeans coarse quantizer and
+    appended into the Hive-partitioned IVF store — so the ANN index
+    stays queryable (ivf_search_partitioned) while ingest runs.
+    Re-fitting the quantizer is a periodic BATCH job (centroid drift
+    is slow); the stream only assigns. Checkpointing makes the
+    append exactly-once — the streaming twin of the reference's
+    memtable flush + index_map update (storage_manager.rs:139-157)."""
+
+    def _flush(batch_df: DataFrame, batch_id: int) -> None:
+        from vfs_spark.operators.ann import _to_vector_df
+
+        assigned = (
+            km_model.transform(_to_vector_df(batch_df, vec_col))
+            .withColumnRenamed("prediction", "cluster_id")
+            .drop("features")
+        )
+        assigned.write.mode("append").partitionBy("cluster_id").parquet(dest_dir)
+
+    return (
+        vectors.writeStream.foreachBatch(_flush)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
