@@ -118,9 +118,18 @@ def main() -> None:
         "asof_join_events",
         "sessionize_events",
         "agg_rollup_revenue",
+        "agg_cube_status_priority",
         "agg_percentiles",
+        "agg_revenue_filter",
+        "agg_having_customers",
+        "agg_approx_distinct",
+        "join_left_order_counts",
+        "sql_exists_customers",
         "pivot_event_values",
         "text_token_bpe",
+        "text_rolling_fingerprint",
+        "multimodal_embed",
+        "multimodal_frame_sample",
     ]
     for name in registry_bench:
         timed(name, lambda n=name: _run(QUERIES[n](spark, sf_dir)))
