@@ -19,3 +19,25 @@ Design principles (see SURVEY.md):
 __version__ = "0.1.0"
 
 from vfs_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import vfs_spark` free of a
+    SparkSession / MLlib import cost until actually used):
+
+    >>> from vfs_spark import VFSEngine, get_spark
+    >>> eng = VFSEngine(get_spark(), "/data/store"); eng.init(64)
+    """
+    if name == "VFSEngine":
+        from vfs_spark.engine import VFSEngine
+
+        return VFSEngine
+    if name in ("euclidean", "cosine_distance", "cosine_similarity", "dot"):
+        import importlib
+
+        return getattr(importlib.import_module("vfs_spark.functions.distance"), name)
+    if name in ("quantize", "dequantize"):
+        import importlib
+
+        return getattr(importlib.import_module("vfs_spark.functions.quantize"), name)
+    raise AttributeError(f"module 'vfs_spark' has no attribute {name!r}")
