@@ -112,6 +112,7 @@ def main() -> None:
         "dedup_minhash",
         "dedup_minhash_native",
         "dedup_simhash",
+        "dedup_simhash_jvm",
         "multimodal_extract",
         "knn_batch_bruteforce",
         "similarity_join",

@@ -92,3 +92,23 @@ def test_minhash_native_recall_and_precision(spark, sf_dir):
     if truth:
         found = sum(1 for p in truth if p in got)
         assert found / len(truth) >= 0.8, (found, len(truth))
+
+
+def test_simhash_jvm_no_python_and_finds_dups(spark, sf_dir):
+    from pyspark.sql import Row
+    from vfs_spark.operators import dedup
+    from vfs_spark.plans import explain as ex
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta iota"),
+            Row(doc_id=3, text="nothing in common with anything else at all"),
+        ]
+    )
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=16, impl="jvm")
+    plan = ex.formatted_plan(pairs)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got

@@ -136,6 +136,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    impl: str = "udf",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
 
@@ -144,7 +145,10 @@ def simhash_near_dup_pairs(
     ≥1 band, so an equi-join per band finds ALL such pairs with
     shuffle volume (bands·n) — never a cross join. Hamming is
     verified exactly on the candidates via bit_count(xor)."""
-    fp = simhash_fingerprints(docs, id_col, text_col)
+    fingerprints = (
+        simhash_fingerprints_jvm if impl == "jvm" else simhash_fingerprints
+    )
+    fp = fingerprints(docs, id_col, text_col)
     n_bands = max_hamming + 1
     band_width = 64 // n_bands
     bands = fp.select(
@@ -272,3 +276,47 @@ def minhash_native_pairs(
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= jaccard_threshold)
     )
+
+
+def simhash_fingerprints_jvm(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) computed ENTIRELY in Catalyst — no Python worker:
+    per-token xxhash64, per-bit ±1 sums via an in-row aggregate over a
+    64-int accumulator, folded to a signed int64 as two 32-bit halves
+    (each half stays < 2^31 before the final multiply, so the fold is
+    ANSI-overflow-safe; bit 63 enters as -2^31·2^32 = Long.MIN edge).
+
+    Different hash family than simhash_fingerprints (xxhash64 vs md5)
+    → different fingerprint VALUES, same contract: near-identical
+    token multisets land within small hamming distance."""
+    toks = F.split(F.lower(F.trim(text_col)), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    zero64 = F.array(*[F.lit(0)] * 64)
+    bits = F.sequence(F.lit(0), F.lit(63))
+    acc = F.aggregate(
+        hashes,
+        zero64,
+        lambda a, h: F.zip_with(
+            a, bits, lambda ai, b: ai + F.when(F.getbit(h, b) == 1, 1).otherwise(-1)
+        ),
+    )
+    sign = F.transform(acc, lambda x: F.when(x > 0, 1).otherwise(0).cast("long"))
+
+    def _half(arr, lo_bit, n):
+        # sum of bit_b * 2^(b - lo_bit) for b in [lo_bit, lo_bit+n)
+        return sum(
+            (
+                F.element_at(arr, lo_bit + i + 1)
+                * F.pow(F.lit(2.0), F.lit(i)).cast("long")
+                for i in range(n)
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    lo = _half(sign, 0, 32)
+    hi_signed = _half(sign, 32, 31) - F.element_at(sign, 64) * F.lit(1 << 31).cast(
+        "long"
+    )
+    simhash = hi_signed * F.lit(1 << 32).cast("long") + lo
+    return docs.select(F.col(id_col), simhash.alias("simhash"))

@@ -197,3 +197,14 @@ def q_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned pairs."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return dedup_ops.minhash_native_pairs(docs, jaccard_threshold=0.3)
+
+
+@query("dedup_simhash_jvm")  # rows-only: hash-family-specific pairs
+def q_dedup_simhash_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with the all-JVM fingerprint (xxhash64 +
+    in-row bit accumulation — zero Python workers): same banding and
+    hamming verification as dedup_simhash, different hash family.
+    The 100 TB default; the pandas-UDF twin exists for the
+    Arrow-kernel comparison."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return dedup_ops.simhash_near_dup_pairs(docs, max_hamming=3, impl="jvm")
