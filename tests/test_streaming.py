@@ -118,3 +118,28 @@ def test_stream_append_ivf_queryable(spark, sf_dir, tmp_path):
     got = ann_ops.ivf_search_partitioned(spark, km, dest, qvec, k=5, nprobe=3)
     want = ann_ops.ivf_search(km, assigned, qvec, k=5, nprobe=3)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_enrich_stream_matches_batch(spark, sf_dir):
+    from vfs_spark.sources.parquet import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = ingest.read_event_stream(spark, sf_dir)
+    q = (
+        ingest.enrich_stream(stream, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("enrich_test")
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.join(F.broadcast(dim), "user_id", "left")
+    assert got.count() == ev.count()
+    assert sorted(tuple(r) for r in got.select("event_id", "c_mktsegment").collect()) == sorted(
+        tuple(r) for r in want.select("event_id", "c_mktsegment").collect()
+    )

@@ -1,0 +1,39 @@
+"""Print the formatted physical plan of any registry query — the
+inspection tool behind the plan audits. Usage:
+
+    python tools/explain_query.py exact_knn [sf_dir]
+    python tools/explain_query.py --list
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+        print(__doc__)
+        return
+    from vfs_spark.queries import QUERIES
+
+    if sys.argv[1] == "--list":
+        for name in sorted(QUERIES):
+            print(name)
+        return
+    slug = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    if slug not in QUERIES:
+        sys.exit(f"unknown query {slug!r} — see --list")
+    from vfs_spark.plans.explain import formatted_plan
+    from vfs_spark.session import get_spark
+
+    spark = get_spark("explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(formatted_plan(QUERIES[slug](spark, sf_dir)))
+
+
+if __name__ == "__main__":
+    main()

@@ -142,3 +142,15 @@ def stream_append_ivf(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch hash-joins the
+    (small, broadcast) static dimension — the streaming twin of the
+    star join. The dim is re-resolved per batch, so a refreshed
+    dimension table is picked up without restarting the query. For
+    stream-stream joins add watermarks on BOTH sides; enrichment
+    against a dim this size never needs that."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on, "left")
