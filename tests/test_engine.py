@@ -86,3 +86,23 @@ def test_jsonl_roundtrip_vectors(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in emb.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b
+
+
+def test_approx_search_reuses_index_until_insert(spark, tmp_path):
+    """Fit-once-query-many (SURVEY Q3): repeated approx searches must
+    reuse the fitted LSH model; an insert invalidates it so results
+    cover the new data."""
+    from vfs_spark.engine import VFSEngine
+
+    e = VFSEngine(spark, str(tmp_path / "store"))
+    e.init(vector_dimension=4)
+    e.insert([[float(i), 0.0, 0.0, 0.0] for i in range(30)])
+    r1 = e.search([3.0, 0.0, 0.0, 0.0], top_k=3, search_type="approx")
+    r1.collect()
+    model_a = e._lsh_cache["euclidean"][0]
+    e.search([5.0, 0.0, 0.0, 0.0], top_k=3, search_type="approx").collect()
+    assert e._lsh_cache["euclidean"][0] is model_a  # reused, not refit
+    new_ids = e.insert([[2.5, 0.0, 0.0, 0.0]])
+    assert not e._lsh_cache  # invalidated
+    hits = e.search([2.5, 0.0, 0.0, 0.0], top_k=1, search_type="approx").collect()
+    assert hits[0]["id"] == new_ids[0]  # new vector is searchable

@@ -33,6 +33,11 @@ class VFSEngine:
         self.storage_dir = storage_dir
         self.vector_dimension: int | None = None
         self.quantize_on_write = False
+        # fitted ANN index, keyed by distance metric; invalidated on
+        # insert/restore. Fit-once-query-many is the whole point of
+        # the Spark design (SURVEY Q3) — rebuilding per search call
+        # would be the reference's anti-pattern.
+        self._lsh_cache: dict[str, tuple] = {}
 
     # -- /init (tcp.rs:270-299) -------------------------------------------
     def init(
@@ -88,7 +93,13 @@ class VFSEngine:
         ]
         df = self.spark.createDataFrame(rows, schema=VFS_VECTOR_SCHEMA)
         self._flush(df)
+        self._invalidate_index()  # index no longer covers the store
         return [r[0] for r in rows]
+
+    def _invalidate_index(self) -> None:
+        for _, vdf in self._lsh_cache.values():
+            vdf.unpersist()
+        self._lsh_cache.clear()
 
     def _flush(self, df: DataFrame) -> None:
         """Memtable flush analogue (storage_manager.rs:139-162):
@@ -142,7 +153,15 @@ class VFSEngine:
             )
         from vfs_spark.operators.ann import approx_knn, build_lsh_index
 
-        model, vdf = build_lsh_index(vecs, vec_col="embedding", metric=distance_method)
+        cached = self._lsh_cache.get(distance_method)
+        if cached is None:
+            model, vdf = build_lsh_index(
+                vecs, vec_col="embedding", metric=distance_method
+            )
+            vdf = vdf.cache()
+            vdf.count()
+            self._lsh_cache[distance_method] = cached = (model, vdf)
+        model, vdf = cached
         return approx_knn(
             model, vdf, query, k=top_k, id_col="id", metric=distance_method
         )
@@ -171,3 +190,4 @@ class VFSEngine:
         if os.path.isdir(self._data_dir):
             shutil.rmtree(self._data_dir)
         shutil.copytree(src, self._data_dir)
+        self._invalidate_index()
