@@ -129,6 +129,8 @@ def main() -> None:
         "pivot_event_values",
         "text_token_bpe",
         "text_rolling_fingerprint",
+        "text_bigram_top",
+        "funnel_view_purchase",
         "multimodal_embed",
         "multimodal_frame_sample",
     ]

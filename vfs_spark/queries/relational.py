@@ -741,3 +741,48 @@ def q_agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@query(
+    "funnel_view_purchase",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_viewers,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_purchase > first_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+""",
+)
+def q_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase funnel: users whose first purchase strictly
+    follows their first view. One conditional-MIN aggregation per user
+    then a global rollup — two shuffles total, no joins, no event-pair
+    explosion (the naive formulation self-joins events)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("first_view").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_viewers"),
+        F.sum(
+            F.when(
+                F.col("first_view").isNotNull()
+                & (F.col("first_purchase") > F.col("first_view")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_converted"),
+    )

@@ -319,3 +319,46 @@ def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return docs.where(F.length("text") >= 8).select("doc_id", sketch.alias("sketch"))
+
+
+@query(
+    "text_bigram_top",
+    oracle=f"""
+WITH bg AS (
+  SELECT lang, bigram FROM (
+    SELECT lang, unnest([array_to_string(toks[i:i+1], ' ')
+                 FOR i IN range(1, len(toks))]) AS bigram
+    FROM (SELECT lang, {_TOKS} AS toks FROM documents)
+  ) WHERE bigram <> ''
+)
+SELECT lang, bigram, n, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY COUNT(*) DESC, bigram ASC) AS rnk
+  FROM bg GROUP BY lang, bigram
+) WHERE rnk <= 5
+""",
+)
+def q_text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language — the n-gram statistics pass of
+    a corpus pipeline. Shape: explode bigrams in the scan stage, one
+    count shuffle (map-side combined), rank-window with early
+    WindowGroupLimit pruning. At 100 TB the explode multiplies rows
+    ~token-count× but only (lang, bigram) pairs ever shuffle."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = tokens("text")
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bigrams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .where(F.col("bigram") != "")
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 5)
+    )
