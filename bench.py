@@ -66,7 +66,16 @@ def main() -> None:
         _run(knn_batch(emb, queries_df, k=5))
         batch_wall = min(batch_wall, time.time() - t0)
     times["exact_knn_batch100"] = round(batch_wall, 3)
-    times["exact_knn_amortized_per_query"] = round(batch_wall / n_q, 4)
+
+    from vfs_spark.operators.knn import knn_batch_arrow
+
+    arrow_wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _run(knn_batch_arrow(emb, queries_df, k=5))
+        arrow_wall = min(arrow_wall, time.time() - t0)
+    times["exact_knn_batch100_arrow"] = round(arrow_wall, 3)
+    times["exact_knn_amortized_per_query"] = round(min(batch_wall, arrow_wall) / n_q, 4)
 
     def lsh():
         model, vdf = ann_ops.build_lsh_index(emb)

@@ -53,3 +53,23 @@ def test_hydrate_attaches_full_rows(vecs):
 def test_topk_truncate(vecs):
     scored = vecs.select("vec_id", F.lit(1.0).alias("dist"))
     assert topk_truncate(scored, k=3).count() == 3
+
+
+def test_knn_batch_arrow_matches_expression_path(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from vfs_spark.operators.knn import knn_batch, knn_batch_arrow
+    from vfs_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = {
+        (r.query_id, r.vec_id, r.dist)
+        for r in knn_batch(emb, queries, k=5).collect()
+    }
+    b = {
+        (r.query_id, r.vec_id, r.dist)
+        for r in knn_batch_arrow(emb, queries, k=5).collect()
+    }
+    assert a == b

@@ -208,3 +208,34 @@ def q_dedup_simhash_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-kernel comparison."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return dedup_ops.simhash_near_dup_pairs(docs, max_hamming=3, impl="jvm")
+
+
+@query(
+    "knn_batch_arrow",
+    oracle="""
+SELECT query_id, vec_id, dist FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         ROUND(sqrt(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2))), 6) AS dist,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(sqrt(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2))), 6) ASC,
+                 e.vec_id ASC) AS rnk
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+) WHERE rnk <= 3
+""",
+)
+def q_knn_batch_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100×-scale batch k-NN: BLAS matmul per Arrow batch with
+    per-partition top-k before the (tiny) shuffle — 25× faster than
+    the expression path at 2M vectors (tools/stress.py), value-
+    identical output (same oracle as knn_batch_bruteforce)."""
+    from vfs_spark.operators.knn import knn_batch_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_batch_arrow(emb, queries_df, k=3)
