@@ -1,0 +1,59 @@
+"""Driver-contract meta-tests: the registry itself is a deliverable.
+Catches drift without spinning up Spark — every queries() entry is
+either oracle-checked or on the EXPLICIT rows-only allowlist, and
+every oracle is valid DuckDB SQL against the fixture schemas."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+# approximate/hash-family-specific ops: correctness is recall/equality
+# gated in tests, not hash-compared (SURVEY §5.2). Additions here need
+# a justification comment.
+ROWS_ONLY_ALLOWED = {
+    "approx_knn",  # LSH candidate set
+    "ann_ivf",  # cluster-probe candidate set
+    "similarity_join",  # LSH candidate set
+    "dedup_minhash",  # MLlib hash family
+    "dedup_minhash_native",  # xxhash64 hash family
+    "dedup_simhash",  # md5 hash family
+    "dedup_simhash_jvm",  # xxhash64 hash family
+    "agg_approx_distinct",  # HLL sketch
+}
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def test_every_query_is_gated():
+    q, o = entry.queries(), entry.oracle_sql()
+    assert set(o) <= set(q), "oracle without a query"
+    rows_only = set(q) - set(o)
+    assert rows_only == ROWS_ONLY_ALLOWED & rows_only, rows_only
+    unexpected = rows_only - ROWS_ONLY_ALLOWED
+    assert not unexpected, f"rows-only without allowlist entry: {unexpected}"
+
+
+def test_oracles_are_valid_duckdb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    for name, sql in entry.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # pragma: no cover
+            pytest.fail(f"oracle for {name!r} does not parse: {e}")
+
+
+def test_entry_module_shape():
+    assert callable(entry.entry)
+    q = entry.queries()
+    assert len(q) >= 50
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and s.strip() for s in entry.oracle_sql().values())
