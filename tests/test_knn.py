@@ -73,3 +73,23 @@ def test_knn_batch_arrow_matches_expression_path(spark, sf_dir):
         for r in knn_batch_arrow(emb, queries, k=5).collect()
     }
     assert a == b
+
+
+def test_knn_batch_arrow_cosine_matches_expression(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from vfs_spark.operators.knn import knn_batch, knn_batch_arrow
+    from vfs_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = {
+        (r.query_id, r.vec_id, r.dist)
+        for r in knn_batch(emb, queries, k=5, metric="cosine").collect()
+    }
+    b = {
+        (r.query_id, r.vec_id, r.dist)
+        for r in knn_batch_arrow(emb, queries, k=5, metric="cosine").collect()
+    }
+    assert a == b

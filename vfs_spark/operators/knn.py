@@ -117,6 +117,7 @@ def knn_batch_arrow(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = DEFAULT_K,
+    metric: str = "euclidean",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -145,7 +146,7 @@ def knn_batch_arrow(
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])  # (q, d)
     q_sq = (Q * Q).sum(axis=1)  # (q,)
-    nq = len(qids)
+    q_nrm = np.sqrt(q_sq)  # (q,)
 
     def kernel(batches):
         for pdf in batches:
@@ -153,9 +154,16 @@ def knn_batch_arrow(
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (b, d)
             ids = pdf[id_col].to_numpy()
-            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ Q.T) + q_sq[None, :]
-            np.maximum(d2, 0.0, out=d2)
-            dist = np.round(np.sqrt(d2), round_digits)  # (b, q)
+            if metric == "cosine":
+                # 1 - dot/(|x||q|); zero-norm rows -> NaN -> sort last
+                x_nrm = np.sqrt((X * X).sum(axis=1))  # (b,)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    dist = 1.0 - (X @ Q.T) / (x_nrm[:, None] * q_nrm[None, :])
+            else:
+                dist = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ Q.T) + q_sq[None, :]
+                np.maximum(dist, 0.0, out=dist)
+                np.sqrt(dist, out=dist)
+            dist = np.round(dist, round_digits)  # (b, q)
             m = min(k, len(ids))
             sel = np.argpartition(dist, m - 1, axis=0)[:m]  # (m, q)
             yield pd.DataFrame(
