@@ -119,7 +119,7 @@ def main() -> None:
         "text_fingerprint",
         "dedup_exact",
         "dedup_minhash",
-        "dedup_minhash_native",
+        "dedup_minhash_mllib",
         "dedup_simhash",
         "dedup_simhash_jvm",
         "multimodal_extract",

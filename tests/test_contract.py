@@ -15,8 +15,8 @@ ROWS_ONLY_ALLOWED = {
     "approx_knn",  # LSH candidate set
     "ann_ivf",  # cluster-probe candidate set
     "similarity_join",  # LSH candidate set
-    "dedup_minhash",  # MLlib hash family
-    "dedup_minhash_native",  # xxhash64 hash family
+    "dedup_minhash",  # xxhash64 hash family (native default)
+    "dedup_minhash_mllib",  # MLlib MinHashLSH hash family (comparison)
     "dedup_simhash",  # md5 hash family
     "dedup_simhash_jvm",  # xxhash64 hash family
     "agg_approx_distinct",  # HLL sketch

@@ -80,7 +80,7 @@ def test_minhash_native_recall_and_precision(spark, sf_dir):
 
     got = {
         (r.doc_a, r.doc_b): r.jaccard
-        for r in QUERIES["dedup_minhash_native"](spark, sf_dir).collect()
+        for r in QUERIES["dedup_minhash"](spark, sf_dir).collect()
     }
     truth = {
         (r.doc_a, r.doc_b): r.jaccard

@@ -51,6 +51,37 @@ def test_snapshot_restore_roundtrip(engine):
     assert engine.next_id() == 2
 
 
+def test_snapshot_name_validated(engine):
+    """Path-traversal names must be rejected before any rmtree — a
+    name like '../../vectors' would otherwise escape storage_dir."""
+    for bad in ("../escape", "a/b", "..", "", "x/../y"):
+        with pytest.raises((ValueError, FileNotFoundError)):
+            engine.snapshot(bad)
+        with pytest.raises((ValueError, FileNotFoundError)):
+            engine.restore(bad)
+
+
+def test_snapshot_persists_lsh_index(spark, tmp_path):
+    """The fitted ANN index must survive snapshot→restore (the
+    reference persists manager state, storage_manager.rs:367-427):
+    restore re-attaches the SAME fitted model (no refit) and the
+    post-restore approximate search returns identical top-k."""
+    e = VFSEngine(spark, str(tmp_path / "store"))
+    e.init(vector_dimension=4)
+    e.insert([[float(i), 0.0, 0.0, 0.0] for i in range(30)])
+    before = e.search([3.0, 0.0, 0.0, 0.0], top_k=3, search_type="approx").collect()
+    assert "euclidean" in e._lsh_cache  # fitted during search
+    e.snapshot("s_idx")
+
+    # wipe state: new engine instance over the same storage dir
+    e2 = VFSEngine(spark, str(tmp_path / "store"))
+    e2.init(vector_dimension=4)
+    e2.restore("s_idx")
+    assert "euclidean" in e2._lsh_cache  # model reloaded, not refit
+    after = e2.search([3.0, 0.0, 0.0, 0.0], top_k=3, search_type="approx").collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+
 def test_quantized_storage_transparent(spark, tmp_path):
     """quantize flag → int8 at rest, dequantized on read
     (storage_manager.rs:143-151,202-210); lossy within 1/254."""

@@ -75,6 +75,52 @@ def test_knn_batch_arrow_matches_expression_path(spark, sf_dir):
     assert a == b
 
 
+def test_zero_norm_vector_ranks_last_cosine(spark):
+    """A stored all-zeros vector (legal insert) has NULL cosine
+    distance — it must rank LAST (asc_nulls_last), not first, and the
+    expression and Arrow paths must agree on the returned ids."""
+    from vfs_spark.operators.knn import knn_batch_arrow
+
+    rows = [
+        (1, [0.0, 0.0], 0),  # zero-norm: NULL (expr) / NaN (arrow)
+        (2, [1.0, 0.0], 0),
+        (3, [0.0, 1.0], 0),
+        (4, [1.0, 1.0], 0),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = exact_knn(vecs, [1.0, 0.0], k=3, metric="cosine").collect()
+    assert [r["vec_id"] for r in got] == [2, 4, 3]  # not 1 first
+
+    queries = vecs.where(F.col("vec_id") == 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    expr_ids = [r.vec_id for r in knn_batch(vecs, queries, k=3, metric="cosine").collect()]
+    arrow_ids = [r.vec_id for r in knn_batch_arrow(vecs, queries, k=3, metric="cosine").collect()]
+    assert expr_ids == arrow_ids == [2, 4, 3]
+
+
+def test_knn_batch_arrow_deterministic_ties(spark):
+    """Duplicate vectors tied at the k-th distance: the Arrow kernel's
+    per-partition truncation must keep the SMALLEST ids among ties
+    (matching knn_batch / the oracle), regardless of argpartition's
+    arbitrary internal order."""
+    from vfs_spark.operators.knn import knn_batch_arrow
+
+    # 20 identical vectors at distance 1, one exact hit: ties everywhere
+    rows = [(0, [0.0, 0.0], 0)] + [(i, [1.0, 0.0], 0) for i in range(1, 21)]
+    vecs = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        .repartition(4)  # force multiple partitions -> per-partition top-k
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    a = [(r.vec_id, r.dist) for r in knn_batch(vecs, queries, k=5).collect()]
+    b = [(r.vec_id, r.dist) for r in knn_batch_arrow(vecs, queries, k=5).collect()]
+    assert a == b
+    assert [x[0] for x in b] == [0, 1, 2, 3, 4]  # smallest ids among ties
+
+
 def test_knn_batch_arrow_cosine_matches_expression(spark, sf_dir):
     from pyspark.sql import functions as F
     from vfs_spark.operators.knn import knn_batch, knn_batch_arrow

@@ -86,14 +86,17 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1
 
 
-def test_sessionize_single_shuffle(spark, sf_dir):
-    """Batch sessionization: one hash shuffle on user_id feeding the
-    Arrow-batched kernel; nothing else moves."""
+def test_sessionize_single_shuffle_no_python(spark, sf_dir):
+    """Batch sessionization is a pure window plan: one hash shuffle on
+    user_id shared by both windows AND the final aggregate (HashPartitioning
+    on user_id satisfies clustering on (user_id, sess_no)); no Python
+    eval node anywhere — the Arrow kernel is reserved for streaming."""
     from vfs_spark.queries.registry import QUERIES
 
     plan = ex.plan_tree(QUERIES["sessionize_events"](spark, sf_dir))
     assert plan.count("Exchange") == 1
-    assert "FlatMapGroupsInPandas" in plan
+    for py_node in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_node not in plan
 
 
 def test_rollup_single_scan(spark, sf_dir):

@@ -66,6 +66,19 @@ def test_sessionize_stream_matches_batch(spark, sf_dir):
     assert len(got) >= len(want) - n_users
 
 
+def test_sessionize_windowed_matches_kernel(spark, sf_dir):
+    """The pure-window batch plan (the registered sessionize_events
+    path) and the applyInPandas kernel (the streaming twin) must agree
+    row-for-row — one session arithmetic, two execution strategies."""
+    from vfs_spark.streaming import sessionize
+    from vfs_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    win = {tuple(r) for r in sessionize.sessionize_windowed(ev, gap_s=30 * 60).collect()}
+    ker = {tuple(r) for r in sessionize.sessionize_batch(ev, gap_s=30 * 60).collect()}
+    assert win == ker
+
+
 def test_stream_dedup_drops_resends(spark, sf_dir):
     """Feed the fixture events twice (two files) — the deduped stream
     must emit each event_id exactly once."""

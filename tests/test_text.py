@@ -51,3 +51,40 @@ def test_jaccard(spark):
 def test_quality_score_bounds(docs):
     scores = [r["q"] for r in docs.select(tx.quality_score("text", "n_chars").alias("q")).collect()]
     assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_word_shingles_short_docs_empty_not_crash(spark):
+    """Docs with fewer than k tokens must yield an EMPTY shingle set.
+    Regression: sequence(1, n-k+1) with n<k generates a descending
+    array containing 0 and element_at(toks, 0) throws."""
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "now three tokens")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", tx.word_shingles("text", 3).alias("sh")).collect()
+    }
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["now three tokens"]
+
+
+def test_bigram_and_jaccard_queries_survive_short_docs(spark, tmp_path):
+    """The registered bigram/jaccard queries must run on a corpus
+    containing single-token documents (same crash family)."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "en", "web", 1),
+            (2, "alpha beta gamma delta", "en", "web", 22),
+            (3, "alpha beta gamma delta", "en", "web", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    d = str(tmp_path / "docs_short")
+    docs.write.parquet(f"{d}/documents.parquet")
+    assert QUERIES["text_bigram_top"](spark, d).count() >= 1
+    pairs = QUERIES["dedup_ngram_jaccard"](spark, d).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(2, 3)}

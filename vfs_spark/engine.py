@@ -12,6 +12,7 @@ snapshots are directory copies of immutable Parquet.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from collections.abc import Sequence
 from datetime import datetime, timezone
@@ -172,22 +173,71 @@ class VFSEngine:
         write time (the memtable lives inside the writer)."""
 
     # -- /snapshot + /restore (storage_manager.rs:367-427) ----------------
+    _SNAPSHOT_NAME = re.compile(r"[A-Za-z0-9_.-]+")
+
+    def _snapshot_dir(self, name: str) -> str:
+        """Snapshots are KEYED, not path-derived (the reference does the
+        same): a name like '../../vectors' would otherwise escape
+        storage_dir and rmtree arbitrary directories."""
+        if not self._SNAPSHOT_NAME.fullmatch(name) or ".." in name:
+            raise ValueError(
+                f"invalid snapshot name {name!r}: use [A-Za-z0-9_.-]+ (no '..')"
+            )
+        return os.path.join(self.storage_dir, "snapshots", name)
+
     def snapshot(self, name: str = "snapshot") -> str:
-        dest = os.path.join(self.storage_dir, "snapshots", name)
+        """Durable copy of the store AND any fitted ANN index models.
+
+        The data copy is a Spark read→write (not a driver-local
+        copytree): on a cluster, storage_dir is a distributed
+        filesystem path and the copy parallelizes across executors;
+        the driver never streams the bytes. Index models persist via
+        MLlib's own writer — the index-at-rest analogue of the
+        reference's manager-state snapshot (storage_manager.rs:367-399)."""
+        dest = self._snapshot_dir(name)
+        data_dest = os.path.join(dest, "data")
         if os.path.isdir(dest):
             shutil.rmtree(dest)
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.makedirs(dest, exist_ok=True)
         if self._have_data():
-            shutil.copytree(self._data_dir, dest)
-        else:
-            os.makedirs(dest)
+            self.spark.read.parquet(self._data_dir).write.mode(
+                "overwrite"
+            ).parquet(data_dest)
+        for metric, (model, _vdf) in self._lsh_cache.items():
+            model.write().overwrite().save(
+                os.path.join(dest, "index", f"lsh_{metric}")
+            )
         return dest
 
     def restore(self, name: str = "snapshot") -> None:
-        src = os.path.join(self.storage_dir, "snapshots", name)
+        """Restore data and re-attach persisted index models — the
+        cached index survives a restart (storage_manager.rs:402-427),
+        so the first post-restore approx search does NOT refit."""
+        src = self._snapshot_dir(name)
         if not os.path.isdir(src):
             raise FileNotFoundError(src)
-        if os.path.isdir(self._data_dir):
-            shutil.rmtree(self._data_dir)
-        shutil.copytree(src, self._data_dir)
         self._invalidate_index()
+        data_src = os.path.join(src, "data")
+        if os.path.isdir(data_src):
+            df = self.spark.read.parquet(data_src)
+            df.write.mode("overwrite").parquet(self._data_dir)
+        elif os.path.isdir(self._data_dir):
+            shutil.rmtree(self._data_dir)
+        index_dir = os.path.join(src, "index")
+        if os.path.isdir(index_dir):
+            from pyspark.ml.feature import BucketedRandomProjectionLSHModel
+
+            from vfs_spark.operators.ann import _to_vector_df
+
+            for entry in sorted(os.listdir(index_dir)):
+                if not entry.startswith("lsh_"):
+                    continue
+                metric = entry[len("lsh_"):]
+                model = BucketedRandomProjectionLSHModel.load(
+                    os.path.join(index_dir, entry)
+                )
+                vdf = _to_vector_df(
+                    self.vectors(), "embedding", normalize=(metric == "cosine")
+                ).cache()
+                vdf.count()
+                self._lsh_cache[metric] = (model, vdf)

@@ -78,23 +78,36 @@ def fingerprint(text: Column | str) -> Column:
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles — the unit set for n-gram Jaccard
-    near-dedup and the MinHash input."""
+    near-dedup and the MinHash input. Docs with fewer than k tokens
+    yield an EMPTY array: without the CASE guard, sequence(1, n-k+1)
+    with n<k produces a descending array containing 0 and
+    element_at(toks, 0) throws (SQL arrays are 1-based); a downstream
+    filter would not help because the projection evaluates first."""
     toks = tokens(text)
     idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
-            ),
+    return F.when(
+        F.size(toks) < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            )
         )
     )
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Jaccard similarity of two (distinct-element) array columns."""
+    """Jaccard similarity of two (distinct-element) array columns.
+    Two EMPTY sets score 0.0, not 0/0: ANSI mode turns the bare
+    division into a runtime error, and the optimizer may evaluate the
+    similarity predicate on same-doc join pairs before the doc_id<
+    condition prunes them."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    return inter / (F.size(a) + F.size(b) - inter)
+    denom = F.size(a) + F.size(b) - inter
+    return F.when(denom != 0, inter / denom).otherwise(F.lit(0.0))
 
 
 def quality_score_e6(text: Column | str, n_chars: Column | str) -> Column:

@@ -38,12 +38,22 @@ SEED = 42
 def _to_vector_df(
     df: DataFrame, vec_col: str = "embedding", normalize: bool = False
 ) -> DataFrame:
+    """Attach an MLlib `features` vector column, optionally L2-
+    normalized. The norm is computed ONCE into its own column (inlining
+    it in the per-element lambda would be O(d²) per row), and zero-norm
+    vectors pass through unscaled — dividing by zero would yield NULL
+    elements, which break array_to_vector on legal all-zeros inserts."""
     from pyspark.ml.functions import array_to_vector
 
     arr = F.col(vec_col).cast("array<double>")
-    if normalize:
-        arr = F.transform(arr, lambda x: x / l2_norm(F.col(vec_col)))
-    return df.withColumn("features", array_to_vector(arr))
+    if not normalize:
+        return df.withColumn("features", array_to_vector(arr))
+    out = df.withColumn("_nrm", l2_norm(F.col(vec_col)))
+    scaled = F.when(
+        F.col("_nrm") != 0.0,
+        F.transform(arr, lambda x: x / F.col("_nrm")),
+    ).otherwise(arr)
+    return out.withColumn("features", array_to_vector(scaled)).drop("_nrm")
 
 
 def build_lsh_index(
@@ -153,7 +163,7 @@ def ivf_search(
     dist = F.round(euclidean(vec_col, array_lit(q)), 6).alias("dist")
     return (
         cand.select(F.col(id_col), dist)
-        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -201,6 +211,6 @@ def ivf_search_partitioned(
     dist = F.round(euclidean(vec_col, array_lit(q)), 6).alias("dist")
     return (
         cand.select(F.col(id_col), dist)
-        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )

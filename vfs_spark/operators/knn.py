@@ -54,10 +54,15 @@ def exact_knn(
     truncate rank.rs:170-178). Returns (id, dist) rows ordered by
     (dist asc, id asc)."""
     q = query if isinstance(query, Column) else array_lit(query)
-    dist = F.round(distance_col(metric, vec_col, q), round_digits).alias("dist")
+    # `+ 0.0` maps IEEE -0.0 (round of a tiny negative) to +0.0 so the
+    # value hash matches the oracle; nulls (zero-norm cosine, dim
+    # mismatch) rank LAST, consistent with knn_batch_arrow's NaN.
+    dist = (F.round(distance_col(metric, vec_col, q), round_digits) + F.lit(0.0)).alias(
+        "dist"
+    )
     return (
         vectors.select(F.col(id_col), dist)
-        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -83,14 +88,15 @@ def knn_batch(
     N·Q/|partitions| distance rows, and at scale you bound that by
     pre-filtering with an ANN index (operators/ann.py)."""
     joined = vectors.crossJoin(F.broadcast(queries))
-    dist = F.round(
-        distance_col(metric, vec_col, F.col(query_vec_col)), round_digits
+    dist = (
+        F.round(distance_col(metric, vec_col, F.col(query_vec_col)), round_digits)
+        + F.lit(0.0)
     ).alias("dist")
     ranked = joined.select(F.col(query_id_col), F.col(id_col), dist).withColumn(
         "rank",
         F.row_number().over(
             Window.partitionBy(query_id_col).orderBy(
-                F.col("dist").asc(), F.col(id_col).asc()
+                F.col("dist").asc_nulls_last(), F.col(id_col).asc()
             )
         ),
     )
@@ -102,7 +108,9 @@ def topk_truncate(
 ) -> DataFrame:
     """Sort by distance asc, keep k (rank.rs:170-178) — exposed as its
     own operator for parity with the reference's inline truncation."""
-    return scored.orderBy(F.col(dist_col).asc(), F.col(id_col).asc()).limit(k)
+    return scored.orderBy(
+        F.col(dist_col).asc_nulls_last(), F.col(id_col).asc()
+    ).limit(k)
 
 
 def hydrate(results: DataFrame, vectors: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -163,14 +171,32 @@ def knn_batch_arrow(
                 dist = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ Q.T) + q_sq[None, :]
                 np.maximum(dist, 0.0, out=dist)
                 np.sqrt(dist, out=dist)
-            dist = np.round(dist, round_digits)  # (b, q)
+            dist = np.round(dist, round_digits) + 0.0  # (b, q); +0.0 kills -0.0
             m = min(k, len(ids))
-            sel = np.argpartition(dist, m - 1, axis=0)[:m]  # (m, q)
+            # Deterministic (dist, id) tiebreak: argpartition alone picks
+            # arbitrarily among rows tied at the k-th distance, which can
+            # drop a tied row with a smaller id. Re-rank the boundary tie
+            # group per query column so output matches knn_batch exactly.
+            out_ids = np.empty((len(qids), m), dtype=ids.dtype)
+            out_dist = np.empty((len(qids), m), dtype=np.float64)
+            for j in range(len(qids)):
+                col = dist[:, j]
+                part = np.argpartition(col, m - 1)[:m]  # O(b), arbitrary ties
+                kth = col[part].max()  # NaN only if partition had to take NaNs
+                cand = (
+                    np.arange(len(ids))
+                    if np.isnan(kth)
+                    else np.flatnonzero(col <= kth)  # all boundary ties included
+                )
+                order = np.lexsort((ids[cand], col[cand]))[:m]  # NaN sorts last
+                sel = cand[order]
+                out_ids[j] = ids[sel]
+                out_dist[j] = col[sel]
             yield pd.DataFrame(
                 {
                     query_id_col: np.repeat(qids, m),
-                    id_col: ids[sel.T.ravel()],
-                    "dist": np.take_along_axis(dist, sel, axis=0).T.ravel(),
+                    id_col: out_ids.ravel(),
+                    "dist": out_dist.ravel(),
                 }
             )
 
@@ -178,7 +204,7 @@ def knn_batch_arrow(
         kernel, schema=f"{query_id_col} long, {id_col} long, dist double"
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("dist").asc(), F.col(id_col).asc()
+        F.col("dist").asc_nulls_last(), F.col(id_col).asc()
     )
     return (
         partial.withColumn("rank", F.row_number().over(w))

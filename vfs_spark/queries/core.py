@@ -44,6 +44,8 @@ def _norm(a: str) -> str:
 
 
 def _cos_dist(a: str, b: str) -> str:
+    # trailing `+ 0.0` normalizes IEEE -0.0 (ROUND of a tiny negative)
+    # to +0.0 so the driver's value hash agrees with the Spark side
     return f"(1.0 - {_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
 
 
@@ -98,7 +100,7 @@ def q_exact_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_truncate",
     oracle=f"""
 {_Q0}
-SELECT e.vec_id AS vec_id, ROUND({_cos_dist('e.embedding', _QV)}, 6) AS dist
+SELECT e.vec_id AS vec_id, ROUND({_cos_dist('e.embedding', _QV)}, 6) + 0.0 AS dist
 FROM embeddings e
 ORDER BY dist ASC, vec_id ASC
 LIMIT 10
@@ -137,7 +139,7 @@ def q_dist_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dist_cosine",
     oracle=f"""
 {_Q0}
-SELECT e.vec_id AS vec_id, ROUND({_cos_dist('e.embedding', _QV)}, 6) AS dist
+SELECT e.vec_id AS vec_id, ROUND({_cos_dist('e.embedding', _QV)}, 6) + 0.0 AS dist
 FROM embeddings e
 """,
 )
@@ -145,7 +147,8 @@ def q_dist_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#8 cosine distance 1 − dot/(‖a‖·‖b‖) (rank.rs:290-300)."""
     q = array_lit(_query_vec(spark, sf_dir))
     return _emb(spark, sf_dir).select(
-        "vec_id", F.round(cosine_distance("embedding", q), 6).alias("dist")
+        "vec_id",
+        (F.round(cosine_distance("embedding", q), 6) + F.lit(0.0)).alias("dist"),
     )
 
 
@@ -305,7 +308,7 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dequantize_vec",
     oracle=f"""
 SELECT vec_id,
-       ROUND(list_sum(list_transform(qv, q -> CAST(q AS DOUBLE) / 127.0)), 6) AS dq_sum,
+       ROUND(list_sum(list_transform(qv, q -> CAST(q AS DOUBLE) / 127.0)), 6) + 0.0 AS dq_sum,
        CAST(list_aggregate(list_transform(list_zip(qv, embedding),
             p -> abs(CAST(p[1] AS DOUBLE) / 127.0
                  - greatest(-1.0, least(1.0, CAST(p[2] AS DOUBLE))))), 'max')
@@ -326,8 +329,9 @@ def q_dequantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.array_max(F.zip_with(dq, clamped, lambda a, b: F.abs(a - b)))
     return _emb(spark, sf_dir).select(
         "vec_id",
-        F.round(
-            F.aggregate(dq, F.lit(0.0), lambda acc, x: acc + x), 6
+        (
+            F.round(F.aggregate(dq, F.lit(0.0), lambda acc, x: acc + x), 6)
+            + F.lit(0.0)
         ).alias("dq_sum"),
         (err <= F.lit(1.0 / 254 + 1e-9)).alias("roundtrip_ok"),
     )

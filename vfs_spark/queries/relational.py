@@ -559,15 +559,17 @@ FROM numbered GROUP BY user_id, sess_no
 """,
 )
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min idle gap) via the
-    applyInPandas kernel shared with the streaming stateful operator
-    (streaming/sessionize.py) — so the DuckDB oracle value-checks the
-    same session arithmetic the applyInPandasWithState path runs
-    incrementally."""
-    from vfs_spark.streaming.sessionize import sessionize_batch
+    """Gap-based sessionization (30-min idle gap) as a pure window
+    plan (lag → session flag → running sum → groupBy) — zero Python
+    in the batch path; the Arrow round-trip of every event row made
+    the kernel form ~10× slower than comparable window queries. The
+    applyInPandas kernel (streaming/sessionize.sessionize_batch) is
+    the batch twin of the applyInPandasWithState streaming operator
+    and is asserted equal to this plan in tests/test_streaming.py."""
+    from vfs_spark.streaming.sessionize import sessionize_windowed
 
     ev = _t(spark, sf_dir, "events")
-    out = sessionize_batch(ev, gap_s=30 * 60)
+    out = sessionize_windowed(ev, gap_s=30 * 60)
     return out.select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
@@ -785,4 +787,111 @@ def q_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_converted"),
+    )
+
+
+@query(
+    "join_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+         s.s_name AS s_name, n.n_name AS nation, s.s_acctbal AS s_acctbal,
+         MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY l.l_partkey, l.l_suppkey, s.s_name, n.n_name, s.s_acctbal
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY partkey
+            ORDER BY unit_cost ASC, suppkey ASC) AS rnk
+  FROM cost
+)
+SELECT p.p_partkey AS p_partkey, r.s_name AS s_name, r.nation AS nation,
+       r.unit_cost AS unit_cost, r.s_acctbal AS acctbal
+FROM ranked r JOIN part p ON p.p_partkey = r.partkey
+WHERE r.rnk = 1 AND p.p_size <= 15
+""",
+)
+def q_join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue (partsupp-free — the fixtures carry the
+    part↔supplier relationship through lineitem): for every small part,
+    the EUROPE supplier offering the minimum observed unit cost.
+    Q2's correlated MIN subquery is expressed as a rank window
+    (partition by part, order by cost) — Catalyst's decorrelated form,
+    one shuffle on partkey instead of a per-part subquery rescan.
+    Scale: supplier⋈nation⋈region is a broadcast chain (dims), the
+    lineitem aggregate is map-side combined, and the rank window
+    rides the same partkey shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 15)
+    eu_sup = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"), "s_acctbal")
+    )
+    cost = (
+        li.join(F.broadcast(eu_sup), li.l_suppkey == eu_sup.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name", "nation", "s_acctbal")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("l_suppkey").asc()
+    )
+    best = cost.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") == 1)
+    # unit_cost (one IEEE division + MIN) and s_acctbal (raw column)
+    # are bit-identical across engines UNROUNDED; ROUND(·, 2) is what
+    # breaks — a stored ...575 decimal straddles the half-cent
+    # differently in Spark vs DuckDB (caught at sf0.1).
+    return best.join(F.broadcast(part), best.l_partkey == part.p_partkey).select(
+        "p_partkey",
+        "s_name",
+        "nation",
+        "unit_cost",
+        F.col("s_acctbal").alias("acctbal"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS total_price
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), ())
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS beyond rollup/cube: two independent
+    single-dimension summaries plus the grand total in ONE scan — the
+    lattice subsets a dashboard actually wants, without cube's 2^k
+    blowup. Same map-side Expand machinery as rollup: each input row
+    is replicated once per grouping set before the partial aggregate,
+    so the shuffle carries |sets|·|groups| not |rows|."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        joined.groupingSets(
+            [["o_orderstatus"], ["c_mktsegment"], []],
+            "o_orderstatus",
+            "c_mktsegment",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).cast("bigint").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n_orders",
+            "total_price",
+        )
     )

@@ -244,7 +244,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "filter_by_tag",
     oracle="""
-SELECT doc_id, [lang, source] AS tags
+SELECT doc_id, array_to_string([lang, source], ',') AS tags
 FROM documents
 WHERE list_contains([lang, source], 'en')
 """,
@@ -253,12 +253,14 @@ def q_filter_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tag-membership filter over the reference's metadata model
     (vector.rs:15 — tags: Vec<String>; never queried there, queryable
     here): documents tagged by (lang, source), filtered with
-    array_contains — a pure pushdown-friendly predicate."""
+    array_contains — a pure pushdown-friendly predicate. The tag list
+    is returned array_join'd to a scalar: the driver's pandas
+    canonicalizer can't hash list cells."""
     docs = load_table(spark, sf_dir, "documents")
     tags = F.array("lang", "source")
-    return docs.select("doc_id", tags.alias("tags")).where(
-        F.array_contains("tags", "en")
-    )
+    return docs.withColumn("tags_arr", tags).where(
+        F.array_contains("tags_arr", "en")
+    ).select("doc_id", F.array_join("tags_arr", ",").alias("tags"))
 
 
 _BPE_RE = "[a-z0-9]+|[^a-z0-9\\s]"
@@ -292,9 +294,10 @@ def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_rolling_fingerprint",
     oracle="""
 SELECT doc_id,
-       list_sort(list_distinct([md5(substr(lower(text), CAST(i AS INTEGER), 8))
-                 FOR i IN range(1, CAST(len(lower(text)) AS BIGINT) - 6)]))[1:4]
-         AS sketch
+       array_to_string(
+         list_sort(list_distinct([md5(substr(lower(text), CAST(i AS INTEGER), 8))
+                   FOR i IN range(1, CAST(len(lower(text)) AS BIGINT) - 6)]))[1:4],
+         ',') AS sketch
 FROM documents
 WHERE len(text) >= 8
 """,
@@ -305,7 +308,8 @@ def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes — a bottom-k sketch (winnowing's batch cousin): identical
     or near-identical byte streams share sketch elements even under
     edits. Pure Catalyst (substring/transform/array_sort/slice);
-    per-doc work is O(len·k) in the scan stage, no shuffle."""
+    per-doc work is O(len·k) in the scan stage, no shuffle. The sketch
+    is returned comma-joined (scalar) for the driver's hash compare."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     low = F.lower("text")
     idx = F.sequence(F.lit(1), F.length(low) - 7)
@@ -318,7 +322,9 @@ def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         4,
     )
-    return docs.where(F.length("text") >= 8).select("doc_id", sketch.alias("sketch"))
+    return docs.where(F.length("text") >= 8).select(
+        "doc_id", F.array_join(sketch, ",").alias("sketch")
+    )
 
 
 @query(
@@ -347,9 +353,16 @@ def q_text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~token-count× but only (lang, bigram) pairs ever shuffle."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = tokens("text")
+    # Guard single-token docs: sequence(1, 0) yields a DESCENDING [1, 0]
+    # and element_at(toks, 0) throws. The CASE keeps the transform from
+    # ever evaluating on short docs (a later filter would NOT — the
+    # projection runs first).
     idx = F.sequence(F.lit(1), F.size(toks) - 1)
-    bigrams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
     )
     from pyspark.sql.window import Window
 

@@ -25,7 +25,9 @@ from collections.abc import Iterable
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
 
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
@@ -71,6 +73,41 @@ def sessionize_batch(
         events.select("user_id", "ts", "event_id", "value")
         .groupBy("user_id")
         .applyInPandas(kernel, SESSION_SCHEMA)
+    )
+
+
+def sessionize_windowed(
+    events: DataFrame, gap_s: int = DEFAULT_GAP_S
+) -> DataFrame:
+    """Batch sessionization as a pure Catalyst window plan — the
+    100 TB default: lag → new-session flag → running sum (session
+    number) → groupBy. No Python worker, no Arrow round-trip of the
+    event stream; the two windows and the aggregate share one shuffle
+    on user_id. The applyInPandas kernel (`sessionize_batch`) remains
+    as the batch twin of the streaming state kernel and is asserted
+    equal in tests/test_streaming.py.
+
+    Gap arithmetic in integer microseconds (unix_micros) — a DOUBLE
+    seconds cast would lose exactness near the 30-min boundary."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_us = F.unix_micros("ts")
+    prev_us = F.lag(ts_us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | ((ts_us - prev_us) > gap_s * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .withColumn("new_sess", new_sess)
+        .withColumn("sess_no", F.sum("new_sess").over(wrun))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .drop("sess_no")
     )
 
 
