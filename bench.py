@@ -142,6 +142,11 @@ def main() -> None:
         "funnel_view_purchase",
         "multimodal_embed",
         "multimodal_frame_sample",
+        "join_min_cost_supplier",
+        "agg_grouping_sets",
+        "text_repetition_score",
+        "embedding_centroid",
+        "range_join_view_attribution",
     ]
     for name in registry_bench:
         timed(name, lambda n=name: _run(QUERIES[n](spark, sf_dir)))

@@ -122,3 +122,17 @@ def test_sql_exists_decorrelates_to_semi_join(spark, sf_dir):
     plan = ex.plan_tree(QUERIES["sql_exists_customers"](spark, sf_dir))
     assert "LeftSemi" in plan
     assert "Subquery" not in plan  # fully decorrelated, no per-row exec
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The bucketed interval join must plan as an equi hash/merge join
+    on (key, bucket) — never a cartesian/nested-loop pair explosion."""
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.formatted_plan(QUERIES["range_join_view_attribution"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )

@@ -102,3 +102,35 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, e in exact.items():
         assert abs(approx[k] - e) <= max(2, 0.05 * e), (k, approx[k], e)
+
+
+def test_interval_join_bucketed_boundaries(spark):
+    """Window edges: a right row exactly at left_ts - W or left_ts is
+    IN; one microsecond outside is OUT — including pairs that straddle
+    a bucket boundary (the explode-two-buckets case)."""
+    from vfs_spark.operators.rangejoin import interval_join_bucketed
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    W = 60  # seconds
+    left = spark.createDataFrame(
+        [(1, 10, t0)], "user_id long, purchase_id long, p_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 20, t0 - dt.timedelta(seconds=60)),  # exactly left_ts - W: in
+            (1, 21, t0 - dt.timedelta(seconds=60, microseconds=1)),  # out
+            (1, 22, t0),  # exactly left_ts: in
+            (1, 23, t0 + dt.timedelta(microseconds=1)),  # future: out
+            (1, 24, t0 - dt.timedelta(seconds=30)),  # prior bucket, in window
+            (2, 25, t0 - dt.timedelta(seconds=30)),  # other user: out
+        ],
+        "user_id long, view_id long, v_ts timestamp",
+    )
+    got = {
+        r["view_id"]
+        for r in interval_join_bucketed(
+            left, right, on=["user_id"], left_ts="p_ts", right_ts="v_ts", window_s=W
+        ).collect()
+    }
+    assert got == {20, 22, 24}

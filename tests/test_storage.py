@@ -81,3 +81,37 @@ def test_unsorted_write_overlaps(spark, tmp_path):
         ranges.sort()
         overlaps = sum(1 for a, b in zip(ranges, ranges[1:]) if a[1] >= b[0])
         assert overlaps > 0
+
+
+def test_clustered_write_prunes_row_groups(spark, tmp_path):
+    """Sort-on-write clustering measured via Parquet FOOTER STATS (not
+    plan text): after write_clustered, a narrow id-range predicate
+    overlaps only a small fraction of row groups; the same data written
+    hash-partitioned (every partition spans the full id range) overlaps
+    nearly all of them."""
+    from vfs_spark.sources.parquet import (
+        row_group_prunable_fraction,
+        write_clustered,
+    )
+
+    df = spark.range(0, 100_000).select(
+        F.col("id"),
+        F.array(*[F.rand(seed=i) for i in range(16)]).alias("embedding"),
+    )
+    clustered = str(tmp_path / "clustered")
+    write_clustered(df, clustered, "id", n_files=8, row_group_bytes=256 * 1024)
+
+    scattered = str(tmp_path / "scattered")
+    (
+        df.orderBy(F.rand(seed=7))  # random order: every row group spans ~full range
+        .coalesce(8)
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(256 * 1024))
+        .parquet(scattered)
+    )
+
+    lo, hi = 50_000, 50_099  # 0.1% of the key space
+    f_clustered = row_group_prunable_fraction(clustered, "id", lo, hi)
+    f_scattered = row_group_prunable_fraction(scattered, "id", lo, hi)
+    assert f_clustered <= 0.15, f_clustered  # touch ~1 group out of many
+    assert f_scattered >= 0.8, f_scattered  # control: no clustering, no pruning

@@ -99,6 +99,24 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
+def word_ngrams(text: Column | str, k: int = 3) -> Column:
+    """ALL k-word n-grams in order (with repeats — the multiset the
+    repetition-quality score needs; `word_shingles` is the distinct
+    set). Same short-doc guard: fewer than k tokens → empty array."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    return F.when(
+        F.size(toks) < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Jaccard similarity of two (distinct-element) array columns.
     Two EMPTY sets score 0.0, not 0/0: ANSI mode turns the bare

@@ -1,0 +1,56 @@
+"""Bucketed interval (range) join — the scale-safe form of
+``A JOIN B ON b.ts BETWEEN a.ts - W AND a.ts [AND keys]``.
+
+Spark has no range-join optimization: the naive inequality join plans
+as a per-key cross product (or a full cartesian without keys), which
+is quadratic in events-per-key. The standard distributed fix is time
+BUCKETING: quantize both sides into W-second buckets, explode the
+left side into the two buckets its window can touch, and equi-join on
+(keys, bucket) — every true pair lands in EXACTLY one bucket match
+(the right row's bucket is fixed; of the left row's two exploded
+buckets precisely one equals it), so no dedup pass is needed. The
+residual exact BETWEEN predicate then filters within each bucket.
+
+Shuffle volume: 2·|left| + |right| rows on (keys, bucket) — linear,
+skew-bounded by bucket width. The same pattern with more exploded
+buckets handles windows wider than one bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__rj_bucket"
+
+
+def interval_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_s: int,
+) -> DataFrame:
+    """All (left, right) pairs with ``right_ts`` in the window
+    ``[left_ts - window_s, left_ts]``, equi-matched on `on` columns.
+    Column sets of the two sides must be disjoint apart from `on`
+    (rename before calling). Arithmetic in integer microseconds —
+    exact at any epoch."""
+    w_us = window_s * 1_000_000
+
+    def bucket(ts_col: str):
+        return F.floor(F.unix_micros(F.col(ts_col)) / w_us)
+
+    l_exploded = left.withColumn(
+        _BUCKET, F.explode(F.array(bucket(left_ts) - 1, bucket(left_ts)))
+    )
+    r_bucketed = right.withColumn(_BUCKET, bucket(right_ts))
+    lo = F.unix_micros(F.col(left_ts)) - w_us
+    hi = F.unix_micros(F.col(left_ts))
+    rt = F.unix_micros(F.col(right_ts))
+    return (
+        l_exploded.join(r_bucketed, on + [_BUCKET])
+        .where((rt >= lo) & (rt <= hi))
+        .drop(_BUCKET)
+    )

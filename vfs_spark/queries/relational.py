@@ -895,3 +895,36 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@query(
+    "range_join_view_attribution",
+    oracle="""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+""",
+)
+def q_range_join_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every view within the hour before each purchase
+    (multi-touch attribution; the as-of join keeps only the LAST
+    view). The oracle's inequality join is quadratic per user; the
+    Spark plan buckets time into window-width cells and equi-joins on
+    (user_id, bucket) — linear shuffle, every true pair matched
+    exactly once (operators/rangejoin.py)."""
+    from vfs_spark.operators.rangejoin import interval_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    pairs = interval_join_bucketed(
+        purchases, views, on=["user_id"], left_ts="p_ts", right_ts="v_ts",
+        window_s=3600,
+    )
+    return pairs.select("purchase_id", "view_id")

@@ -248,3 +248,29 @@ def q_knn_batch_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return knn_batch_arrow(emb, queries_df, k=3)
+
+
+@query(
+    "embedding_centroid",
+    oracle="""
+SELECT label, CAST(i AS INTEGER) AS i,
+       ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 6) AS c
+FROM embeddings CROSS JOIN (SELECT unnest(range(0, 512)) AS i)
+WHERE i < len(embedding)
+GROUP BY label, i
+""",
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding collection — the class-mean
+    building block (cluster seeding, nearest-class-mean classification,
+    label-conditioned near-dup blocking). Shape: posexplode in the scan
+    stage, then ONE map-side-combined aggregate on (label, i) — the
+    shuffle carries |labels|·dim partial sums per partition, never the
+    vectors. The 100 TB-safe way to average arrays (an in-row
+    zip_with-accumulator would need a single reducer per label)."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", F.col("i").cast("int").alias("i"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    )

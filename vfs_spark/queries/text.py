@@ -375,3 +375,43 @@ def q_text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= 5)
     )
+
+
+@query(
+    "text_repetition_score",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+                FOR i IN range(1, len(toks) - 1)]) AS g
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY doc_id, g)
+SELECT doc_id,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_gram_frac,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS distinct_gram_frac
+FROM c GROUP BY doc_id
+""",
+)
+def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-quality signals (the Gopher-rule family every
+    pretraining pipeline applies): per document, the frequency share of
+    the most-repeated word 3-gram and the distinct-3-gram ratio —
+    loopy/templated docs score high/low respectively. Shape: explode
+    3-grams in the scan stage, count with map-side combine (only
+    (doc, gram, cnt) rows shuffle), one per-doc aggregate on top.
+    Both ratios are ONE integer/integer IEEE division → bit-identical
+    across engines at ROUND(·, 6)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    from vfs_spark.functions.text import word_ngrams
+
+    grams = docs.select("doc_id", F.explode(word_ngrams("text", 3)).alias("g"))
+    counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+    return counts.groupBy("doc_id").agg(
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias(
+            "top_gram_frac"
+        ),
+        F.round(F.count("*").cast("double") / F.sum("cnt"), 6).alias(
+            "distinct_gram_frac"
+        ),
+    )
