@@ -112,3 +112,19 @@ def test_simhash_jvm_no_python_and_finds_dups(spark, sf_dir):
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """A 5-node chain (worst-case diameter), a 2-node pair, and two
+    isolated nodes — every node must map to the smallest id reachable,
+    across partitions."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id long").repartition(4)
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (5, 6), (7, 8)], "src long, dst long"
+    ).repartition(3)
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_ops.connected_components(nodes, edges).collect()
+    }
+    want = {(1, 1), (2, 2), (3, 2), (4, 2), (5, 2), (6, 2), (7, 7), (8, 7), (9, 9)}
+    assert got == want

@@ -320,3 +320,71 @@ def simhash_fingerprints_jvm(
     )
     simhash = hi_signed * F.lit(1 << 32).cast("long") + lo
     return docs.select(F.col(id_col), simhash.alias("simhash"))
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    cluster-assignment step every dedup pipeline runs AFTER pair
+    generation (pairs → groups → one canonical doc per group).
+
+    Each round: every node takes the minimum component label among
+    itself and its neighbors; stop when nothing changes. Converges in
+    O(max cluster diameter) rounds — near-dup clusters are shallow
+    (diameter ≤ a few hops), so this terminates in 2-4 rounds in
+    practice; `max_iter` bounds the pathological chain. Per round:
+    one join + one map-side-combined min aggregate, all distributed;
+    `localCheckpoint` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1. The label fixpoint is unique
+    (min id reachable), so the result is deterministic regardless of
+    iteration order — which is what makes it oracle-checkable against
+    a recursive-CTE ground truth.
+
+    Returns (id_col, cluster_id) for every node; cluster_id = the
+    smallest node id in the component."""
+    # materialize the DIRECTED edge list once, BEFORE symmetrizing —
+    # the union references `edges` twice, and without the checkpoint
+    # each reference (and then every propagation round) replays the
+    # possibly-expensive edge-generation plan (e.g. a blocked jaccard
+    # self-join) from scratch.
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).localCheckpoint(eager=True)
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nb = (
+            sym.join(labels, sym["u"] == labels["node"])
+            .groupBy("v")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        new = (
+            labels.join(nb, labels["node"] == nb["v"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nb_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("comp").alias("cluster_id")
+    )

@@ -415,3 +415,79 @@ def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_gram_frac"
         ),
     )
+
+
+_JACC = (
+    "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+    " / (len(a.shingles) + len(b.shingles)"
+    " - len(list_intersect(a.shingles, b.shingles)))"
+)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE
+fp AS (SELECT doc_id, {_FP} AS f FROM documents),
+fpe AS (SELECT f, MIN(doc_id) AS root FROM fp GROUP BY f),
+e1 AS (SELECT fp.doc_id AS u, fpe.root AS v
+       FROM fp JOIN fpe USING (f) WHERE fp.doc_id <> fpe.root),
+sh AS MATERIALIZED (
+  SELECT doc_id, lang, {_SHINGLES} AS shingles
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+),
+e2 AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE {_JACC} >= 0.3
+),
+edges AS MATERIALIZED (
+  SELECT u, v FROM e1 UNION SELECT v, u FROM e1
+  UNION SELECT u, v FROM e2 UNION SELECT v, u FROM e2
+),
+cc AS (
+  SELECT doc_id AS node, doc_id AS comp FROM documents
+  UNION
+  SELECT e.v AS node, cc.comp FROM cc JOIN edges e ON cc.node = e.u
+  WHERE cc.comp < e.v
+)
+SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+FROM cc GROUP BY node
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup cluster assignment: exact-dup edges (doc →
+    fingerprint-group root, a star per clique — linear, connectivity-
+    equivalent to all pairs) UNION near-dup edges (lang-blocked
+    3-gram jaccard ≥ 0.3), then distributed connected components
+    (operators/dedup.connected_components, iterative min-label
+    propagation). cluster_id = smallest doc_id in the component — the
+    canonical document every pipeline keeps. The DuckDB oracle is a
+    recursive CTE over the SAME edge set, so the iterative fixpoint
+    is value-checked, not just row-counted."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    from vfs_spark.operators.dedup import connected_components
+
+    fp = docs.select("doc_id", fingerprint("text").alias("f"))
+    roots = fp.groupBy("f").agg(F.min("doc_id").alias("root"))
+    e1 = (
+        fp.join(roots, "f")
+        .where(F.col("doc_id") != F.col("root"))
+        .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
+    )
+    sh = docs.select("doc_id", "lang", word_shingles("text").alias("shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    j = jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    e2 = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(j >= 0.3)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    cc = connected_components(
+        docs.select("doc_id"), e1.union(e2), id_col="doc_id"
+    )
+    return cc.select("doc_id", F.col("cluster_id").cast("bigint"))
