@@ -110,3 +110,37 @@ def test_ivf_partitioned_store_prunes(spark, emb, qvec, tmp_path):
     assert m and "cluster_id" in m.group(1), plan
     mem = ann_ops.ivf_search(km, assigned, qvec, k=5, nprobe=2)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem.collect()]
+
+
+def test_ivf_batch_matches_single_query_path(spark, sf_dir):
+    """Batch IVF must return, for each query, exactly what the
+    single-query IVF path returns (same model, same nprobe), and
+    recall vs exact must stay high."""
+    from pyspark.sql import functions as F
+    from vfs_spark.operators import ann as ann_ops
+    from vfs_spark.operators.knn import exact_knn
+    from vfs_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=16)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    batch = ann_ops.ivf_search_batch(km, assigned, queries, k=5, nprobe=4)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["dist"]))
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid in by_q:
+        qvec = emb.where(F.col("vec_id") == qid).first()["embedding"]
+        single = [
+            (r["vec_id"], r["dist"])
+            for r in ann_ops.ivf_search(km, assigned, qvec, k=5, nprobe=4).collect()
+        ]
+        assert by_q[qid] == single
+        exact = exact_knn(emb, qvec, k=5)
+        rec = ann_ops.recall_at_k(
+            batch.where(F.col("query_id") == qid).select("vec_id"), exact
+        )
+        assert rec >= 0.6, (qid, rec)

@@ -14,6 +14,7 @@ import __spark_entry__ as entry
 ROWS_ONLY_ALLOWED = {
     "approx_knn",  # LSH candidate set
     "ann_ivf",  # cluster-probe candidate set
+    "ann_ivf_batch",  # cluster-probe candidate set (batch form)
     "similarity_join",  # LSH candidate set
     "dedup_minhash",  # xxhash64 hash family (native default)
     "dedup_minhash_mllib",  # MLlib MinHashLSH hash family (comparison)

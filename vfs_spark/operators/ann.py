@@ -168,6 +168,64 @@ def ivf_search(
     )
 
 
+def ivf_search_batch(
+    km_model,
+    assigned_df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch IVF: route EVERY query to its nprobe nearest clusters in
+    one driver-side pass over the (tiny) centroid table, then ONE scan
+    of only the union of routed clusters, broadcast-joined against the
+    (query, cluster) routing table so each candidate row is scored
+    only against the queries routed to its cluster. Per-query top-k
+    via rank window.
+
+    Scale shape: with the cluster-partitioned store the IN-filter
+    prunes to |∪ routed clusters| partitions; the broadcast side is
+    |queries|·nprobe rows; the window shuffles only scored candidates
+    (n·nprobe/n_clusters·|overlapping queries|), never the collection.
+    This is the serving path for query BATCHES — `ivf_search` is the
+    single-query form (rank.rs:189-268's batch analogue)."""
+    import numpy as np
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return ivf_search(km_model, assigned_df, [0.0], k=k, nprobe=0, id_col=id_col).limit(0)
+    centers = np.stack([np.asarray(c) for c in km_model.clusterCenters()])
+    routing = []
+    for r in qrows:
+        q = np.asarray(r[1], dtype=float)
+        for c in np.argsort(((centers - q) ** 2).sum(axis=1))[:nprobe]:
+            routing.append((int(r[0]), int(c), [float(x) for x in r[1]]))
+    spark = assigned_df.sparkSession
+    route_df = spark.createDataFrame(
+        routing, f"{query_id_col} long, cluster_id int, {query_vec_col} array<double>"
+    )
+    needed = sorted({c for _, c, _ in routing})
+    cand = assigned_df.where(F.col("cluster_id").isin(needed))
+    scored = cand.join(F.broadcast(route_df), "cluster_id").select(
+        query_id_col,
+        id_col,
+        F.round(euclidean(vec_col, F.col(query_vec_col)), 6).alias("dist"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, id_col: str = "vec_id") -> float:
     """Recall of an approximate result set vs the exact top-k — the
     correctness criterion for ANN (SURVEY §5.2: assert recall, don't

@@ -274,3 +274,18 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("i").cast("int").alias("i"))
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
     )
+
+
+@query("ann_ivf_batch")  # rows-only: cluster-probe candidate set; recall-gated
+def q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF serving: 5 query vectors routed to their nprobe=4
+    nearest of 16 clusters, one pruned scan + broadcast routing join,
+    per-query exact top-5 within the probed cells. The many-queries
+    form of ann_ivf (recall vs exact gated in tests/test_ann.py)."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=16)
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    return ann_ops.ivf_search_batch(km, assigned, queries_df, k=5, nprobe=4)
