@@ -156,3 +156,29 @@ def test_enrich_stream_matches_batch(spark, sf_dir):
     assert sorted(tuple(r) for r in got.select("event_id", "c_mktsegment").collect()) == sorted(
         tuple(r) for r in want.select("event_id", "c_mktsegment").collect()
     )
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir):
+    """The stream-stream interval join must produce exactly the pairs
+    the oracle-checked batch range join produces (both sides of the
+    fixture fit inside the watermark, so no pair is dropped as late)."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    stream = ingest.read_event_stream(spark, sf_dir)
+    out = ingest.stream_stream_attribution(stream, window_s=3600, watermark="365 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("attr_stream_test").collect()}
+    want = {
+        tuple(r)
+        for r in QUERIES["range_join_view_attribution"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0

@@ -144,6 +144,48 @@ def stream_append_ivf(
     )
 
 
+def stream_stream_attribution(
+    events: DataFrame,
+    window_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the views in
+    the preceding `window_s` seconds per user — the STREAMING twin of
+    the batch `range_join_view_attribution` query, whose DuckDB oracle
+    therefore value-checks these join semantics.
+
+    Both sides carry watermarks and the join condition bounds view_ts
+    to [purchase_ts - window, purchase_ts], so Spark can derive state
+    retention for each side: a buffered view is dropped once the
+    purchase-side watermark passes view_ts + window. Without the time
+    bound the state store would grow forever — the interval condition
+    is what makes a stream-stream join feasible at all."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (views["user_id"] == purchases["user_id"])
+        & (views["v_ts"] >= purchases["p_ts"] - F.expr(f"INTERVAL {window_s} SECONDS"))
+        & (views["v_ts"] <= purchases["p_ts"])
+    )
+    return purchases.join(views, cond).select("purchase_id", "view_id")
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static enrichment join: each micro-batch hash-joins the
     (small, broadcast) static dimension — the streaming twin of the
