@@ -928,3 +928,46 @@ def q_range_join_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         window_s=3600,
     )
     return pairs.select("purchase_id", "view_id")
+
+
+@query(
+    "agg_time_bucket_cascade",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_agg_time_bucket_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: minute-grain
+    aggregates first, hourly rolled up FROM the minute rows — the
+    materialized-rollup pattern where coarser grains never rescan raw
+    events (at 100 TB the minute table is ~4 orders of magnitude
+    smaller than the event stream; hourly/daily re-aggregation reads
+    that, not the source). count and sum re-aggregate losslessly;
+    sums run in DECIMAL(18,6) — exact, associative — so the cascade
+    equals a direct hourly aggregate bit-for-bit (a DOUBLE sum would
+    differ from the oracle in reassociation; the final value converts
+    to DOUBLE once). The oracle computes the DIRECT hourly aggregate:
+    passing proves cascade ≡ direct."""
+    ev = _t(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.window("ts", "1 minute").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+    )
+    hourly = minute.groupBy(
+        F.window(F.col("w.start"), "1 hour").alias("h"), "event_type"
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("s").alias("s2"),
+    )
+    return hourly.select(
+        F.date_format("h.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n_events",
+        F.col("s2").cast("double").alias("sum_value"),
+    )
