@@ -115,3 +115,36 @@ def test_clustered_write_prunes_row_groups(spark, tmp_path):
     f_scattered = row_group_prunable_fraction(scattered, "id", lo, hi)
     assert f_clustered <= 0.15, f_clustered  # touch ~1 group out of many
     assert f_scattered >= 0.8, f_scattered  # control: no clustering, no pruning
+
+
+def test_zorder_write_prunes_both_columns(spark, tmp_path):
+    """Z-ordering on (x, y) must keep row-group stats narrow on BOTH
+    columns: a range predicate on y prunes most groups, where an
+    x-sorted layout prunes nothing on y (and vice versa stays decent
+    on x). Measured from Parquet footer stats."""
+    from vfs_spark.sources.parquet import (
+        row_group_prunable_fraction,
+        write_clustered,
+        write_zordered,
+    )
+
+    n = 1 << 10  # x, y uniform in [0, 1024)
+    df = spark.range(0, 100_000).select(
+        (F.col("id") % n).alias("x"),
+        F.floor(F.rand(seed=3) * n).cast("long").alias("y"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).alias("pad"),
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, "x", "y", bits=10, n_files=8, row_group_bytes=256 * 1024)
+    xpath = str(tmp_path / "xsort")
+    write_clustered(df, xpath, "x", n_files=8, row_group_bytes=256 * 1024)
+
+    y_lo, y_hi = 500, 509  # ~1% of y space
+    z_frac_y = row_group_prunable_fraction(zpath, "y", y_lo, y_hi)
+    x_frac_y = row_group_prunable_fraction(xpath, "y", y_lo, y_hi)
+    assert z_frac_y <= 0.5, z_frac_y  # z-order: narrow y per group
+    assert x_frac_y >= 0.9, x_frac_y  # x-sort: y unconstrained
+
+    x_lo, x_hi = 500, 509
+    z_frac_x = row_group_prunable_fraction(zpath, "x", x_lo, x_hi)
+    assert z_frac_x <= 0.5, z_frac_x  # z-order still prunes on x too
