@@ -142,6 +142,7 @@ def main() -> None:
         "funnel_view_purchase",
         "multimodal_embed",
         "multimodal_frame_sample",
+        "multimodal_resize",
         "join_min_cost_supplier",
         "agg_grouping_sets",
         "text_repetition_score",

@@ -72,3 +72,26 @@ def test_audio_stub_raises(spark):
     )
     with pytest.raises(Exception, match="audio decode"):
         multimodal.decode_audio(media).collect()
+
+
+def test_resize_blocks_hand_computed(spark):
+    """2×2 grid → 1×1: the single cell must be the exact mean of the
+    four payload bytes; short payloads zero-pad."""
+    from vfs_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray([10, 20, 30, 40])), (2, bytearray([100]))],
+        "media_id long, payload binary",
+    )
+    media = df.select(
+        "media_id",
+        F.col("payload"),
+        F.lit("image").alias("media_type"),
+        F.create_map().alias("meta"),
+    )
+    got = {
+        r["media_id"]: r["gray"]
+        for r in multimodal.resize_blocks(media, src=(2, 2), dst=(1, 1)).collect()
+    }
+    assert got[1] == 25.0  # (10+20+30+40)/4
+    assert got[2] == 25.0  # (100+0+0+0)/4 zero-padded

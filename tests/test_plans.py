@@ -136,3 +136,33 @@ def test_range_join_is_equi_join(spark, sf_dir):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_grouping_sets_expand_single_scan(spark, sf_dir):
+    """GROUPING SETS must plan as one scan + map-side Expand, like
+    rollup/cube — not one scan per set."""
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.plan_tree(QUERIES["agg_grouping_sets"](spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 2  # orders + customer, once each
+
+
+def test_min_cost_supplier_broadcasts_dims(spark, sf_dir):
+    """The Q2 analogue: supplier/nation/region and part are broadcast
+    dims; no cartesian anywhere; the rank window rides a partkey
+    shuffle (no per-part subquery rescan)."""
+    from vfs_spark.queries.registry import QUERIES
+
+    df = QUERIES["join_min_cost_supplier"](spark, sf_dir)
+    ex.assert_broadcast_join(df)
+    ex.assert_no_cartesian(df)
+
+
+def test_time_bucket_cascade_two_aggregates_one_scan(spark, sf_dir):
+    """The cascade reads raw events ONCE (minute grain), then
+    re-aggregates the minute rows — two HashAggregate pairs, one scan."""
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.plan_tree(QUERIES["agg_time_bucket_cascade"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1

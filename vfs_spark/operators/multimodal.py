@@ -158,6 +158,63 @@ def decode_audio(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
     return media.mapInPandas(kernel, schema=out_schema)
 
 
+def resize_blocks(
+    media: DataFrame, src: tuple[int, int] = (32, 32), dst: tuple[int, int] = (8, 8)
+) -> DataFrame:
+    """Deterministic image-resize kernel over a FAKE decode: the first
+    src_h·src_w payload bytes (zero-padded) stand in for a grayscale
+    pixel grid, and the kernel block-means it down to dst — the exact
+    computation shape of average-pool resize, vectorized in NumPy over
+    Arrow batches. Swap the byte-grid line for a real decoder's pixel
+    matrix and nothing else changes (schema, batching, partition
+    sizing are the deliverable; the arithmetic is already real).
+
+    Output is EXPLODED (media_id, ci, cj, gray) rows — hashable by the
+    driver, and (for ASCII payloads) reproducible in SQL from
+    ascii(substr(text, ...)), so this kernel is fully oracle-checked
+    unlike a NotImplementedError stub."""
+    import numpy as np
+
+    sh, sw = src
+    dh, dw = dst
+    if sh % dh or sw % dw:
+        raise ValueError(f"dst {dst} must divide src {src}")
+    bh, bw = sh // dh, sw // dw
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("ci", T.IntegerType(), True),
+            T.StructField("cj", T.IntegerType(), True),
+            T.StructField("gray", T.DoubleType(), True),
+        ]
+    )
+    npix = sh * sw
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ci = np.repeat(np.arange(dh, dtype=np.int32), dw)
+        cj = np.tile(np.arange(dw, dtype=np.int32), dh)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            grids = np.zeros((len(pdf), npix), dtype=np.float64)
+            for i, b in enumerate(pdf["payload"]):
+                if b is None:
+                    continue
+                raw = np.frombuffer(bytes(b[:npix]), dtype=np.uint8)
+                grids[i, : len(raw)] = raw
+            g = grids.reshape(len(pdf), dh, bh, dw, bw).mean(axis=(2, 4))
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), dh * dw),
+                    "ci": np.tile(ci, len(pdf)),
+                    "cj": np.tile(cj, len(pdf)),
+                    "gray": np.round(g.reshape(len(pdf), -1).ravel(), 6),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=out_schema)
+
+
 def frame_sample(media: DataFrame, every_k: int = 10) -> DataFrame:
     """Video frame sampling WITHOUT decoding: expand every k-th frame
     index from the typed metadata (meta['n_frames']) — pure Catalyst

@@ -289,3 +289,32 @@ def q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("query_vec"),
     )
     return ann_ops.ivf_search_batch(km, assigned, queries_df, k=5, nprobe=4)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+WITH px AS (
+  SELECT doc_id,
+         CAST((p // 32) // 4 AS INTEGER) AS ci,
+         CAST((p % 32) // 4 AS INTEGER) AS cj,
+         CASE WHEN p + 1 <= strlen(text)
+              THEN ascii(substr(text, CAST(p + 1 AS INTEGER), 1))
+              ELSE 0 END AS v
+  FROM documents CROSS JOIN (SELECT unnest(range(0, 1024)) AS p)
+)
+SELECT doc_id AS media_id, ci, cj, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS gray
+FROM px GROUP BY doc_id, ci, cj
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-pool resize of a fake-decoded 32×32 byte grid to 8×8 —
+    the real arithmetic of an image thumbnail stage, NumPy-vectorized
+    per Arrow batch (operators/multimodal.resize_blocks). ASCII
+    payload bytes double as pixel values, so DuckDB reproduces every
+    cell from ascii(substr(...)): a fully value-checked media kernel.
+    Each cell mean is an exact small-int sum / 16 — bit-identical
+    across engines."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    media = multimodal.as_media(docs, "doc_id", F.encode(F.col("text"), "utf-8"))
+    return multimodal.resize_blocks(media, src=(32, 32), dst=(8, 8))
