@@ -137,3 +137,25 @@ def test_approx_search_reuses_index_until_insert(spark, tmp_path):
     assert not e._lsh_cache  # invalidated
     hits = e.search([2.5, 0.0, 0.0, 0.0], top_k=1, search_type="approx").collect()
     assert hits[0]["id"] == new_ids[0]  # new vector is searchable
+
+
+def test_ivf_search_and_snapshot_roundtrip(spark, tmp_path):
+    """search_type='ivf' fits the KMeans quantizer once, reuses it,
+    and the fitted model survives snapshot→restore (the KMeans half of
+    the index-persistence story; LSH half tested above)."""
+    e = VFSEngine(spark, str(tmp_path / "store"))
+    e.init(vector_dimension=4)
+    e.insert([[float(i % 7), float(i % 3), 0.0, 0.0] for i in range(40)])
+    before = e.search([2.0, 1.0, 0.0, 0.0], top_k=3, search_type="ivf").collect()
+    assert e._ivf_cache is not None
+    km_a = e._ivf_cache[0]
+    e.search([5.0, 2.0, 0.0, 0.0], top_k=3, search_type="ivf").collect()
+    assert e._ivf_cache[0] is km_a  # reused, not refit
+    e.snapshot("ivf_snap")
+
+    e2 = VFSEngine(spark, str(tmp_path / "store"))
+    e2.init(vector_dimension=4)
+    e2.restore("ivf_snap")
+    assert e2._ivf_cache is not None  # model reloaded, not refit
+    after = e2.search([2.0, 1.0, 0.0, 0.0], top_k=3, search_type="ivf").collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]

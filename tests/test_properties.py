@@ -77,3 +77,78 @@ def test_simhash_deterministic_and_order_sensitive(spark, words):
     # token-multiset invariance: shuffled token order hashes equal
     toks = text.lower().split()
     assert _simhash64(" ".join(reversed(toks))) == _simhash64(" ".join(toks))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 15), st.integers(1, 15)), max_size=20
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed min-label propagation must agree with a plain
+    union-find on arbitrary small graphs (self-loops and duplicate
+    edges included)."""
+    from vfs_spark.operators.dedup import connected_components
+
+    nodes = list(range(1, 16))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {n: find(n) for n in nodes}
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    edf = spark.createDataFrame(edges or [(1, 1)], "src long, dst long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(ndf, edf).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lts=st.lists(st.integers(0, 500), min_size=1, max_size=6),
+    rts=st.lists(st.integers(0, 500), min_size=1, max_size=10),
+    window=st.integers(1, 120),
+)
+def test_interval_join_matches_bruteforce(spark, lts, rts, window):
+    """Bucketed interval join ≡ brute-force filter over the cross
+    product, for arbitrary second-offset timestamps and window sizes
+    (bucket boundaries land anywhere relative to the pairs)."""
+    import datetime as dt
+
+    from vfs_spark.operators.rangejoin import interval_join_bucketed
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, i, base + dt.timedelta(seconds=s)) for i, s in enumerate(lts)],
+        "user_id long, lid long, l_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 100 + i, base + dt.timedelta(seconds=s)) for i, s in enumerate(rts)],
+        "user_id long, rid long, r_ts timestamp",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join_bucketed(
+            left, right, on=["user_id"], left_ts="l_ts", right_ts="r_ts",
+            window_s=window,
+        ).collect()
+    }
+    want = {
+        (i, 100 + j)
+        for i, ls in enumerate(lts)
+        for j, rs in enumerate(rts)
+        if ls - window <= rs <= ls
+    }
+    assert got == want

@@ -34,11 +34,12 @@ class VFSEngine:
         self.storage_dir = storage_dir
         self.vector_dimension: int | None = None
         self.quantize_on_write = False
-        # fitted ANN index, keyed by distance metric; invalidated on
-        # insert/restore. Fit-once-query-many is the whole point of
-        # the Spark design (SURVEY Q3) — rebuilding per search call
-        # would be the reference's anti-pattern.
+        # fitted ANN indexes (LSH keyed by distance metric; one IVF),
+        # invalidated on insert/restore. Fit-once-query-many is the
+        # whole point of the Spark design (SURVEY Q3) — rebuilding per
+        # search call would be the reference's anti-pattern.
         self._lsh_cache: dict[str, tuple] = {}
+        self._ivf_cache: tuple | None = None
 
     # -- /init (tcp.rs:270-299) -------------------------------------------
     def init(
@@ -101,6 +102,9 @@ class VFSEngine:
         for _, vdf in self._lsh_cache.values():
             vdf.unpersist()
         self._lsh_cache.clear()
+        if self._ivf_cache is not None:
+            self._ivf_cache[1].unpersist()
+            self._ivf_cache = None
 
     def _flush(self, df: DataFrame) -> None:
         """Memtable flush analogue (storage_manager.rs:139-162):
@@ -152,6 +156,18 @@ class VFSEngine:
                 vecs, query, k=top_k, metric=distance_method, id_col="id",
                 vec_col="embedding",
             )
+        if search_type == "ivf":
+            from vfs_spark.operators.ann import build_ivf_index, ivf_search
+
+            cached = self._ivf_cache
+            if cached is None:
+                km, assigned = build_ivf_index(vecs, vec_col="embedding")
+                assigned = assigned.cache()
+                assigned.count()
+                self._ivf_cache = cached = (km, assigned)
+            km, assigned = cached
+            return ivf_search(km, assigned, query, k=top_k, id_col="id",
+                              vec_col="embedding")
         from vfs_spark.operators.ann import approx_knn, build_lsh_index
 
         cached = self._lsh_cache.get(distance_method)
@@ -207,6 +223,10 @@ class VFSEngine:
             model.write().overwrite().save(
                 os.path.join(dest, "index", f"lsh_{metric}")
             )
+        if self._ivf_cache is not None:
+            self._ivf_cache[0].write().overwrite().save(
+                os.path.join(dest, "index", "ivf_kmeans")
+            )
         return dest
 
     def restore(self, name: str = "snapshot") -> None:
@@ -230,14 +250,24 @@ class VFSEngine:
             from vfs_spark.operators.ann import _to_vector_df
 
             for entry in sorted(os.listdir(index_dir)):
-                if not entry.startswith("lsh_"):
-                    continue
-                metric = entry[len("lsh_"):]
-                model = BucketedRandomProjectionLSHModel.load(
-                    os.path.join(index_dir, entry)
-                )
-                vdf = _to_vector_df(
-                    self.vectors(), "embedding", normalize=(metric == "cosine")
-                ).cache()
-                vdf.count()
-                self._lsh_cache[metric] = (model, vdf)
+                if entry.startswith("lsh_"):
+                    metric = entry[len("lsh_"):]
+                    model = BucketedRandomProjectionLSHModel.load(
+                        os.path.join(index_dir, entry)
+                    )
+                    vdf = _to_vector_df(
+                        self.vectors(), "embedding", normalize=(metric == "cosine")
+                    ).cache()
+                    vdf.count()
+                    self._lsh_cache[metric] = (model, vdf)
+                elif entry == "ivf_kmeans":
+                    from pyspark.ml.clustering import KMeansModel
+
+                    km = KMeansModel.load(os.path.join(index_dir, entry))
+                    assigned = (
+                        km.transform(_to_vector_df(self.vectors(), "embedding"))
+                        .withColumnRenamed("prediction", "cluster_id")
+                        .cache()
+                    )
+                    assigned.count()
+                    self._ivf_cache = (km, assigned)
