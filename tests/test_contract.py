@@ -18,6 +18,7 @@ ROWS_ONLY_ALLOWED = {
     "similarity_join",  # LSH candidate set
     "dedup_minhash",  # xxhash64 hash family (native default)
     "dedup_minhash_mllib",  # MLlib MinHashLSH hash family (comparison)
+    "dedup_clusters_banded",  # MinHash candidate edges (production twin of dedup_clusters)
     "dedup_simhash",  # md5 hash family
     "dedup_simhash_jvm",  # xxhash64 hash family
     "agg_approx_distinct",  # HLL sketch

@@ -128,3 +128,27 @@ def test_connected_components_chain_and_isolates(spark):
     }
     want = {(1, 1), (2, 2), (3, 2), (4, 2), (5, 2), (6, 2), (7, 7), (8, 7), (9, 9)}
     assert got == want
+
+
+def test_banded_clusters_group_exact_dups(spark, sf_dir):
+    """Production clustering (banded MinHash edges): every exact-dup
+    pair (same fingerprint) must land in the same cluster, and
+    cluster_id is always the smallest doc_id of its cluster."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.functions.text import fingerprint
+    from vfs_spark.queries.registry import QUERIES
+
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["dedup_clusters_banded"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    by_fp = {}
+    for r in docs.select("doc_id", fingerprint("text").alias("f")).collect():
+        by_fp.setdefault(r["f"], []).append(r["doc_id"])
+    dup_groups = [ids for ids in by_fp.values() if len(ids) > 1]
+    assert dup_groups, "fixture should contain exact dups"
+    for ids in dup_groups:
+        assert len({clusters[i] for i in ids}) == 1, ids
+    for doc, cid in clusters.items():
+        assert cid <= doc

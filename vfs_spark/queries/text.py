@@ -491,3 +491,33 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), e1.union(e2), id_col="doc_id"
     )
     return cc.select("doc_id", F.col("cluster_id").cast("bigint"))
+
+
+@query("dedup_clusters_banded")  # rows-only: MinHash candidate edges are hash-family-specific
+def q_dedup_clusters_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of dedup_clusters: same exact-dup star
+    edges, but near-dup edges from banded MinHash (sub-quadratic,
+    ~10× cheaper than the blocked jaccard self-join at sf0.1) feeding
+    the same connected_components. Candidate edges are verified
+    against exact jaccard inside minhash_native_pairs, so precision
+    is exact; recall is the LSH banding guarantee (tested). This is
+    the pair the 100 TB pipeline runs; dedup_clusters is its
+    oracle-checked twin."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    from vfs_spark.operators.dedup import (
+        connected_components,
+        minhash_native_pairs,
+    )
+
+    fp = docs.select("doc_id", fingerprint("text").alias("f"))
+    roots = fp.groupBy("f").agg(F.min("doc_id").alias("root"))
+    e1 = (
+        fp.join(roots, "f")
+        .where(F.col("doc_id") != F.col("root"))
+        .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
+    )
+    e2 = minhash_native_pairs(docs, jaccard_threshold=0.3).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(docs.select("doc_id"), e1.union(e2), id_col="doc_id")
+    return cc.select("doc_id", F.col("cluster_id").cast("bigint"))
