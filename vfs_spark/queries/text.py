@@ -521,3 +521,81 @@ def q_dedup_clusters_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(docs.select("doc_id"), e1.union(e2), id_col="doc_id")
     return cc.select("doc_id", F.col("cluster_id").cast("bigint"))
+
+
+@query(
+    "sample_stable_split",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+""",
+)
+def q_sample_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val split (90/10): the split a
+    doc lands in depends only on its BYTES, so it is stable across
+    runs, engines, repartitions, and re-ingests — the property random
+    sampling lacks and every leak-free training pipeline needs.
+    Pure projection (md5 prefix mod 100), no shuffle, no state."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.when(h % 100 < 90, "train").otherwise("val").alias("split"),
+    )
+
+
+@query(
+    "text_pack_blocks",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS n FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start
+  FROM t
+),
+b AS (
+  SELECT doc_id, unnest(range(start // 512, (start + n - 1) // 512 + 1)) AS block_id
+  FROM c
+)
+SELECT CAST(block_id AS BIGINT) AS block_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM b GROUP BY block_id
+""",
+)
+def q_text_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: lay the corpus token stream end-to-end in
+    doc_id order and cut fixed 512-token training blocks; emit which
+    docs each block draws from (a doc spanning a boundary appears in
+    both blocks) — the packing manifest an LLM pretraining loader
+    materializes. The running-offset window here is the oracle-parity
+    form; at 100 TB the offset comes from the two-pass per-partition
+    count + cumulative base (operators/ids.assign_dense_ids pattern)
+    and block assembly is embarrassingly parallel after it."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", token_count("text").alias("n"))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.withColumn("start", F.sum("n").over(w) - F.col("n"))
+    b = c.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.expr("start div 512"), F.expr("(start + n - 1) div 512")
+            )
+        ).alias("block_id"),
+    )
+    return b.groupBy("block_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
