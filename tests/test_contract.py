@@ -22,6 +22,7 @@ ROWS_ONLY_ALLOWED = {
     "dedup_simhash",  # md5 hash family
     "dedup_simhash_jvm",  # xxhash64 hash family
     "agg_approx_distinct",  # HLL sketch
+    "agg_approx_percentiles",  # t-digest sketch (tolerance-gated vs exact)
 }
 
 TABLES = (

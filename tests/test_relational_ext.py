@@ -134,3 +134,23 @@ def test_interval_join_bucketed_boundaries(spark):
         ).collect()
     }
     assert got == {20, 22, 24}
+
+
+def test_approx_percentiles_within_tolerance(spark, sf_dir):
+    """The t-digest form must track the exact percentiles within a
+    small relative error at fixture scale."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    exact = {
+        r["o_orderstatus"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["agg_percentiles"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["o_orderstatus"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["agg_approx_percentiles"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(a - e) / max(1.0, abs(e)) <= 0.05, (k, e, a)

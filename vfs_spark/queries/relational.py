@@ -971,3 +971,42 @@ def q_agg_time_bucket_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("s2").cast("double").alias("sum_value"),
     )
+
+
+@query("agg_approx_percentiles")  # rows-only: t-digest sketch != DuckDB's
+def q_agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-memory twin of agg_percentiles: approx_percentile
+    (mergeable sketch, map-side combinable) — the 100 TB path SCALE.md
+    documents for exact percentiles' full-value-shuffle. Accuracy
+    (1/accuracy = max rank error) is tolerance-gated against the exact
+    form in tests/test_relational_ext.py; the sketch is
+    engine-specific so there is no hash oracle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+    )
+
+
+@query(
+    "window_ntile_orders",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS quartile
+FROM orders
+""",
+)
+def q_window_ntile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-quartile bucketing per order status (ntile window) —
+    deterministic via the (price desc, key asc) tiebreak. Same
+    single-shuffle window shape as the other rank windows."""
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
