@@ -152,3 +152,13 @@ def test_banded_clusters_group_exact_dups(spark, sf_dir):
         assert len({clusters[i] for i in ids}) == 1, ids
     for doc, cid in clusters.items():
         assert cid <= doc
+
+
+def test_simhash_agg_fingerprints_equal_jvm(spark, sf_dir):
+    """The explode+groupBy fingerprint plan must produce bit-identical
+    simhashes to the in-row aggregate plan (same xxhash64 + per-bit-sum
+    math, different execution strategy)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"]: r["simhash"] for r in dedup_ops.simhash_fingerprints_jvm(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup_ops.simhash_fingerprints_agg(docs).collect()}
+    assert a == b

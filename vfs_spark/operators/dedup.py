@@ -145,9 +145,11 @@ def simhash_near_dup_pairs(
     ≥1 band, so an equi-join per band finds ALL such pairs with
     shuffle volume (bands·n) — never a cross join. Hamming is
     verified exactly on the candidates via bit_count(xor)."""
-    fingerprints = (
-        simhash_fingerprints_jvm if impl == "jvm" else simhash_fingerprints
-    )
+    fingerprints = {
+        "jvm": simhash_fingerprints_jvm,
+        "agg": simhash_fingerprints_agg,
+        "udf": simhash_fingerprints,
+    }[impl]
     fp = fingerprints(docs, id_col, text_col)
     n_bands = max_hamming + 1
     band_width = 64 // n_bands
@@ -320,6 +322,50 @@ def simhash_fingerprints_jvm(
     )
     simhash = hi_signed * F.lit(1 << 32).cast("long") + lo
     return docs.select(F.col(id_col), simhash.alias("simhash"))
+
+
+def simhash_fingerprints_agg(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Same fingerprint VALUES as simhash_fingerprints_jvm (identical
+    xxhash64 + per-bit-sum math — asserted in tests), different plan:
+    explode tokens → 64 conditional SUMs in a hash aggregate. The
+    in-row F.aggregate form runs INTERPRETED per token×64 (higher-order
+    functions sit outside codegen — the measured HOF tax, SCALE.md);
+    here the per-bit sums are codegen'd SUM aggregates with map-side
+    combine, so only 64 longs per doc shuffle. The explode multiplies
+    rows token-count× but stays in the scan stage."""
+    toks = F.split(F.lower(F.trim(text_col)), " ")
+    exploded = docs.select(
+        F.col(id_col), F.explode(toks).alias("_tok")
+    ).withColumn("_h", F.xxhash64("_tok"))
+    sums = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.getbit("_h", F.lit(b)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
+    )
+
+    def _half(lo_bit: int, n: int):
+        return sum(
+            (
+                F.when(F.col(f"s{lo_bit + i}") > 0, 1)
+                .otherwise(0)
+                .cast("long")
+                * F.lit(1 << i).cast("long")
+                for i in range(n)
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    lo = _half(0, 32)
+    hi_signed = _half(32, 31) - F.when(F.col("s63") > 0, 1).otherwise(0).cast(
+        "long"
+    ) * F.lit(1 << 31).cast("long")
+    simhash = hi_signed * F.lit(1 << 32).cast("long") + lo
+    return sums.select(F.col(id_col), simhash.alias("simhash"))
 
 
 def connected_components(
