@@ -599,3 +599,49 @@ def q_text_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+_SHINGLES5 = (
+    "list_distinct([array_to_string(toks[i:i+4], ' ') "
+    "for i in range(1, len(toks) - 3)])"
+)
+
+
+@query(
+    "decontaminate_against_eval",
+    oracle=f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_SHINGLES5}) AS g
+  FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id < 10)
+),
+cor AS (
+  SELECT doc_id, unnest({_SHINGLES5}) AS g
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id >= 10)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM cor JOIN ev USING (g)
+GROUP BY doc_id
+""",
+)
+def q_decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    distinct word 5-gram with the eval set (here: doc_id < 10 stands
+    in for the benchmark corpus), with the shared-shingle count as
+    evidence. The must-run hygiene pass of every pretraining pipeline.
+    Shape: the eval shingle set is tiny → broadcast; corpus shingles
+    explode in the scan stage; one map-side-combined count per doc.
+    The corpus never self-joins and never shuffles its text."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    ev = (
+        docs.where(F.col("doc_id") < 10)
+        .select(F.explode(word_shingles("text", 5)).alias("g"))
+        .distinct()
+    )
+    cor = docs.where(F.col("doc_id") >= 10).select(
+        "doc_id", F.explode(word_shingles("text", 5)).alias("g")
+    )
+    return (
+        cor.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
