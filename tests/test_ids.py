@@ -21,3 +21,30 @@ def test_start_offset(spark):
     df = spark.range(0, 5)
     out = assign_dense_ids(df, id_name="nid", start=100)
     assert sorted(r["nid"] for r in out.collect()) == [100, 101, 102, 103, 104]
+
+
+def test_running_offsets_match_global_window(spark, sf_dir):
+    """The two-pass range-partitioned running sum must equal the
+    single-partition global window form, row for row — the scale twin
+    of text_pack_blocks' offset computation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from vfs_spark.functions.text import token_count
+    from vfs_spark.operators.ids import running_offsets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select("doc_id", token_count("text").alias("n"))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["doc_id"]: r["start"]
+        for r in t.withColumn(
+            "start", (F.sum("n").over(w) - F.col("n")).cast("bigint")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["start"]
+        for r in running_offsets(t, "n", "doc_id").collect()
+    }
+    assert got == want

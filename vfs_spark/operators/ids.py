@@ -54,3 +54,43 @@ def assign_dense_ids(
         .withColumn(id_name, (offset_col + F.col("_local")).cast("bigint"))
         .drop("_pid", "_local")
     )
+
+
+def running_offsets(
+    df: DataFrame, n_col: str, order_col: str, start: int = 0
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``n_col`` in ``order_col`` order — the
+    scale form of `SUM(n) OVER (ORDER BY ...) - n`, which Catalyst
+    executes as a single-partition window. Strategy mirrors
+    assign_dense_ids' two-pass: range-partition on the order column
+    (range partition p holds smaller keys than p+1, so partition id
+    order IS key order), per-partition totals → driver prefix sums
+    (|partitions| integers), then a partition-local running-sum window
+    rides the SAME partitioning — no global sort, no single-reducer
+    stage. Used by the sequence-packing manifest (text_pack_blocks'
+    oracle-parity form uses the global window; equality asserted in
+    tests/test_ids.py)."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n_parts, F.col(order_col))
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    sums = {
+        r["_pid"]: r["s"]
+        for r in with_pid.groupBy("_pid").agg(F.sum(n_col).alias("s")).collect()
+    }
+    base, acc = {}, start
+    for p in sorted(sums):
+        base[p] = acc
+        acc += sums[p]
+    base_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in base.items() for x in kv]),
+        F.col("_pid"),
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return with_pid.withColumn(
+        "start",
+        (base_col + F.sum(n_col).over(w_local) - F.col(n_col)).cast("bigint"),
+    ).drop("_pid")
