@@ -1010,3 +1010,110 @@ def q_window_ntile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@query(
+    "agg_shipmode_priority",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+)
+def q_agg_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: conditional-count buckets (urgent vs other
+    order priority) per line status over a date slice. The CASE sums
+    fold into ONE pass of the join output — no per-bucket scans; the
+    shipdate range pushes to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "agg_promo_revenue_pct",
+    oracle="""
+SELECT CAST(ROUND(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+            / SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0) AS BIGINT)
+         AS promo_pct_e4
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-07-01'
+""",
+)
+def q_agg_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo revenue share. part is a broadcast dim;
+    one scan, one global aggregate of two conditional sums. The ratio
+    is reported in integer basis-point-of-percent units (e4): the two
+    SUM orders differ between engines, but at ~15 significant digits
+    the ratio of the two is stable well past the 4th decimal — and the
+    integer cast makes the compare exact."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_type").like("PROMO%")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(promo, rev).otherwise(0.0)) / F.sum(rev) * 10000,
+                0,
+            )
+            .cast("bigint")
+            .alias("promo_pct_e4")
+        )
+    )
+
+
+@query(
+    "fuzzy_join_names",
+    oracle="""
+SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 3
+""",
+)
+def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: supplier-name pairs within Levenshtein
+    distance 3, blocked by nation (the record-linkage sibling of the
+    text near-dup family — same blocked-join shape, edit distance
+    instead of jaccard; both engines evaluate levenshtein natively).
+    At 100 TB the blocking key bounds the quadratic term exactly like
+    lang-blocking does for dedup_ngram_jaccard."""
+    sup = _t(spark, sf_dir, "supplier")
+    a, b = sup.alias("a"), sup.alias("b")
+    d = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .select(
+            F.col("a.s_suppkey").alias("supp_a"),
+            F.col("b.s_suppkey").alias("supp_b"),
+            d.cast("int").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 3)
+    )
