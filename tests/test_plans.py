@@ -166,3 +166,16 @@ def test_time_bucket_cascade_two_aggregates_one_scan(spark, sf_dir):
 
     plan = ex.plan_tree(QUERIES["agg_time_bucket_cascade"](spark, sf_dir))
     assert plan.count("Scan parquet") == 1
+
+
+def test_disjunctive_predicate_reaches_both_scans(spark, sf_dir):
+    """Q19-shape: the OR-of-ANDs must decompose into per-table
+    residuals pushed to BOTH parquet scans (quantity disjunction →
+    lineitem, brand/size disjunction → part), not evaluate only
+    post-join."""
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.formatted_plan(QUERIES["agg_disjunctive_revenue"](spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed)
+    assert any("p_brand" in l and "Or(" in l for l in pushed)

@@ -1117,3 +1117,45 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= 3)
     )
+
+
+@query(
+    "agg_disjunctive_revenue",
+    oracle="""
+SELECT CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 0) AS BIGINT)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+""",
+)
+def q_agg_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: an OR of conjunctive (brand, size, quantity)
+    clauses across the join. Catalyst derives the per-table residuals
+    — the quantity disjunction (1-20 OR 10-35 → 1-35) reaches the
+    lineitem SCAN and the brand/size disjunction reaches the part
+    scan (CNF extraction), so neither side reads rows no clause could
+    accept; the full predicate re-applies after the broadcast join.
+    Plan-audited in tests/test_plans.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    return joined.where(c1 | c2).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0)
+        .cast("bigint")
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
