@@ -28,6 +28,64 @@ def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# Registry slugs timed by the headline suite (module-level so
+# tests/test_contract.py can assert none have drifted from queries()).
+BENCH_QUERIES = [
+    "exact_knn",
+    "exact_knn_quantized",
+    "dist_cosine",
+    "quantize_vec",
+    "agg_pricing_summary",
+    "join_order_revenue",
+    "join_region_revenue",
+    "window_topn_orders",
+    "agg_distinct_customers",
+    "event_window_counts",
+    "text_quality_score",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_minhash_mllib",
+    "dedup_simhash",
+    "dedup_simhash_jvm",
+    "multimodal_extract",
+    "knn_batch_bruteforce",
+    "similarity_join",
+    "asof_join_events",
+    "sessionize_events",
+    "agg_rollup_revenue",
+    "agg_cube_status_priority",
+    "agg_percentiles",
+    "agg_revenue_filter",
+    "agg_having_customers",
+    "agg_approx_distinct",
+    "join_left_order_counts",
+    "sql_exists_customers",
+    "pivot_event_values",
+    "text_token_bpe",
+    "text_rolling_fingerprint",
+    "text_bigram_top",
+    "funnel_view_purchase",
+    "multimodal_embed",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "join_min_cost_supplier",
+    "agg_grouping_sets",
+    "text_repetition_score",
+    "embedding_centroid",
+    "range_join_view_attribution",
+    "agg_time_bucket_cascade",
+    "agg_shipmode_priority",
+    "agg_promo_revenue_pct",
+    "agg_disjunctive_revenue",
+    "fuzzy_join_names",
+    "decontaminate_against_eval",
+    "sample_stable_split",
+    "text_pack_blocks",
+    "window_ntile_orders",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from vfs_spark.session import get_spark
@@ -104,51 +162,7 @@ def main() -> None:
 
     timed("exact_knn_numpy_udf", knn_numpy)
 
-    registry_bench = [
-        "exact_knn",
-        "exact_knn_quantized",
-        "dist_cosine",
-        "quantize_vec",
-        "agg_pricing_summary",
-        "join_order_revenue",
-        "join_region_revenue",
-        "window_topn_orders",
-        "agg_distinct_customers",
-        "event_window_counts",
-        "text_quality_score",
-        "text_fingerprint",
-        "dedup_exact",
-        "dedup_minhash",
-        "dedup_minhash_mllib",
-        "dedup_simhash",
-        "dedup_simhash_jvm",
-        "multimodal_extract",
-        "knn_batch_bruteforce",
-        "similarity_join",
-        "asof_join_events",
-        "sessionize_events",
-        "agg_rollup_revenue",
-        "agg_cube_status_priority",
-        "agg_percentiles",
-        "agg_revenue_filter",
-        "agg_having_customers",
-        "agg_approx_distinct",
-        "join_left_order_counts",
-        "sql_exists_customers",
-        "pivot_event_values",
-        "text_token_bpe",
-        "text_rolling_fingerprint",
-        "text_bigram_top",
-        "funnel_view_purchase",
-        "multimodal_embed",
-        "multimodal_frame_sample",
-        "multimodal_resize",
-        "join_min_cost_supplier",
-        "agg_grouping_sets",
-        "text_repetition_score",
-        "embedding_centroid",
-        "range_join_view_attribution",
-    ]
+    registry_bench = BENCH_QUERIES
     for name in registry_bench:
         timed(name, lambda n=name: _run(QUERIES[n](spark, sf_dir)))
 

@@ -60,3 +60,13 @@ def test_entry_module_shape():
     assert len(q) >= 50
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and s.strip() for s in entry.oracle_sql().values())
+
+
+def test_bench_queries_are_registered():
+    """bench.py times registry slugs by name — a rename there without
+    a bench update would crash the driver's per-round benchmark."""
+    import bench
+
+    q = entry.queries()
+    missing = [n for n in bench.BENCH_QUERIES if n not in q]
+    assert not missing, missing
