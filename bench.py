@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "sample_stable_split",
     "text_pack_blocks",
     "window_ntile_orders",
+    "pipeline_quality_filter",
 ]
 
 

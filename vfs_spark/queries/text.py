@@ -645,3 +645,51 @@ def q_decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
+
+
+_LANG_CASE = (
+    "CASE "
+    "WHEN list_contains(" + _TOKS + ", 'el') OR list_contains(" + _TOKS + ", 'la') THEN 'es' "
+    "WHEN list_contains(" + _TOKS + ", 'der') OR list_contains(" + _TOKS + ", 'das') THEN 'de' "
+    "WHEN list_contains(" + _TOKS + ", 'le') OR list_contains(" + _TOKS + ", 'une') THEN 'fr' "
+    "WHEN list_contains(" + _TOKS + ", 'the') OR list_contains(" + _TOKS + ", 'and') THEN 'en' "
+    "ELSE 'unk' END"
+)
+
+
+@query(
+    "pipeline_quality_filter",
+    oracle=f"""
+SELECT doc_id,
+       CASE
+         WHEN ({_LANG_CASE}) = 'unk' THEN 'lang'
+         WHEN len({_TOKS}) < 20 THEN 'too_short'
+         WHEN CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) < 0.3
+           THEN 'repetitive'
+         WHEN CAST(n_chars AS DOUBLE) / len({_TOKS}) > 12 THEN 'gibberish'
+         ELSE 'keep'
+       END AS verdict
+FROM documents
+""",
+)
+def q_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop gate a pretraining pipeline actually
+    ships: language known, length floor, lexical-diversity floor,
+    chars-per-token ceiling — evaluated in rule order so the verdict
+    names the FIRST failing rule (the triage signal reviewers want).
+    One projection over the scan; each ratio is a single exact
+    integer/integer division, so the thresholds compare identically
+    across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    cpt = F.col("n_chars").cast("double") / n
+    verdict = (
+        F.when(lang_id("text") == "unk", "lang")
+        .when(n < 20, "too_short")
+        .when(distinct_ratio < 0.3, "repetitive")
+        .when(cpt > 12, "gibberish")
+        .otherwise("keep")
+    )
+    return docs.select("doc_id", verdict.alias("verdict"))
