@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "text_pack_blocks",
     "window_ntile_orders",
     "pipeline_quality_filter",
+    "sample_token_mixture",
 ]
 
 

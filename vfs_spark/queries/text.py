@@ -693,3 +693,62 @@ def q_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
     )
     return docs.select("doc_id", verdict.alias("verdict"))
+
+
+@query(
+    "sample_token_mixture",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, len({_TOKS}) AS n,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1000000 AS h
+  FROM documents
+),
+tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS src_tokens FROM tok GROUP BY source),
+gt AS (SELECT CAST(SUM(src_tokens) AS DOUBLE) / COUNT(*) AS target FROM tot),
+cut AS (
+  SELECT source,
+         LEAST(CAST(1000000 AS BIGINT),
+               CAST(ROUND(1000000.0 * (SELECT target FROM gt) / src_tokens, 0)
+                    AS BIGINT)) AS cutoff
+  FROM tot
+)
+SELECT t.doc_id, t.source
+FROM tok t JOIN cut c USING (source)
+WHERE t.h < c.cutoff
+""",
+)
+def q_sample_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: rebalance the corpus toward a UNIFORM token budget
+    per source — over-represented sources are down-sampled to
+    total_tokens/n_sources, under-represented ones keep everything.
+    Selection is the content-hash threshold (md5 mod 1e6 under the
+    per-source cutoff), so the sample is deterministic and stable
+    across runs/engines — the mixture-weights pass of a pretraining
+    pipeline, with per-source keep rates derived IN-QUERY from the
+    actual token counts. Two tiny aggregates broadcast back over one
+    corpus scan; no shuffle of document text."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n"),
+        (F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 1000000).alias("h"),
+    )
+    tot = tok.groupBy("source").agg(F.sum("n").cast("bigint").alias("src_tokens"))
+    gt = tot.agg(
+        (F.sum("src_tokens").cast("double") / F.count("*")).alias("target")
+    )
+    cut = tot.crossJoin(F.broadcast(gt)).select(
+        "source",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.round(1000000.0 * F.col("target") / F.col("src_tokens"), 0).cast(
+                "bigint"
+            ),
+        ).alias("cutoff"),
+    )
+    return (
+        tok.join(F.broadcast(cut), "source")
+        .where(F.col("h") < F.col("cutoff"))
+        .select("doc_id", "source")
+    )
