@@ -179,3 +179,91 @@ def test_disjunctive_predicate_reaches_both_scans(spark, sf_dir):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("l_quantity" in l and "Or(" in l for l in pushed)
     assert any("p_brand" in l and "Or(" in l for l in pushed)
+
+
+def test_nation_volume_broadcasts_prefiltered_dims(spark, sf_dir):
+    """Q7-shape: the two-nation filter must reach the nation scan
+    (PushedFilters carries the IN), both dim chains broadcast, and the
+    fact side never cartesians."""
+    from vfs_spark.queries.registry import QUERIES
+
+    df = QUERIES["join_nation_volume"](spark, sf_dir)
+    plan = ex.formatted_plan(df)
+    ex.assert_broadcast_join(df)
+    ex.assert_no_cartesian(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("n_name" in l and "In(" in l for l in pushed)
+
+
+def test_market_share_single_fact_shuffle(spark, sf_dir):
+    """Q8-shape: every dim (part/supplier/nation/region/customer) is a
+    broadcast build side; the only SortMergeJoin allowed is
+    orders⋈lineitem."""
+    from vfs_spark.queries.registry import QUERIES
+
+    df = QUERIES["agg_market_share"](spark, sf_dir)
+    plan = ex.formatted_plan(df)
+    ex.assert_no_cartesian(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_returned_items_take_ordered(spark, sf_dir):
+    """Q10-shape: top-20 must be TakeOrderedAndProject over the
+    aggregate, and the returnflag equality must push to the lineitem
+    scan."""
+    from vfs_spark.queries.registry import QUERIES
+
+    df = QUERIES["join_returned_items"](spark, sf_dir)
+    plan = ex.formatted_plan(df)
+    ex.assert_take_ordered(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_returnflag" in l and "EqualTo" in l for l in pushed)
+
+
+def test_top_supplier_window_over_aggregate(spark, sf_dir):
+    """Q15-shape: the rank-1 window must run over the per-supplier
+    AGGREGATE (100 rows), never over raw lineitem — the Window node
+    sits above HashAggregate in the tree."""
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.plan_tree(QUERIES["window_top_supplier"](spark, sf_dir))
+    assert "Window" in plan
+    w_pos = plan.index("Window")
+    agg_positions = [i for i in range(len(plan)) if plan.startswith("HashAggregate", i)]
+    assert any(p > w_pos for p in agg_positions)  # an aggregate feeds the window
+
+
+def test_small_qty_threshold_broadcast_no_rescan(spark, sf_dir):
+    """Q17-shape: the decorrelated per-part AVG must join back via
+    broadcast (thresholds are |parts-per-brand| rows) with no subquery
+    re-execution and no cartesian."""
+    from vfs_spark.queries.registry import QUERIES
+
+    df = QUERIES["agg_small_qty_revenue"](spark, sf_dir)
+    plan = ex.formatted_plan(df)
+    ex.assert_no_cartesian(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Subquery" not in plan
+
+
+def test_priority_exists_is_semi_join(spark, sf_dir):
+    """Q4-shape: the correlated inequality EXISTS must plan as a LEFT
+    SEMI join carrying the date comparison — no distinct, no subquery
+    node."""
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.plan_tree(QUERIES["agg_priority_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Subquery" not in plan
+
+
+def test_idle_customers_anti_join_broadcast(spark, sf_dir):
+    """Q22-shape: NOT EXISTS must be a broadcast LEFT ANTI join against
+    the pre-distinct'd key set; the scalar threshold is a one-row
+    broadcast, not a per-row subquery."""
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.plan_tree(QUERIES["agg_idle_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan

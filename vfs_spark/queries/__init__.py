@@ -11,5 +11,6 @@ from vfs_spark.queries.core import q_exact_knn  # noqa: F401
 # modules self-register on import
 import vfs_spark.queries.core  # noqa: F401,E402
 import vfs_spark.queries.relational  # noqa: F401,E402
+import vfs_spark.queries.tpch_ext  # noqa: F401,E402
 import vfs_spark.queries.text  # noqa: F401,E402
 import vfs_spark.queries.similarity  # noqa: F401,E402
