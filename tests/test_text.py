@@ -88,3 +88,68 @@ def test_bigram_and_jaccard_queries_survive_short_docs(spark, tmp_path):
     assert QUERIES["text_bigram_top"](spark, d).count() >= 1
     pairs = QUERIES["dedup_ngram_jaccard"](spark, d).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(2, 3)}
+
+
+# ---------------------------------------------------------------------------
+# chunking / vocab / upsert (queries over the fixture tables)
+
+
+def test_chunk_overlap_reconstructs(spark, sf_dir):
+    """Chunk starts are stride multiples; consecutive chunks overlap
+    by size-stride tokens; the union of chunk tokens covers the doc."""
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.functions.text import tokens
+
+    from vfs_spark.sources.parquet import load_table
+
+    chunks = QUERIES["text_chunk_overlap"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"), F.sum("n_tokens").alias("tok_sum")
+    )
+    j = per_doc.join(docs, "doc_id").collect()
+    assert len(j) > 0
+    for r in j:
+        n, n_chunks = r["n"], r["n_chunks"]
+        assert n_chunks == (n - 1) // 48 + 1
+        # every chunk except possibly the last has min(64, remaining) tokens;
+        # token sum == n + 16 * (n_chunks that have a full 16-token overlap)
+        expect = sum(min(64, n - i * 48) for i in range(n_chunks))
+        assert r["tok_sum"] == expect
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    from vfs_spark.queries.registry import QUERIES
+
+    rows = QUERIES["text_vocab_coverage"](spark, sf_dir).orderBy("rnk").collect()
+    assert rows, "vocab must be non-empty"
+    cov = [r["cum_coverage"] for r in rows]
+    cnt = [r["cnt"] for r in rows]
+    assert all(a <= b for a, b in zip(cov, cov[1:])), "coverage must be monotone"
+    assert all(a >= b for a, b in zip(cnt, cnt[1:])), "counts must be descending"
+    assert cov[-1] <= 1.0 + 1e-9
+
+
+def test_merge_upsert_replaces_not_duplicates(spark, sf_dir):
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.sources.parquet import load_table
+
+    merged = QUERIES["merge_upsert_vectors"](spark, sf_dir)
+    base = load_table(spark, sf_dir, "embeddings")
+    assert merged.count() == base.count()  # pure upsert: no dup ids, none lost
+    dup = merged.groupBy("vec_id").count().where(F.col("count") > 1).count()
+    assert dup == 0
+    # every updated row carries the shifted label and provenance
+    upd = merged.where(F.col("src") == "upd")
+    orig = base.select("vec_id", F.col("label").alias("base_label"))
+    bad = (
+        upd.join(orig, "vec_id")
+        .where(
+            (F.col("vec_id") % 10 != 0)
+            | (F.col("label") != F.col("base_label") + 100)
+        )
+        .count()
+    )
+    assert bad == 0

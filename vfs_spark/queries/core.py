@@ -377,3 +377,58 @@ def q_exact_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # exact_knn_quantized also belongs in the bench headline set; keep the
 # registry authoritative there (bench.py imports by slug).
+
+
+# ---------------------------------------------------------------------------
+# ⊕ CDC upsert — the write-path operation the reference lacks
+
+
+@query(
+    "merge_upsert_vectors",
+    oracle="""
+WITH upd AS (
+  SELECT vec_id, label + 100 AS label,
+         CAST(len(embedding) AS INTEGER) AS dim
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT vec_id, CAST(label AS INTEGER) AS label, dim, 'upd' AS src
+FROM upd
+UNION ALL
+SELECT b.vec_id, CAST(b.label AS INTEGER) AS label,
+       CAST(len(b.embedding) AS INTEGER) AS dim, 'base' AS src
+FROM embeddings b
+WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.vec_id = b.vec_id)
+""",
+)
+def q_merge_upsert_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ CDC MERGE (upsert) into the vector store: an update batch
+    (here: every 10th vector re-labeled, standing in for re-embedded
+    rows) replaces matching ids and new ids append — the reference's
+    insert path (storage_manager.rs:120-141) is append-only with
+    engine-assigned ids, so updates-by-key are the capability a
+    production feed adds on top. Spark shape: MERGE = anti-join the
+    base against the update keys, union the updates — the update
+    batch is small → broadcast anti join, the base never shuffles;
+    at 100 TB this is the standard copy-on-write merge (rewrite only
+    matched files when partitioned by id range). Output is
+    scalarized (id, label, dim, provenance) — embedding arrays stay
+    out of the hash compare."""
+    emb = _emb(spark, sf_dir)
+    upd = emb.where(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        (F.col("label") + 100).alias("label"),
+        F.size("embedding").alias("dim"),
+    )
+    base = emb.join(
+        F.broadcast(upd.select("vec_id")), "vec_id", "left_anti"
+    ).select("vec_id", "label", F.size("embedding").alias("dim"))
+    return (
+        upd.withColumn("src", F.lit("upd"))
+        .unionByName(base.withColumn("src", F.lit("base")))
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.col("dim").cast("int").alias("dim"),
+            "src",
+        )
+    )

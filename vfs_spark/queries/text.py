@@ -752,3 +752,101 @@ def q_sample_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("h") < F.col("cutoff"))
         .select("doc_id", "source")
     )
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+       CAST(len(t[i*48+1 : i*48+64]) AS INTEGER) AS n_tokens,
+       md5(array_to_string(t[i*48+1 : i*48+64], ' ')) AS chunk_hash
+FROM toks,
+     UNNEST(generate_series(0, CAST((len(t) - 1) // 48 AS BIGINT))) AS g(i)
+""",
+)
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: cut each document into 64-token
+    chunks on a 48-token stride (16-token overlap) — the
+    context-window prep step for embedding models and RAG indexing,
+    where overlap preserves sentences that straddle a boundary.
+    Unlike text_pack_blocks (which packs the CORPUS stream into
+    fixed blocks), this is per-document: chunk starts are multiples
+    of the stride while they fall inside the doc, the tail chunk may
+    run short, and each chunk carries its content hash for
+    downstream chunk-level dedup. Pure projection + explode — no
+    shuffle, embarrassingly parallel at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("t"))
+    c = t.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("(size(t) - 1) div 48"))
+        ).alias("i"),
+    )
+    chunk = F.expr("slice(t, i*48 + 1, 64)")
+    return c.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH v AS (
+  SELECT g AS token, COUNT(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS g FROM documents)
+  GROUP BY g
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM v),
+r AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk,
+         SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM v
+)
+SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS INTEGER) AS rnk,
+       ROUND(CAST(cum AS DOUBLE) / (SELECT t FROM tot), 6) AS cum_coverage
+FROM r WHERE rnk <= 200
+""",
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction: the top-200 corpus unigrams
+    with rank and CUMULATIVE token-mass coverage — the curve a
+    tokenizer team reads to size a vocab ("how many types cover 95%
+    of tokens?"). Scale: the explode+count is map-side combined (only
+    (token, count) pairs shuffle); the rank/running-sum window runs
+    over the |vocab| aggregate, not the corpus — at 100 TB vocab is
+    millions of rows while the corpus is trillions of tokens. The
+    coverage ratio is one exact-int/exact-int division, stable across
+    engines at 6 decimals."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    v = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = v.agg(F.sum("cnt").cast("bigint").alias("t"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = v.select(
+        "token",
+        "cnt",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cnt").over(wc).alias("cum"),
+    ).where(F.col("rnk") <= 200)
+    return r.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.round(F.col("cum").cast("double") / F.col("t"), 6).alias("cum_coverage"),
+    )
