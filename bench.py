@@ -85,6 +85,17 @@ BENCH_QUERIES = [
     "window_ntile_orders",
     "pipeline_quality_filter",
     "sample_token_mixture",
+    "join_nation_volume",
+    "agg_market_share",
+    "join_returned_items",
+    "window_top_supplier",
+    "agg_small_qty_revenue",
+    "join_large_orders",
+    "agg_priority_exists",
+    "agg_idle_customers",
+    "text_chunk_overlap",
+    "text_vocab_coverage",
+    "merge_upsert_vectors",
 ]
 
 
