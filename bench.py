@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "text_chunk_overlap",
     "text_vocab_coverage",
     "merge_upsert_vectors",
+    "agg_retention_cohorts",
+    "agg_value_histogram",
+    "dedup_chunk_hash",
 ]
 
 

@@ -1159,3 +1159,78 @@ def q_agg_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count("*").cast("bigint").alias("n_items"),
     )
+
+
+@query(
+    "agg_retention_cohorts",
+    oracle="""
+WITH firstw AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) // 7
+              AS INTEGER) AS wk
+  FROM events e JOIN firstw f USING (user_id)
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, wk,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act GROUP BY cohort, wk
+""",
+)
+def q_agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted in each subsequent week they return — the engagement
+    matrix every product-analytics stack materializes. Shape: one
+    groupBy(user) for cohort assignment, joined back (user→cohort is
+    |users| rows → broadcast at any realistic scale), then a
+    DISTINCT + count per (cohort, week). Both week truncations are
+    ISO-Monday on both engines; the week index is an exact day-diff
+    div 7 of two week-start dates, so no timezone/rounding skew."""
+    ev = _t(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = (
+        ev.join(F.broadcast(firstw), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort"))
+                .cast("int") / 7
+            ).cast("int").alias("wk"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"), "wk"
+    ).agg(F.count("*").cast("bigint").alias("n_users"))
+
+
+@query(
+    "agg_value_histogram",
+    oracle="""
+SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 6) AS lo,
+       ROUND(MAX(value), 6) AS hi
+FROM events GROUP BY bucket
+""",
+)
+def q_agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (width 50): the binning
+    primitive behind distribution dashboards and equi-width sketches.
+    The bucket id is floor(v/50) — one IEEE division + floor, bit-
+    identical across engines on stored doubles; min/max per bucket are
+    raw stored values (rounded only for display). Map-side combined:
+    the shuffle carries |buckets| rows."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )

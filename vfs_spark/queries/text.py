@@ -850,3 +850,55 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").cast("int").alias("rnk"),
         F.round(F.col("cum").cast("double") / F.col("t"), 6).alias("cum_coverage"),
     )
+
+
+@query(
+    "dedup_chunk_hash",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+c AS (
+  SELECT doc_id,
+         md5(array_to_string(t[i*48+1 : i*48+64], ' ')) AS chunk_hash
+  FROM toks,
+       UNNEST(generate_series(0, CAST((len(t) - 1) // 48 AS BIGINT))) AS g(i)
+)
+SELECT chunk_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM c GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) > 1
+""",
+)
+def q_dedup_chunk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: 64-token windows (the
+    text_chunk_overlap grid) whose content hash recurs across
+    DIFFERENT documents — catches boilerplate and partial copies that
+    whole-document fingerprints miss (a doc that shares one paragraph
+    with another is invisible to dedup_exact). Scale: hashes are
+    computed in the scan stage; only (hash, doc_id) pairs shuffle —
+    never chunk text; the HAVING prunes singleton hashes after a
+    map-side-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    t = docs.select("doc_id", tokens("text").alias("t"))
+    c = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.expr("(size(t) - 1) div 48"))).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.expr("slice(t, i*48 + 1, 64)"), " ")).alias(
+            "chunk_hash"
+        ),
+    )
+    return (
+        c.groupBy("chunk_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
