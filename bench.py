@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "agg_retention_cohorts",
     "agg_value_histogram",
     "dedup_chunk_hash",
+    "window_moving_avg",
+    "unpivot_user_metrics",
 ]
 
 

@@ -1234,3 +1234,74 @@ def q_agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS INTEGER) AS n_window
+FROM events
+""",
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame moving average (last 4 events per user) — the
+    sliding-smoother shape (distinct from the UNBOUNDED running sum in
+    window_user_events: a bounded ROWS frame evicts as it slides).
+    One user_id shuffle; the frame is O(1) memory per row. The AVG of
+    ≤4 doubles is a single short sum — order-identical on both
+    engines, stable at 6 decimals."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("mov_avg"),
+        F.count("*").over(w).cast("int").alias("n_window"),
+    )
+
+
+@query(
+    "unpivot_user_metrics",
+    oracle="""
+WITH m AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)
+           AS n_views,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+           AS n_purchases,
+         ROUND(SUM(value), 4) AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, metric, val FROM m
+UNPIVOT (val FOR metric IN (n_views, n_purchases, total_value))
+""",
+)
+def q_unpivot_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): per-user wide metrics back to long
+    (user_id, metric, value) triples — the inverse of
+    pivot_event_values and the standard shape for metric stores.
+    Spark's unpivot is a zero-shuffle Expand over the aggregate
+    (each row replicated once per metric, map-side)."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double")
+        .alias("n_views"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return m.unpivot(
+        ["user_id"],
+        ["n_views", "n_purchases", "total_value"],
+        "metric",
+        "val",
+    )
