@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "dedup_chunk_hash",
     "window_moving_avg",
     "unpivot_user_metrics",
+    "ann_pq",
 ]
 
 

