@@ -212,3 +212,47 @@ def test_stream_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(dest).count() == 2 * n_one  # a not replayed
+
+
+def test_stream_apply_cdc_versions_and_last_wins(spark, sf_dir, tmp_path):
+    """Two micro-batches of keyed updates upsert into the versioned
+    store: no duplicate keys, later batch overrides earlier for the
+    overlapping key, untouched base rows survive, and the _CURRENT
+    pointer resolves to the newest complete version."""
+    from vfs_spark.sources.parquet import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    store = str(tmp_path / "cdc_store")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    # seed the store with the base table as version v-1 equivalent:
+    # first micro-batch IS the base load; then two update batches
+    upd1 = base.where(F.col("vec_id").isin(0, 10)).withColumn(
+        "label", F.col("label") + 100
+    )
+    upd2 = base.where(F.col("vec_id").isin(10, 20)).withColumn(
+        "label", F.col("label") + 200
+    )
+    base.coalesce(1).write.parquet(str(feed / "b0"))
+    upd1.coalesce(1).write.parquet(str(feed / "b1"))
+    upd2.coalesce(1).write.parquet(str(feed / "b2"))
+
+    stream = (
+        spark.readStream.schema("vec_id long, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "b*"))
+    )
+    q = ingest.stream_apply_cdc(stream, store, ckpt, id_col="vec_id")
+    q.awaitTermination()
+
+    got = ingest.read_cdc_store(spark, store)
+    assert got.count() == base.count()
+    assert got.groupBy("vec_id").count().where(F.col("count") > 1).count() == 0
+    labels = {r["vec_id"]: r["label"] for r in got.where(F.col("vec_id").isin(0, 10, 20, 30)).collect()}
+    orig = {r["vec_id"]: r["label"] for r in base.where(F.col("vec_id").isin(0, 10, 20, 30)).collect()}
+    assert labels[30] == orig[30]            # untouched
+    assert labels[20] == orig[20] + 200      # batch 2
+    assert labels[10] in (orig[10] + 100, orig[10] + 200) and labels[10] == orig[10] + 200  # last wins
+    assert labels[0] == orig[0] + 100        # batch 1 survives batch 2

@@ -196,3 +196,70 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return events.join(F.broadcast(dim), on, "left")
+
+
+def read_cdc_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Read the current version of a CDC store written by
+    stream_apply_cdc (resolves the _CURRENT pointer)."""
+    import os
+
+    with open(os.path.join(store_dir, "_CURRENT")) as f:
+        v = f.read().strip()
+    return spark.read.parquet(os.path.join(store_dir, v))
+
+
+def stream_apply_cdc(
+    updates: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+):
+    """Streaming CDC apply: every micro-batch of keyed updates upserts
+    into a VERSIONED Parquet store — read the current version, anti-join
+    the batch's keys, union the batch, write version N+1, then flip the
+    `_CURRENT` pointer. Readers always see a complete version (the
+    pointer flip is the commit), concurrent with ingest — the MVCC
+    pattern table formats (Delta/Iceberg) implement, reduced to its
+    Spark-native core. Batch→batch ordering gives last-writer-wins per
+    key; within a batch, the max-id row wins deterministically.
+
+    Scale: each merge shuffles only the update keys (broadcast anti
+    join); the rewrite cost is the store size — at 100 TB, partition
+    the store by id range and rewrite ONLY partitions containing
+    matched keys (dynamic partition overwrite), which bounds the write
+    to the touched fraction. The version-pointer commit is O(1)
+    regardless. The reference has no update path at all
+    (storage_manager.rs:120-141 is append-only): this is the
+    capability a production feed adds on top, with exactly-once
+    batches via the checkpoint."""
+    import os
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # one row per key within the batch, deterministically (lexico-
+        # graphic max over the full row — no dependence on scan order)
+        batch_df = (
+            batch_df.groupBy(id_col)
+            .agg(F.max(F.struct(*batch_df.columns)).alias("_s"))
+            .select("_s.*")
+        )
+        cur = os.path.join(store_dir, "_CURRENT")
+        if os.path.exists(cur):
+            base = read_cdc_store(spark, store_dir)
+            merged = base.join(
+                F.broadcast(batch_df.select(id_col)), id_col, "left_anti"
+            ).unionByName(batch_df)
+        else:
+            merged = batch_df
+        v_new = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(store_dir, v_new))
+        with open(cur + ".tmp", "w") as f:
+            f.write(v_new)
+        os.replace(cur + ".tmp", cur)  # atomic pointer flip = commit
+
+    return (
+        updates.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
