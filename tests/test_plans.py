@@ -267,3 +267,41 @@ def test_idle_customers_anti_join_broadcast(spark, sf_dir):
     plan = ex.plan_tree(QUERIES["agg_idle_customers"](spark, sf_dir))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """When a selective dim side can't broadcast (SMJ forced), Spark's
+    runtime bloom filter must inject: the dim builds bloom_filter_agg
+    and the fact side is pre-filtered by might_contain BEFORE its
+    shuffle — the row-level runtime-pruning analogue of partition
+    pruning, and the mechanism that keeps fact⋈fact shuffles bounded
+    at 100 TB."""
+    from vfs_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1305,3 +1305,51 @@ def q_unpivot_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "val",
     )
+
+
+@query(
+    "window_order_share",
+    oracle="""
+SELECT o_orderkey,
+       CAST(ROUND(1000000.0 * o_totalprice
+                  / SUM(o_totalprice) OVER (PARTITION BY o_custkey), 0)
+            AS BIGINT) AS share_e6
+FROM orders
+""",
+)
+def q_window_order_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order's share of its customer's lifetime spend — the
+    decorrelated form of a correlated scalar subquery in the SELECT
+    list (sum per customer rescanned per row), expressed as an
+    unbounded partition window: one custkey shuffle, the denominator
+    computed once per partition. Reported in integer parts-per-million
+    — per-customer sums are short enough that the ratio is stable far
+    past the rounding point on both engines."""
+    w = Window.partitionBy("o_custkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(1000000.0 * F.col("o_totalprice") / F.sum("o_totalprice").over(w), 0)
+        .cast("bigint")
+        .alias("share_e6"),
+    )
+
+
+@query(
+    "set_except_all_parts",
+    oracle="""
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+EXCEPT ALL
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+""",
+)
+def q_set_except_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): part keys shipped in returned
+    lines beyond their count in accepted lines — multiplicity
+    preserved, unlike the distinct-set set_except_customers. Spark
+    plans this as a counted anti-aggregate (generate over count
+    deltas), one shuffle on the key; both scans carry a pushed
+    returnflag filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.exceptAll(a)

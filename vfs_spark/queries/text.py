@@ -902,3 +902,70 @@ def q_dedup_chunk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY source, term),
+df AS (SELECT term, COUNT(DISTINCT source) AS df FROM tok GROUP BY term),
+n AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT source, term, tf, df,
+         CAST(tf AS DOUBLE) * (SELECT n FROM n) / df AS score
+  FROM tf JOIN df USING (term)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY score DESC, term ASC) AS rnk
+  FROM s
+)
+SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(score, 6) AS score, CAST(rnk AS INTEGER) AS rnk
+FROM r WHERE rnk <= 5
+""",
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per source by tf·idf, with the LINEAR
+    idf variant (tf·N/df instead of tf·ln(N/df)): the ranking is
+    identical for fixed tf whenever df ranks the same, and the score
+    is a single division of exact integers — bit-identical across
+    engines, where ln() could differ in the last ulp and flip a
+    near-tie (the cross-engine float policy, NOTES.md). Shape: tf and
+    df are both map-side-combined aggregates over the exploded token
+    stream; the scalar N broadcasts; the rank window runs over
+    |sources|·|vocab| aggregate rows, never the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    n = docs.agg(F.countDistinct("source").cast("double").alias("n"))
+    s = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") * F.col("n") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "source",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("score", 6).alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
