@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "window_order_share",
     "set_except_all_parts",
     "text_tfidf_top_terms",
+    "exact_knn_filtered",
 ]
 
 

@@ -99,6 +99,28 @@ def main() -> None:
             .agg(F.count("*"))
             .collect(),
         )
+        # ---- PQ: encode once, ADC-search the code column ----
+        from vfs_spark.operators.ann import (
+            encode_pq,
+            fit_pq_codebooks,
+            pq_search,
+            pq_search_rerank,
+        )
+
+        books = timed("pq_fit_sampled", lambda: fit_pq_codebooks(emb, sample_rows=50_000))
+        timed(
+            "pq_encode_write",
+            lambda: encode_pq(emb, books)
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/pq"),
+        )
+        enc = spark.read.parquet(f"{tmp}/pq")
+        timed("pq_adc_search", lambda: pq_search(enc, books, q, k=10).collect())
+        timed(
+            "pq_rerank_search",
+            lambda: pq_search_rerank(enc, emb, books, q, k=10, shortlist=100).collect(),
+        )
+
         timed(
             "dedup_minhash_native",
             lambda: dedup.minhash_native_pairs(docs).count(),

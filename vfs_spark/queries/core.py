@@ -432,3 +432,34 @@ def q_merge_upsert_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src",
         )
     )
+
+
+@query(
+    "exact_knn_filtered",
+    oracle=f"""
+{_Q0}
+SELECT e.vec_id AS vec_id, e.label AS label,
+       ROUND({_sq_l2('e.embedding', _QV)}, 6) AS dist
+FROM embeddings e
+WHERE e.label = 1
+ORDER BY dist ASC, vec_id ASC
+LIMIT 5
+""",
+)
+def q_exact_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ Metadata-filtered vector search: exact top-5 among vectors
+    with label = 1 — the filtered-ANN query every vector store serves
+    (the reference stores tags, vector.rs:15, but never filters on
+    them; filter_by_tag + this closes that gap). PRE-filtering is free
+    in Spark: the label predicate pushes to the Parquet scan, so the
+    distance expression runs only on survivors — unlike post-filter
+    designs that over-fetch k then discard. With label-partitioned
+    layout the filter becomes partition pruning."""
+    emb = _emb(spark, sf_dir).where(F.col("label") == 1)
+    q = _query_vec(spark, sf_dir)
+    dist = F.round(euclidean("embedding", array_lit(q)), 6).alias("dist")
+    return (
+        emb.select("vec_id", "label", dist)
+        .orderBy(F.col("dist").asc_nulls_last(), F.col("vec_id").asc())
+        .limit(5)
+    )
