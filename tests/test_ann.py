@@ -212,3 +212,13 @@ def test_pq_plan_stays_jvm(emb, pq):
     assert "TakeOrderedAndProject" in ex.formatted_plan(
         ann_ops.pq_search(ann_ops.encode_pq(emb, books), books, q, k=10)
     )
+
+
+def test_pq_encode_arrow_matches_catalyst(emb, pq):
+    """The Arrow encode kernel must produce byte-identical codes to
+    the Catalyst expression form (first-min tiebreak on both)."""
+    books, enc = pq
+    arrow = ann_ops.encode_pq_arrow(emb, books)
+    a = {r["vec_id"]: list(r["codes"]) for r in arrow.collect()}
+    c = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    assert a == c

@@ -108,9 +108,19 @@ def main() -> None:
         )
 
         books = timed("pq_fit_sampled", lambda: fit_pq_codebooks(emb, sample_rows=50_000))
+        if os.environ.get("STRESS_EXPR_PQ"):
+            timed(
+                "pq_encode_expr",
+                lambda: encode_pq(emb, books)
+                .write.mode("overwrite")
+                .format("noop")
+                .save(),
+            )
+        from vfs_spark.operators.ann import encode_pq_arrow
+
         timed(
             "pq_encode_write",
-            lambda: encode_pq(emb, books)
+            lambda: encode_pq_arrow(emb, books)
             .write.mode("overwrite")
             .parquet(f"{tmp}/pq"),
         )

@@ -430,3 +430,37 @@ def pq_search_rerank(
         .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def encode_pq_arrow(
+    df: DataFrame, codebooks, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Arrow/NumPy PQ encode — the SCALE twin of encode_pq with the
+    identical output contract (asserted equal in tests): per Arrow
+    batch, each block computes a (rows × k) squared-distance matrix by
+    BLAS broadcasting and argmins it. encode_pq's m·k interpreted HOF
+    expressions cost ~107 µs/row at 2M vectors (stress-measured
+    214 s); this kernel is the knn_batch_arrow move applied to the
+    write path. Ties: np.argmin and array_position(min) both take the
+    FIRST minimal centroid, so codes agree exactly."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    C = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    def kernel(batches):
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            if len(X):
+                for j in range(m):
+                    Xj = X[:, j * sub : (j + 1) * sub]
+                    d2 = ((Xj[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} long, codes array<int>"
+    )

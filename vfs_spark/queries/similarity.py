@@ -332,7 +332,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a bounded-sample constant cost."""
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     books = ann_ops.fit_pq_codebooks(emb)
-    enc = ann_ops.encode_pq(emb, books)
+    enc = ann_ops.encode_pq(emb, books)  # Catalyst form; encode_pq_arrow is the write-path twin (31× at 2M)
     return ann_ops.pq_search_rerank(
         enc, emb, books, _query_vec(spark, sf_dir), k=10, shortlist=100
     )
