@@ -159,3 +159,32 @@ def test_ivf_search_and_snapshot_roundtrip(spark, tmp_path):
     assert e2._ivf_cache is not None  # model reloaded, not refit
     after = e2.search([2.0, 1.0, 0.0, 0.0], top_k=3, search_type="ivf").collect()
     assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+
+def test_pq_search_and_snapshot_roundtrip(spark, tmp_path):
+    """search_type='pq' fits codebooks once (bounded sample), encodes
+    with the Arrow kernel, reuses the cache across searches, and the
+    codebooks survive snapshot→restore (JSON at rest — the PQ third of
+    the index-persistence story). Rerank makes top-1 exact for a
+    stored vector queried by itself."""
+    e = VFSEngine(spark, str(tmp_path / "store"))
+    e.init(vector_dimension=8)
+    e.insert([[float((i * 7 + j) % 5) for j in range(8)] for i in range(64)])
+    q = [float((3 * 7 + j) % 5) for j in range(8)]  # vector id 4 (i=3)
+    before = e.search(q, top_k=3, search_type="pq").collect()
+    assert before[0]["dist"] == 0.0  # exact self-match after rerank
+    books_a = e._pq_cache[0]
+    e.search(q, top_k=3, search_type="pq").collect()
+    assert e._pq_cache[0] is books_a  # reused, not refit
+    e.snapshot("pq_snap")
+
+    e2 = VFSEngine(spark, str(tmp_path / "store"))
+    e2.init(vector_dimension=8)
+    e2.restore("pq_snap")
+    assert e2._pq_cache is not None  # codebooks reloaded, not refit
+    assert e2._pq_cache[0] == books_a
+    after = e2.search(q, top_k=3, search_type="pq").collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+    e2.insert([[0.0] * 8])
+    assert e2._pq_cache is None  # invalidated: index no longer covers store

@@ -40,6 +40,7 @@ class VFSEngine:
         # search call would be the reference's anti-pattern.
         self._lsh_cache: dict[str, tuple] = {}
         self._ivf_cache: tuple | None = None
+        self._pq_cache: tuple | None = None  # (codebooks, encoded_df)
 
     # -- /init (tcp.rs:270-299) -------------------------------------------
     def init(
@@ -105,6 +106,9 @@ class VFSEngine:
         if self._ivf_cache is not None:
             self._ivf_cache[1].unpersist()
             self._ivf_cache = None
+        if self._pq_cache is not None:
+            self._pq_cache[1].unpersist()
+            self._pq_cache = None
 
     def _flush(self, df: DataFrame) -> None:
         """Memtable flush analogue (storage_manager.rs:139-162):
@@ -168,6 +172,26 @@ class VFSEngine:
             km, assigned = cached
             return ivf_search(km, assigned, query, k=top_k, id_col="id",
                               vec_col="embedding")
+        if search_type == "pq":
+            from vfs_spark.operators.ann import (
+                encode_pq_arrow,
+                fit_pq_codebooks,
+                pq_search_rerank,
+            )
+
+            cached = self._pq_cache
+            if cached is None:
+                books = fit_pq_codebooks(vecs, vec_col="embedding")
+                enc = encode_pq_arrow(
+                    vecs, books, vec_col="embedding", id_col="id"
+                ).cache()
+                enc.count()
+                self._pq_cache = cached = (books, enc)
+            books, enc = cached
+            return pq_search_rerank(
+                enc, vecs, books, query, k=top_k, id_col="id",
+                vec_col="embedding",
+            )
         from vfs_spark.operators.ann import approx_knn, build_lsh_index
 
         cached = self._lsh_cache.get(distance_method)
@@ -227,6 +251,12 @@ class VFSEngine:
             self._ivf_cache[0].write().overwrite().save(
                 os.path.join(dest, "index", "ivf_kmeans")
             )
+        if self._pq_cache is not None:
+            import json
+
+            os.makedirs(os.path.join(dest, "index"), exist_ok=True)
+            with open(os.path.join(dest, "index", "pq_codebooks.json"), "w") as f:
+                json.dump(self._pq_cache[0], f)
         return dest
 
     def restore(self, name: str = "snapshot") -> None:
@@ -260,6 +290,18 @@ class VFSEngine:
                     ).cache()
                     vdf.count()
                     self._lsh_cache[metric] = (model, vdf)
+                elif entry == "pq_codebooks.json":
+                    import json
+
+                    from vfs_spark.operators.ann import encode_pq_arrow
+
+                    with open(os.path.join(index_dir, entry)) as f:
+                        books = json.load(f)
+                    enc = encode_pq_arrow(
+                        self.vectors(), books, vec_col="embedding", id_col="id"
+                    ).cache()
+                    enc.count()
+                    self._pq_cache = (books, enc)
                 elif entry == "ivf_kmeans":
                     from pyspark.ml.clustering import KMeansModel
 

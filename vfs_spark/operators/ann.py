@@ -313,7 +313,9 @@ def fit_pq_codebooks(
     X = np.asarray([r["v"] for r in rows], dtype=np.float64)
     d = X.shape[1]
     if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m}")
+        # auto-shrink to the largest divisor of d (a dim-8 store can't
+        # take 16 blocks); explicit m that divides d is never changed
+        m = next(mm for mm in range(min(m, d), 0, -1) if d % mm == 0)
     sub = d // m
     rng = np.random.default_rng(seed)
     books = []

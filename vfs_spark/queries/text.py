@@ -631,12 +631,16 @@ def q_decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the eval shingle set is tiny → broadcast; corpus shingles
     explode in the scan stage; one map-side-combined count per doc.
     The corpus never self-joins and never shuffles its text."""
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # eval side: NO fan_out — the doc_id<10 filter pushes to the scan
+    # (fan_out's repartition would read+shuffle the whole corpus to
+    # keep 10 rows; measured 7 s of the query's 11-23 s at sf0.1)
     ev = (
-        docs.where(F.col("doc_id") < 10)
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 10)
         .select(F.explode(word_shingles("text", 5)).alias("g"))
         .distinct()
     )
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     cor = docs.where(F.col("doc_id") >= 10).select(
         "doc_id", F.explode(word_shingles("text", 5)).alias("g")
     )
