@@ -37,7 +37,9 @@ def test_fake_embed_shape(media):
         assert all(0.0 <= x <= 1.0 for x in r["embedding"])
 
 
-def test_decode_image_is_stubbed(media):
+def test_decode_image_rejects_unknown_bytes(media):
+    """Non-image payloads (the text-derived fixture bytes) must raise
+    the documented NotImplementedError boundary, not mis-decode."""
     from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.captured import PythonException
 
@@ -59,7 +61,7 @@ def test_frame_sample_every_k(spark):
     assert got == [0, 10, 20]
 
 
-def test_audio_stub_raises(spark):
+def test_audio_rejects_compressed_bytes(spark):
     import pytest
     from vfs_spark.operators import multimodal
     from pyspark.sql import functions as F
@@ -70,7 +72,7 @@ def test_audio_stub_raises(spark):
         F.lit("audio").alias("media_type"),
         F.create_map().alias("meta"),
     )
-    with pytest.raises(Exception, match="audio decode"):
+    with pytest.raises(Exception, match="codec|NotImplementedError"):
         multimodal.decode_audio(media).collect()
 
 
@@ -95,3 +97,102 @@ def test_resize_blocks_hand_computed(spark):
     }
     assert got[1] == 25.0  # (10+20+30+40)/4
     assert got[2] == 25.0  # (100+0+0+0)/4 zero-padded
+
+
+# ---------------------------------------------------------------------------
+# real decoders (uncompressed formats, no codec library)
+
+
+def _bmp24(w, h, pix):
+    """Minimal bottom-up 24-bit BMP encoder (pix: h×w (r,g,b) rows,
+    top-down input)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    img = b""
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = b"".join(bytes([b_, g, r_]) for (r_, g, b_) in pix[r])  # BGR
+        img += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(img), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+        + img
+    )
+
+
+def _ppm(w, h, pix):
+    hdr = f"P6\n{w} {h}\n255\n".encode()
+    return hdr + b"".join(bytes(p) for row in pix for p in row)
+
+
+def _wav16(samples, sr=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_decode_image_bmp_and_ppm_agree(spark):
+    """The same 4×2 image encoded as BMP24 and PPM must decode to the
+    same grayscale grid; identity-size resize returns exact pixels."""
+    from vfs_spark.operators import multimodal as mm
+
+    pix = [
+        [(0, 0, 0), (255, 255, 255), (30, 60, 90), (120, 120, 120)],
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)],
+    ]
+    rows = [(1, bytearray(_bmp24(4, 2, pix))), (2, bytearray(_ppm(4, 2, pix)))]
+    media = mm.as_media(
+        spark.createDataFrame(rows, "media_id long, payload binary"),
+        "media_id",
+        F.col("payload"),
+        media_type="image",
+    )
+    got = {
+        r["media_id"]: r["pixels"]
+        for r in mm.decode_image(media, target_size=(2, 4)).collect()
+    }
+    expect = [sum(p) / 3.0 / 255.0 for row in pix for p in row]
+    for mid in (1, 2):
+        assert got[mid] == pytest.approx(expect, abs=1e-6)
+    assert got[1] == got[2]
+
+
+def test_decode_image_rejects_compressed(spark):
+    from vfs_spark.operators import multimodal as mm
+
+    png = bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    media = mm.as_media(
+        spark.createDataFrame([(1, png)], "media_id long, payload binary"),
+        "media_id",
+        F.col("payload"),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mm.decode_image(media).collect()
+
+
+def test_decode_audio_wav_roundtrip_and_resample(spark):
+    """PCM16 WAV decodes to [-1,1] mono; resampling to half the rate
+    halves the sample count; constant signals stay constant."""
+    from vfs_spark.operators import multimodal as mm
+
+    samples = [0, 16384, -16384, 32767, -32768, 0, 16384, -16384]
+    rows = [(1, bytearray(_wav16(samples, sr=8000)))]
+    media = mm.as_media(
+        spark.createDataFrame(rows, "media_id long, payload binary"),
+        "media_id",
+        F.col("payload"),
+        media_type="audio",
+    )
+    same = mm.decode_audio(media, sample_rate=8000).first()["samples"]
+    assert same == pytest.approx([s / 32768.0 for s in samples], abs=1e-6)
+    half = mm.decode_audio(media, sample_rate=4000).first()["samples"]
+    assert len(half) == len(samples) // 2

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-Image/audio/video decode libraries are not in this container, so the
-decode kernels are STUBBED (deterministic fake features /
-NotImplementedError), but the Spark-side contract — schema, batch
-shape, partition sizing, UDF signature — is real and tested. Swapping
-in a real decoder changes only the body of the kernel.
+Decode kernels are REAL for the formats decodable without a codec
+library: PPM/PGM/BMP24 images and PCM WAV audio (pure NumPy /
+stdlib ``wave``). Compressed codecs (PNG/JPEG/MP3/...) raise
+NotImplementedError from the kernel — the honest boundary in a
+container without codec libraries; swapping in PIL/soundfile changes
+only the `_decode_*` body, not the Spark contract (schema, Arrow
+batch shape, partition sizing).
 
 Scale notes: binary payloads ride the Arrow channel in batches; keep
 ``spark.sql.files.maxPartitionBytes`` at 64-128 MiB so a partition of
@@ -83,13 +85,69 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema=EXTRACT_SCHEMA)
 
 
-def decode_image(media: DataFrame, target_size: tuple[int, int] = (224, 224)) -> DataFrame:
-    """Image decode + resize → ARRAY<FLOAT> pixels. STUB: the decode
-    kernel needs an image library not present in this container; the
-    plumbing (schema, mapInPandas batch contract) is the deliverable.
+def _decode_gray(b: bytes):
+    """Pure-NumPy image decode → 2-D float grayscale in [0, 1].
+    Real decoders for the UNCOMPRESSED formats (PPM P6 / PGM P5 /
+    24-bit BMP); compressed codecs (PNG/JPEG/...) raise
+    NotImplementedError — that boundary needs a codec library this
+    container doesn't ship, and a fake would be dishonest."""
+    import numpy as np
 
-    Raises NotImplementedError from the executor kernel if invoked.
-    """
+    if b[:2] in (b"P5", b"P6"):
+        # netpbm: magic, then whitespace/comment-separated w h maxval
+        vals, i = [], 2
+        while len(vals) < 3:
+            while i < len(b) and b[i : i + 1].isspace():
+                i += 1
+            if b[i : i + 1] == b"#":
+                while i < len(b) and b[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(b) and not b[j : j + 1].isspace():
+                j += 1
+            vals.append(int(b[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = vals
+        ch = 3 if b[:2] == b"P6" else 1
+        px = np.frombuffer(b, dtype=np.uint8, count=w * h * ch, offset=i)
+        px = px.reshape(h, w, ch).astype(np.float64)
+        gray = px.mean(axis=2) if ch == 3 else px[:, :, 0]
+        return gray / maxval
+    if b[:2] == b"BM":
+        import struct
+
+        off = struct.unpack_from("<I", b, 10)[0]
+        w, h = struct.unpack_from("<ii", b, 18)
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        comp = struct.unpack_from("<I", b, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+        import numpy as np
+
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(b, dtype=np.uint8, count=stride * abs(h), offset=off)
+        rows = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+        if h > 0:  # positive height = bottom-up storage
+            rows = rows[::-1]
+        return rows.astype(np.float64).mean(axis=2) / 255.0
+    raise NotImplementedError(
+        "compressed image formats (PNG/JPEG/...) need a codec library "
+        "not present in this container; PPM/PGM/BMP24 decode natively"
+    )
+
+
+def decode_image(media: DataFrame, target_size: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Image decode + nearest-neighbor resize → flattened ARRAY<FLOAT>
+    grayscale pixels in [0, 1]. The decode is REAL for uncompressed
+    formats (PPM/PGM/BMP24 — pure NumPy, no codec library); compressed
+    payloads raise NotImplementedError from the kernel, documenting
+    the honest boundary. Arrow-batched mapInPandas; NULL payloads
+    yield NULL pixel rows."""
+    import numpy as np
+
+    th, tw = target_size
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -98,11 +156,18 @@ def decode_image(media: DataFrame, target_size: tuple[int, int] = (224, 224)) ->
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode requires an image library (PIL/opencv) not "
-            "available in this environment; swap this kernel body"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                if b is None:
+                    out.append(None)
+                    continue
+                g = _decode_gray(bytes(b))
+                h, w = g.shape
+                ri = np.minimum((np.arange(th) + 0.5) * h // th, h - 1).astype(int)
+                ci = np.minimum((np.arange(tw) + 0.5) * w // tw, w - 1).astype(int)
+                out.append(g[np.ix_(ri, ci)].ravel().astype(np.float32))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "pixels": out})
 
     return media.mapInPandas(kernel, schema=out_schema)
 
@@ -139,8 +204,16 @@ def fake_embed(media: DataFrame, dim: int = 16, dtype: str = "float") -> DataFra
 
 
 def decode_audio(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
-    """Audio decode + resample → ARRAY<FLOAT> samples. STUB (no audio
-    library in this container); plumbing contract mirrors decode_image."""
+    """Audio decode + linear resample → mono ARRAY<FLOAT> samples in
+    [-1, 1]. REAL for PCM WAV (stdlib ``wave`` + NumPy — 16/8-bit,
+    any channel count, resampled with np.interp); compressed codecs
+    (MP3/OGG/...) raise NotImplementedError — the honest boundary
+    without an audio library. Arrow-batched mapInPandas."""
+    import io
+    import wave
+
+    import numpy as np
+
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -148,12 +221,34 @@ def decode_audio(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
         ]
     )
 
+    def _decode(b: bytes):
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise NotImplementedError(
+                "compressed audio (MP3/OGG/...) needs a codec library; "
+                "PCM WAV decodes natively"
+            )
+        with wave.open(io.BytesIO(b)) as w:
+            n, ch, width, sr = (
+                w.getnframes(), w.getnchannels(), w.getsampwidth(), w.getframerate()
+            )
+            raw = w.readframes(n)
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:  # unsigned 8-bit
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            raise NotImplementedError(f"sample width {width}")
+        mono = x.reshape(-1, ch).mean(axis=1)
+        if sr == sample_rate or len(mono) == 0:
+            return mono.astype(np.float32)
+        t_out = np.arange(round(len(mono) * sample_rate / sr)) / sample_rate
+        t_in = np.arange(len(mono)) / sr
+        return np.interp(t_out, t_in, mono).astype(np.float32)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "audio decode requires an audio library (soundfile/librosa) "
-            "not available in this environment; swap this kernel body"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            out = [None if b is None else _decode(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "samples": out})
 
     return media.mapInPandas(kernel, schema=out_schema)
 
