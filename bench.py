@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "set_except_all_parts",
     "text_tfidf_top_terms",
     "exact_knn_filtered",
+    "window_percent_rank",
+    "window_trailing_hour",
+    "event_session_windows",
 ]
 
 

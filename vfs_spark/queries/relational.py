@@ -1353,3 +1353,99 @@ def q_set_except_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = li.where(F.col("l_returnflag") == "R").select("l_partkey")
     a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
     return r.exceptAll(a)
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+SELECT o_orderkey,
+       ROUND(percent_rank() OVER (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice, o_orderkey), 6) AS pr
+FROM orders
+""",
+)
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of each order's price within its status class
+    (percent_rank = (rank-1)/(n-1)) — the normalized-rank shape used
+    for percentile features. The value is a division of exact
+    integers, bit-identical across engines; the (price, key) tiebreak
+    makes the underlying rank deterministic. One status shuffle."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@query(
+    "window_trailing_hour",
+    oracle="""
+SELECT event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+         AS hr_sum
+FROM events
+""",
+)
+def q_window_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour running total per user — a RANGE (value-based)
+    frame over event TIME, not a ROWS frame over event COUNT: the
+    frame holds however many events fell in the last hour. Ordering
+    key is exact integer microseconds on both engines (Spark
+    unix_micros / DuckDB epoch_us) so frame boundaries are identical;
+    a fractional-seconds epoch would drift. One user_id shuffle,
+    O(frame) running state per row."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600000000, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("hr_sum"),
+    )
+
+
+@query(
+    "event_session_windows",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess
+  FROM o
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sess
+""",
+)
+def q_event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via Spark's BUILT-IN session_window aggregate
+    (gap 30 min) — the declarative sibling of sessionize_events' lag +
+    running-sum plan, one groupBy instead of two windows. The oracle
+    re-derives sessions with the gap-break formulation and must agree
+    exactly; Spark's window is [start, last+gap), so a gap of EXACTLY
+    30 min starts a new session — hence `>=` in the oracle's break
+    (`>` would merge that boundary case). Same single user-shuffle
+    scale shape; Catalyst merges session fragments map-side."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
