@@ -188,3 +188,21 @@ def test_pq_search_and_snapshot_roundtrip(spark, tmp_path):
 
     e2.insert([[0.0] * 8])
     assert e2._pq_cache is None  # invalidated: index no longer covers store
+
+
+def test_delete_copy_on_write(spark, tmp_path):
+    """delete() removes exactly the tombstoned ids via an atomic
+    store rewrite, keeps everything else readable, invalidates fitted
+    indexes, and reports the removed count."""
+    e = VFSEngine(spark, str(tmp_path / "store"))
+    e.init(vector_dimension=4)
+    ids = e.insert([[float(i), 0.0, 0.0, 0.0] for i in range(20)])
+    e.search([1.0, 0.0, 0.0, 0.0], top_k=3, search_type="ivf").collect()
+    assert e._ivf_cache is not None
+    removed = e.delete([ids[0], ids[5], ids[7], 9999])
+    assert removed == 3  # 9999 never existed
+    assert e._ivf_cache is None  # index no longer covers the store
+    left = {r["id"] for r in e.vectors().select("id").collect()}
+    assert left == set(ids) - {ids[0], ids[5], ids[7]}
+    assert e.get(ids[5]) is None
+    assert e.get(ids[1]) is not None

@@ -212,6 +212,36 @@ class VFSEngine:
         """No-op with commit semantics: Parquet appends are durable at
         write time (the memtable lives inside the writer)."""
 
+    # -- delete (no reference analogue: the store is append-only) ---------
+    def delete(self, vec_ids: Sequence[int]) -> int:
+        """Delete by id — the CRUD verb the reference's append-only log
+        cannot express (storage_manager.rs:120-141). Copy-on-write:
+        rewrite the store minus the tombstoned ids (broadcast anti
+        join — only the id set shuffles) and atomically swap the
+        directory. At 100 TB with an id-range-partitioned store, only
+        partitions containing deleted ids rewrite. Returns the number
+        of rows removed; invalidates fitted indexes (they cover rows
+        that no longer exist)."""
+        if not self._have_data():
+            return 0
+        ids_df = self.spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "id long"
+        )
+        df = self.spark.read.parquet(self._data_dir)
+        before = df.count()
+        kept = df.join(F.broadcast(ids_df), "id", "left_anti")
+        tmp = self._data_dir + ".rewrite"
+        kept.write.mode("overwrite").parquet(tmp)
+        removed = before - self.spark.read.parquet(tmp).count()
+        old = self._data_dir + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(self._data_dir, old)
+        os.rename(tmp, self._data_dir)
+        shutil.rmtree(old)
+        self._invalidate_index()
+        return removed
+
     # -- /snapshot + /restore (storage_manager.rs:367-427) ----------------
     _SNAPSHOT_NAME = re.compile(r"[A-Za-z0-9_.-]+")
 
