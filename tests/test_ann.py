@@ -222,3 +222,17 @@ def test_pq_encode_arrow_matches_catalyst(emb, pq):
     a = {r["vec_id"]: list(r["codes"]) for r in arrow.collect()}
     c = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
     assert a == c
+
+
+def test_ivf_search_batch_empty_queries_schema(spark, sf_dir):
+    """An empty query batch must return the SAME schema as the
+    non-empty path (query_id included) so downstream selects work."""
+    from vfs_spark.operators import ann as ann_ops
+    from vfs_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=4)
+    empty_q = spark.createDataFrame([], "query_id long, query_vec array<double>")
+    out = ann_ops.ivf_search_batch(km, assigned, empty_q, k=3, nprobe=2)
+    assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "dist"]
+    assert out.count() == 0

@@ -21,8 +21,6 @@ ROWS_ONLY_ALLOWED = {
     "dedup_clusters_banded",  # MinHash candidate edges (production twin of dedup_clusters)
     "dedup_simhash",  # md5 hash family
     "dedup_simhash_jvm",  # xxhash64 hash family
-    "agg_approx_distinct",  # HLL sketch
-    "agg_approx_percentiles",  # t-digest sketch (tolerance-gated vs exact)
     "ann_pq",  # PQ codebooks are KMeans-derived; recall-gated in test_ann.py
 }
 

@@ -206,3 +206,73 @@ def test_delete_copy_on_write(spark, tmp_path):
     assert left == set(ids) - {ids[0], ids[5], ids[7]}
     assert e.get(ids[5]) is None
     assert e.get(ids[1]) is not None
+
+
+def test_insert_explicit_scale_factor(spark, tmp_path):
+    """Per-insert explicit scale (register_vector_from_simd,
+    storage_manager.rs:338-364; Vector::quantize(Some(scale)),
+    vector.rs:94-108): no clamp, values round-trip at q/scale, and
+    batches with different scales coexist in one store (per-row
+    q_scale)."""
+    e = VFSEngine(spark, str(tmp_path / "sstore"))
+    e.init(vector_dimension=3, quantize_storage=True)
+    ids_a = e.insert([[3.7, -2.2, 12.0]], scale_factor=10.0)
+    ids_b = e.insert([[0.5, -0.5, 1.0]])  # default clamp-and-127 path
+    got_a = e.get(ids_a[0])["embedding"]
+    for x, want in zip(got_a, [3.7, -2.2, 12.0]):
+        assert abs(x - want) <= 0.5 / 10.0 + 1e-6  # NOT clamped to [-1,1]
+    got_b = e.get(ids_b[0])["embedding"]
+    for x, want in zip(got_b, [0.5, -0.5, 1.0]):
+        assert abs(x - want) <= 1.0 / 254 + 1e-6
+
+
+def test_restore_legacy_snapshot_layout(spark, tmp_path):
+    """A snapshot whose parquet files sit at the snapshot ROOT (the
+    pre-data/-subdir layout) must restore, not silently wipe the live
+    store."""
+    import os
+    import shutil
+
+    e = VFSEngine(spark, str(tmp_path / "lstore"))
+    e.init(vector_dimension=2)
+    e.insert([[1.0, 2.0], [3.0, 4.0]])
+    legacy = os.path.join(str(tmp_path / "lstore"), "snapshots", "legacy")
+    shutil.copytree(e._data_dir, legacy)  # old copytree-style snapshot
+    e.insert([[9.0, 9.0]])
+    assert e.vectors().count() == 3
+    e.restore("legacy")
+    assert e.vectors().count() == 2  # restored, store NOT destroyed
+    assert e.next_id() == 3
+
+
+def test_interrupted_delete_recovery(spark, tmp_path):
+    """Crash between delete()'s two renames must be recoverable by
+    init(): a completed rewrite (_SUCCESS) is promoted; an incomplete
+    one is discarded and the .old original rolled back."""
+    import os
+    import shutil
+
+    # (a) completed rewrite, data dir gone -> promote the rewrite
+    e = VFSEngine(spark, str(tmp_path / "r1"))
+    e.init(vector_dimension=2)
+    e.insert([[1.0, 1.0], [2.0, 2.0]])
+    d = e._data_dir
+    shutil.copytree(d, d + ".rewrite")  # has _SUCCESS from the write
+    os.rename(d, d + ".old")
+    e2 = VFSEngine(spark, str(tmp_path / "r1"))
+    e2.init(vector_dimension=2)
+    assert e2.vectors().count() == 2
+    assert not os.path.isdir(d + ".old") and not os.path.isdir(d + ".rewrite")
+
+    # (b) incomplete rewrite (no _SUCCESS) -> roll back to .old
+    e3 = VFSEngine(spark, str(tmp_path / "r2"))
+    e3.init(vector_dimension=2)
+    e3.insert([[5.0, 5.0]])
+    d3 = e3._data_dir
+    shutil.copytree(d3, d3 + ".rewrite")
+    os.remove(os.path.join(d3 + ".rewrite", "_SUCCESS"))
+    os.rename(d3, d3 + ".old")
+    e4 = VFSEngine(spark, str(tmp_path / "r2"))
+    e4.init(vector_dimension=2)
+    assert e4.vectors().count() == 1
+    assert not os.path.isdir(d3 + ".old") and not os.path.isdir(d3 + ".rewrite")

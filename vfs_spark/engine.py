@@ -20,7 +20,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vfs_spark.functions.quantize import dequantize, quantize
+from vfs_spark.functions.quantize import DEFAULT_SCALE, dequantize, quantize
 from vfs_spark.operators.knn import exact_knn
 from vfs_spark.schema import VFS_VECTOR_SCHEMA
 
@@ -51,9 +51,27 @@ class VFSEngine:
     ) -> None:
         self.vector_dimension = vector_dimension
         self.quantize_on_write = quantize_storage
+        self._recover_interrupted_rewrite()
         if truncate_data and os.path.isdir(self._data_dir):
             shutil.rmtree(self._data_dir)
         os.makedirs(self.storage_dir, exist_ok=True)
+
+    def _recover_interrupted_rewrite(self) -> None:
+        """Finish or roll back a delete() rewrite interrupted between
+        its two directory renames (see delete): a completed rewrite
+        (marked by Spark's _SUCCESS file) is promoted to the data dir;
+        an incomplete one is discarded and the saved .old restored."""
+        d = self._data_dir
+        old, tmp = d + ".old", d + ".rewrite"
+        if not os.path.isdir(d):
+            if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                os.rename(tmp, d)
+            elif os.path.isdir(old):
+                os.rename(old, d)
+        if os.path.isdir(d):
+            for leftover in (old, tmp):
+                if os.path.isdir(leftover):
+                    shutil.rmtree(leftover)
 
     @property
     def _data_dir(self) -> str:
@@ -71,10 +89,17 @@ class VFSEngine:
         vectors: Sequence[Sequence[float]],
         names: Sequence[str] | None = None,
         tags: Sequence[Sequence[str]] | None = None,
+        scale_factor: float | None = None,
     ) -> list[int]:
         """Insert a batch; assigns dense ids continuing from the stored
         max (next_id, storage_manager.rs:126-130). Dimension enforced
-        as in tcp.rs:306-311."""
+        as in tcp.rs:306-311. `scale_factor` mirrors the reference's
+        per-insert explicit scale (register_vector_from_simd,
+        storage_manager.rs:338-364; Vector::quantize(Some(scale)),
+        vector.rs:94-108): when the store quantizes at rest, this batch
+        is quantized with the given scale and NO clamp; the scale is
+        stored per-row (q_scale) so reads dequantize transparently.
+        Ignored (like the reference) when the store is float-at-rest."""
         if self.vector_dimension is None:
             raise RuntimeError("engine not initialized (POST /init first)")
         for v in vectors:
@@ -95,7 +120,7 @@ class VFSEngine:
             for i, v in enumerate(vectors)
         ]
         df = self.spark.createDataFrame(rows, schema=VFS_VECTOR_SCHEMA)
-        self._flush(df)
+        self._flush(df, scale_factor=scale_factor)
         self._invalidate_index()  # index no longer covers the store
         return [r[0] for r in rows]
 
@@ -110,11 +135,19 @@ class VFSEngine:
             self._pq_cache[1].unpersist()
             self._pq_cache = None
 
-    def _flush(self, df: DataFrame) -> None:
+    def _flush(self, df: DataFrame, scale_factor: float | None = None) -> None:
         """Memtable flush analogue (storage_manager.rs:139-162):
-        optionally quantize at rest, append, keep id stats tight."""
+        optionally quantize at rest (per-row q_scale recorded so mixed-
+        scale stores dequantize correctly), append, keep id stats tight."""
         if self.quantize_on_write:
-            df = df.withColumn("embedding_q", quantize("embedding")).drop("embedding")
+            df = (
+                df.withColumn("embedding_q", quantize("embedding", scale_factor))
+                .withColumn(
+                    "q_scale",
+                    F.lit(float(scale_factor if scale_factor is not None else DEFAULT_SCALE)),
+                )
+                .drop("embedding")
+            )
         df.sortWithinPartitions("id").write.mode("append").parquet(self._data_dir)
 
     # -- full collection view ---------------------------------------------
@@ -125,9 +158,12 @@ class VFSEngine:
             return self.spark.createDataFrame([], schema=VFS_VECTOR_SCHEMA)
         df = self.spark.read.parquet(self._data_dir)
         if "embedding_q" in df.columns:
+            scale = (
+                F.col("q_scale") if "q_scale" in df.columns else F.lit(DEFAULT_SCALE)
+            )
             df = df.withColumn(
-                "embedding", dequantize("embedding_q").cast("array<float>")
-            ).drop("embedding_q")
+                "embedding", dequantize("embedding_q", scale).cast("array<float>")
+            ).drop("embedding_q", "q_scale")
         return df
 
     def next_id(self) -> int:
@@ -217,11 +253,15 @@ class VFSEngine:
         """Delete by id — the CRUD verb the reference's append-only log
         cannot express (storage_manager.rs:120-141). Copy-on-write:
         rewrite the store minus the tombstoned ids (broadcast anti
-        join — only the id set shuffles) and atomically swap the
-        directory. At 100 TB with an id-range-partitioned store, only
-        partitions containing deleted ids rewrite. Returns the number
-        of rows removed; invalidates fitted indexes (they cover rows
-        that no longer exist)."""
+        join — only the id set shuffles), then swap the directory in
+        two renames. The swap is NOT atomic — a crash between the
+        renames leaves no data dir — but it is always recoverable:
+        the fully-written rewrite (marked _SUCCESS) and the .old
+        original both survive, and init() promotes/rolls back via
+        _recover_interrupted_rewrite. At 100 TB with an id-range-
+        partitioned store, only partitions containing deleted ids
+        rewrite. Returns the number of rows removed; invalidates
+        fitted indexes (they cover rows that no longer exist)."""
         if not self._have_data():
             return 0
         ids_df = self.spark.createDataFrame(
@@ -298,10 +338,18 @@ class VFSEngine:
             raise FileNotFoundError(src)
         self._invalidate_index()
         data_src = os.path.join(src, "data")
+        legacy_parquet = [f for f in os.listdir(src) if f.endswith(".parquet")]
         if os.path.isdir(data_src):
             df = self.spark.read.parquet(data_src)
             df.write.mode("overwrite").parquet(self._data_dir)
+        elif legacy_parquet:
+            # legacy layout (pre-data/-subdir snapshots): parquet files
+            # sit at the snapshot ROOT. Restore them — wiping the live
+            # store here would destroy data while restoring nothing.
+            df = self.spark.read.parquet(os.path.join(src, "*.parquet"))
+            df.write.mode("overwrite").parquet(self._data_dir)
         elif os.path.isdir(self._data_dir):
+            # snapshot of an empty store: restoring it empties the store
             shutil.rmtree(self._data_dir)
         index_dir = os.path.join(src, "index")
         if os.path.isdir(index_dir):

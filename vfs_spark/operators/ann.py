@@ -128,15 +128,31 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_clusters: int = 16,
     seed: int = SEED,
+    fit_sample_rows: int | None = 200_000,
 ):
     """Coarse-quantize the collection with KMeans; returns
     (kmeans_model, df + cluster_id). At scale, write the result
-    partitioned by cluster_id so ivf_search prunes partitions."""
+    partitioned by cluster_id so ivf_search prunes partitions.
+
+    The KMeans FIT runs on a bounded seeded sample (`fit_sample_rows`
+    cap, same policy as fit_pq_codebooks): a coarse quantizer with
+    n_clusters ≤ a few thousand converges on a sample orders of
+    magnitude smaller than the collection, so at 100 TB index
+    construction stays a constant-cost step while the ASSIGN pass
+    (one transform over the full collection) scales with the cluster.
+    Collections at or under the cap fit on every row — unchanged
+    behavior at test scale."""
     from pyspark.ml.clustering import KMeans
 
     vdf = _to_vector_df(df, vec_col)
+    fit_df = vdf
+    if fit_sample_rows is not None:
+        n = df.count()
+        if n > fit_sample_rows:
+            frac = min(1.0, 1.2 * fit_sample_rows / n)
+            fit_df = vdf.sample(fraction=frac, seed=seed).limit(fit_sample_rows)
     km = KMeans(k=n_clusters, seed=seed, featuresCol="features")
-    model = km.fit(vdf)
+    model = km.fit(fit_df)
     assigned = model.transform(vdf).withColumnRenamed("prediction", "cluster_id")
     return model, assigned
 
@@ -194,16 +210,19 @@ def ivf_search_batch(
     single-query form (rank.rs:189-268's batch analogue)."""
     import numpy as np
 
+    spark = assigned_df.sparkSession
     qrows = queries.select(query_id_col, query_vec_col).collect()
     if not qrows:
-        return ivf_search(km_model, assigned_df, [0.0], k=k, nprobe=0, id_col=id_col).limit(0)
+        # schema must match the non-empty path (query_id included)
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, dist double"
+        )
     centers = np.stack([np.asarray(c) for c in km_model.clusterCenters()])
     routing = []
     for r in qrows:
         q = np.asarray(r[1], dtype=float)
         for c in np.argsort(((centers - q) ** 2).sum(axis=1))[:nprobe]:
             routing.append((int(r[0]), int(c), [float(x) for x in r[1]]))
-    spark = assigned_df.sparkSession
     route_df = spark.createDataFrame(
         routing, f"{query_id_col} long, cluster_id int, {query_vec_col} array<double>"
     )
@@ -297,19 +316,23 @@ def fit_pq_codebooks(
     tests/test_ann.py's gate; m=8 → 0.86-0.90).
 
     The fit deliberately runs on a BOUNDED driver-side sample
-    (`sample_rows` cap, deterministic take after a seeded sort-free
-    sample): codebook estimation converges on samples orders of
-    magnitude smaller than the collection, so at 100 TB this stays a
-    constant-cost step while ENCODE and SEARCH — the per-row work —
-    are pure Catalyst expressions that scale with the cluster.
+    (`sample_rows` cap): codebook estimation converges on samples
+    orders of magnitude smaller than the collection, so at 100 TB this
+    stays a constant-cost step while ENCODE and SEARCH — the per-row
+    work — are pure Catalyst expressions that scale with the cluster.
+    When the collection exceeds the cap, rows are drawn by a SEEDED
+    Bernoulli sample across all partitions (not a first-partitions
+    take, which would train biased codebooks on a store clustered by
+    label/time/ingest order); at or under the cap every row is used.
     Returns a list of m (k × d/m) float lists."""
     import numpy as np
 
-    rows = (
-        df.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .limit(sample_rows)
-        .collect()
-    )
+    sample = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    n = df.count()
+    if n > sample_rows:
+        frac = min(1.0, 1.2 * sample_rows / n)
+        sample = sample.sample(fraction=frac, seed=seed)
+    rows = sample.limit(sample_rows).collect()
     X = np.asarray([r["v"] for r in rows], dtype=np.float64)
     d = X.shape[1]
     if d % m != 0:

@@ -431,6 +431,19 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # exiting by exhaustion means labels were still moving: a
+        # component with diameter > max_iter would keep several
+        # "canonical" labels and silently under-merge its cluster.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: {changed} labels still changing "
+            f"after max_iter={max_iter} rounds — clusters may be "
+            "split; raise max_iter for deep-chain graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").alias(id_col), F.col("comp").alias("cluster_id")
     )

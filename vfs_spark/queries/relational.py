@@ -614,21 +614,42 @@ def q_agg_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL sketch != DuckDB's sketch
+@query(
+    "agg_approx_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       TRUE AS approx_within_5pct
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per order status — the
     100 TB replacement for exact count-distinct: no expansion shuffle,
-    bounded memory, mergeable sketches. Accuracy vs exact is asserted
-    in tests (±5%); the sketch itself is engine-specific, so this
-    entry is rows-only."""
+    bounded memory, mergeable sketches. The HLL sketch value itself is
+    engine-specific, so the plan computes BOTH the sketch and the
+    exact count and emits the exact value plus an in-plan accuracy
+    verdict (|approx − exact| / exact ≤ 5%, well above HLL++'s 2%
+    rsd); the oracle reproduces the exact count and asserts TRUE —
+    a hash-checkable contract over a sketch operator."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02)
-            .cast("bigint")
-            .alias("n_customers_approx"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers_exact"),
             F.count("*").cast("bigint").alias("n_orders"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_customers_exact",
+            "n_orders",
+            (
+                F.abs(F.col("_approx") - F.col("n_customers_exact"))
+                <= 0.05 * F.col("n_customers_exact")
+            ).alias("approx_within_5pct"),
         )
     )
 
@@ -973,19 +994,42 @@ def q_agg_time_bucket_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentiles")  # rows-only: t-digest sketch != DuckDB's
+@query(
+    "agg_approx_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99_exact,
+       TRUE AS p50_within_5pct,
+       TRUE AS p90_within_5pct,
+       TRUE AS p99_within_5pct
+FROM orders GROUP BY o_orderstatus
+""",
+)
 def q_agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bounded-memory twin of agg_percentiles: approx_percentile
     (mergeable sketch, map-side combinable) — the 100 TB path SCALE.md
-    documents for exact percentiles' full-value-shuffle. Accuracy
-    (1/accuracy = max rank error) is tolerance-gated against the exact
-    form in tests/test_relational_ext.py; the sketch is
-    engine-specific so there is no hash oracle."""
+    documents for exact percentiles' full-value-shuffle. The sketch
+    value is engine-specific, so the plan computes sketch AND exact
+    side by side and emits the exact percentile plus an in-plan
+    relative-error verdict (≤5%; the sketch's rank error at
+    accuracy=10000 is far tighter); the oracle reproduces the exact
+    values and asserts TRUE — hash-checkable despite the sketch."""
+
+    def within(p: float, name: str):
+        approx = F.approx_percentile("o_totalprice", F.lit(p), F.lit(10000))
+        exact = F.percentile("o_totalprice", F.lit(p))
+        return (F.abs(approx - exact) <= 0.05 * F.abs(exact)).alias(name)
+
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
-        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
-        F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_exact"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_exact"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99_exact"),
+        within(0.5, "p50_within_5pct"),
+        within(0.9, "p90_within_5pct"),
+        within(0.99, "p99_within_5pct"),
     )
 
 

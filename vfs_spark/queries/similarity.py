@@ -320,6 +320,29 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_blocks(media, src=(32, 32), dst=(8, 8))
 
 
+# PQ index cache: fit-once/query-many, same policy as VFSEngine's
+# _lsh/_ivf/_pq caches (SURVEY Q3 — refitting per search call is the
+# reference's anti-pattern). Keyed by (application id, sf_dir) so a
+# fresh SparkSession never reuses another session's cached plan.
+_PQ_INDEX_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """Fitted PQ codebooks + the encoded codes table, cached. The
+    encode runs through the Arrow/NumPy kernel (encode_pq_arrow, 31×
+    the Catalyst form at 2M vectors — byte-identical output asserted
+    in tests/test_ann.py); at 100 TB the codes table would be a
+    persisted parquet column written once at ingest."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_INDEX_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+        books = ann_ops.fit_pq_codebooks(emb)
+        enc = ann_ops.encode_pq_arrow(emb, books).cache()
+        enc.count()
+        _PQ_INDEX_CACHE[key] = (books, enc)
+    return _PQ_INDEX_CACHE[key]
+
+
 @query("ann_pq")  # rows-only: recall-gated in tests/test_ann.py
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized search: m=16 sub-codebooks compress dim-64
@@ -329,10 +352,11 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recall@10 = 0.975 measured). The compression step the reference's
     flat int8 quantization (vector.rs:94-125) points toward — at
     100 TB the code scan reads 1/16th the bytes, and the codebook fit
-    is a bounded-sample constant cost."""
+    is a bounded-sample constant cost. Fit + Arrow encode are cached
+    (fit-once/query-many); encode_pq is the Catalyst twin of the
+    encode kernel, kept for the oracle-style byte-identity check."""
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
-    books = ann_ops.fit_pq_codebooks(emb)
-    enc = ann_ops.encode_pq(emb, books)  # Catalyst form; encode_pq_arrow is the write-path twin (31× at 2M)
+    books, enc = _pq_index(spark, sf_dir)
     return ann_ops.pq_search_rerank(
         enc, emb, books, _query_vec(spark, sf_dir), k=10, shortlist=100
     )
