@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "window_moving_avg",
     "unpivot_user_metrics",
     "ann_pq",
+    "ann_pq_batch",
     "window_order_share",
     "set_except_all_parts",
     "text_tfidf_top_terms",

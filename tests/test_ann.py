@@ -236,3 +236,46 @@ def test_ivf_search_batch_empty_queries_schema(spark, sf_dir):
     out = ann_ops.ivf_search_batch(km, assigned, empty_q, k=3, nprobe=2)
     assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "dist"]
     assert out.count() == 0
+
+
+def test_pq_batch_matches_single_and_recall(emb, pq):
+    """pq_search_rerank_batch must agree with the single-query rerank
+    for each query in the batch (same codes, same shortlist, same
+    rerank) and clear the recall gate vs exact."""
+    from vfs_spark.operators.knn import exact_knn
+
+    books, enc = pq
+    queries_df = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    batch = ann_ops.pq_search_rerank_batch(
+        enc, emb, books, queries_df, k=10, shortlist=100
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["dist"]))
+    assert set(by_q) == {0, 1, 2, 3}
+    recalls = []
+    for r in emb.where(F.col("vec_id") < 4).collect():
+        qid, qvec = r["vec_id"], r["embedding"]
+        single = [
+            (x["vec_id"], x["dist"])
+            for x in ann_ops.pq_search_rerank(
+                enc, emb, books, qvec, k=10, shortlist=100
+            ).collect()
+        ]
+        assert by_q[qid] == single, qid
+        ex = exact_knn(emb, qvec, k=10)
+        got = {v for v, _ in by_q[qid]}
+        exact_ids = {x["vec_id"] for x in ex.collect()}
+        recalls.append(len(got & exact_ids) / len(exact_ids))
+    assert sum(recalls) / len(recalls) >= 0.7  # same gate as single-query
+
+
+def test_pq_batch_empty_queries_schema(spark, emb, pq):
+    books, enc = pq
+    empty_q = spark.createDataFrame([], "query_id long, query_vec array<double>")
+    out = ann_ops.pq_search_batch(enc, books, empty_q, k=3)
+    assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "dist"]
+    assert out.count() == 0

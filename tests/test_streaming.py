@@ -256,3 +256,50 @@ def test_stream_apply_cdc_versions_and_last_wins(spark, sf_dir, tmp_path):
     assert labels[20] == orig[20] + 200      # batch 2
     assert labels[10] in (orig[10] + 100, orig[10] + 200) and labels[10] == orig[10] + 200  # last wins
     assert labels[0] == orig[0] + 100        # batch 1 survives batch 2
+
+
+def test_compact_ivf_store_preserves_results(spark, sf_dir, tmp_path):
+    """Compaction must collapse small-file partitions to one file each
+    without changing search results (same rows, same pruned scan)."""
+    import os
+
+    from vfs_spark.operators import ann as ann_ops
+    from vfs_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=4)
+    dest = str(tmp_path / "ivf_compact")
+    # simulate many micro-batch appends: 5 small appends per partition
+    for _ in range(5):
+        assigned.limit(50).select(
+            "vec_id", "embedding", "cluster_id"
+        ).write.mode("append").partitionBy("cluster_id").parquet(dest)
+
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    before = [
+        tuple(r)
+        for r in ann_ops.ivf_search_partitioned(
+            spark, km, dest, qvec, k=5, nprobe=4
+        ).collect()
+    ]
+    parts = [d for d in os.listdir(dest) if d.startswith("cluster_id=")]
+    n_before = {
+        d: sum(1 for f in os.listdir(os.path.join(dest, d)) if f.endswith(".parquet"))
+        for d in parts
+    }
+    assert any(n > 1 for n in n_before.values())
+
+    compacted = ingest.compact_ivf_store(spark, dest, max_files_per_cluster=1)
+    assert set(compacted) == {d for d, n in n_before.items() if n > 1}
+    for d in compacted:
+        files = [
+            f for f in os.listdir(os.path.join(dest, d)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, d
+    after = [
+        tuple(r)
+        for r in ann_ops.ivf_search_partitioned(
+            spark, km, dest, qvec, k=5, nprobe=4
+        ).collect()
+    ]
+    assert before == after

@@ -130,6 +130,19 @@ def main() -> None:
             "pq_rerank_search",
             lambda: pq_search_rerank(enc, emb, books, q, k=10, shortlist=100).collect(),
         )
+        from vfs_spark.operators.ann import pq_search_rerank_batch
+
+        # batch serving comparison vs knn_batch100_arrow: same 100
+        # queries, ADC shortlist + rerank instead of full float matmul
+        timed(
+            "pq_batch100_rerank",
+            lambda: pq_search_rerank_batch(
+                enc, emb, books, queries_df, k=5, shortlist=100
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
 
         timed(
             "dedup_minhash_native",

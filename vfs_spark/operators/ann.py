@@ -457,6 +457,119 @@ def pq_search_rerank(
     )
 
 
+def pq_search_batch(
+    encoded_df: DataFrame,
+    codebooks,
+    queries_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch ADC: the many-queries form of pq_search (ivf_search_batch's
+    move applied to PQ). One driver pass builds each query's m×k
+    lookup table (|Q|·m·k floats — constant for a serving batch),
+    ships ALL tables as one broadcast, and every code row is scored
+    against every query with m lookups + a sum — the collection is
+    scanned ONCE for the whole batch, reading only the code column.
+    Per-query top-k via rank window (only scored pairs shuffle)."""
+    import numpy as np
+
+    spark = encoded_df.sparkSession
+    qrows = queries_df.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, dist double"
+        )
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    tbl_rows = []
+    for r in qrows:
+        q = np.asarray(r[1], dtype=np.float64)
+        table = []
+        for j in range(m):
+            qj = q[j * sub : (j + 1) * sub]
+            C = np.asarray(codebooks[j], dtype=np.float64)
+            table.append([float(((qj - c) ** 2).sum()) for c in C])
+        tbl_rows.append((int(r[0]), table))
+    tbl_df = spark.createDataFrame(
+        tbl_rows, f"{query_id_col} long, tbl array<array<double>>"
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("tbl"),
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = encoded_df.crossJoin(F.broadcast(tbl_df)).select(
+        query_id_col, id_col, F.round(F.sqrt(adc), 6).alias("dist")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def pq_search_rerank_batch(
+    encoded_df: DataFrame,
+    full_df: DataFrame,
+    codebooks,
+    queries_df: DataFrame,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch two-stage serving: ADC shortlists `shortlist` candidates
+    per query from codes alone, then ONLY those (query, candidate)
+    pairs hydrate float vectors (broadcast of |Q|·shortlist id pairs —
+    the big table never shuffles) and re-score exactly. The batch twin
+    of pq_search_rerank with the same output contract per query."""
+    cand = pq_search_batch(
+        encoded_df,
+        codebooks,
+        queries_df,
+        k=shortlist,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+    qv = queries_df.select(
+        query_id_col, F.col(query_vec_col).cast("array<double>").alias("_qv")
+    )
+    exact = (
+        full_df.select(id_col, vec_col)
+        .join(F.broadcast(cand.select(query_id_col, id_col)), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(euclidean(vec_col, F.col("_qv")), 6).alias("dist"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def encode_pq_arrow(
     df: DataFrame, codebooks, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -343,6 +343,25 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return _PQ_INDEX_CACHE[key]
 
 
+@query("ann_pq_batch")  # rows-only: recall-gated in tests/test_ann.py
+def q_ann_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch PQ serving: 5 query vectors ADC-scored against the cached
+    code table in ONE scan (all m×k lookup tables broadcast together),
+    100-row shortlist per query, exact rerank on the hydrated pairs
+    only. The many-queries form of ann_pq — at 100 TB a serving batch
+    amortizes the code scan across the whole query set, the same move
+    knn_batch/ivf_search_batch make for their families."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    books, enc = _pq_index(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    return ann_ops.pq_search_rerank_batch(
+        enc, emb, books, queries_df, k=5, shortlist=100
+    )
+
+
 @query("ann_pq")  # rows-only: recall-gated in tests/test_ann.py
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized search: m=16 sub-codebooks compress dim-64

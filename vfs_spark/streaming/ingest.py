@@ -110,12 +110,51 @@ def stream_dedup(
     )
 
 
+def compact_ivf_store(
+    spark: SparkSession, store_dir: str, max_files_per_cluster: int = 4
+) -> list[str]:
+    """Compact the Hive-partitioned IVF store: every cluster partition
+    that accumulated more than `max_files_per_cluster` parquet files
+    from streaming micro-batch appends is rewritten into one file and
+    swapped in (write-to-sibling + two renames, recoverable like
+    VFSEngine.delete). Small-file buildup is the chronic failure mode
+    of foreachBatch appends — each micro-batch adds ≥1 file per
+    touched partition, and at 100 TB a month of 1-minute batches
+    makes scans open ~43k files per partition; compaction restores
+    one-seek reads while queries keep working between swaps (readers
+    hold the old files open; Parquet footers make the new file
+    self-describing). Returns the partitions rewritten."""
+    import os
+    import shutil
+
+    compacted = []
+    for entry in sorted(os.listdir(store_dir)):
+        pdir = os.path.join(store_dir, entry)
+        if not entry.startswith("cluster_id=") or not os.path.isdir(pdir):
+            continue
+        n_files = sum(1 for f in os.listdir(pdir) if f.endswith(".parquet"))
+        if n_files <= max_files_per_cluster:
+            continue
+        tmp = pdir + ".compact"
+        spark.read.parquet(pdir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = pdir + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(pdir, old)
+        os.rename(tmp, pdir)
+        shutil.rmtree(old)
+        compacted.append(entry)
+    return compacted
+
+
 def stream_append_ivf(
     vectors: DataFrame,
     km_model,
     dest_dir: str,
     checkpoint_dir: str,
     vec_col: str = "embedding",
+    compact_every: int | None = None,
+    max_files_per_cluster: int = 4,
 ):
     """Streaming index maintenance: each micro-batch of vectors is
     cluster-assigned with the (pre-fitted) KMeans coarse quantizer and
@@ -124,7 +163,10 @@ def stream_append_ivf(
     Re-fitting the quantizer is a periodic BATCH job (centroid drift
     is slow); the stream only assigns. Checkpointing makes the
     append exactly-once — the streaming twin of the reference's
-    memtable flush + index_map update (storage_manager.rs:139-157)."""
+    memtable flush + index_map update (storage_manager.rs:139-157).
+    With `compact_every=N`, every Nth micro-batch also compacts
+    partitions that crossed `max_files_per_cluster` files (see
+    compact_ivf_store) so steady-state scans stay one-seek."""
 
     def _flush(batch_df: DataFrame, batch_id: int) -> None:
         from vfs_spark.operators.ann import _to_vector_df
@@ -135,6 +177,10 @@ def stream_append_ivf(
             .drop("features")
         )
         assigned.write.mode("append").partitionBy("cluster_id").parquet(dest_dir)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_ivf_store(
+                batch_df.sparkSession, dest_dir, max_files_per_cluster
+            )
 
     return (
         vectors.writeStream.foreachBatch(_flush)
