@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "unpivot_user_metrics",
     "ann_pq",
     "ann_pq_batch",
+    "ann_ivfpq",
     "window_order_share",
     "set_except_all_parts",
     "text_tfidf_top_terms",

@@ -279,3 +279,23 @@ def test_pq_batch_empty_queries_schema(spark, emb, pq):
     out = ann_ops.pq_search_batch(enc, books, empty_q, k=3)
     assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "dist"]
     assert out.count() == 0
+
+
+def test_ivfpq_recall(emb, pq):
+    """IVFPQ (cluster pruning + ADC shortlist + rerank) must clear the
+    recall gate vs exact — probing 4/8 clusters with a 100-row
+    shortlist on the fixture keeps most true neighbors reachable."""
+    from vfs_spark.operators.knn import exact_knn
+
+    books, enc = pq
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=8)
+    assigned_enc = assigned.select("vec_id", "cluster_id").join(enc, "vec_id")
+    recalls = []
+    for r in emb.where(F.col("vec_id") < 4).collect():
+        qvec = r["embedding"]
+        ex = exact_knn(emb, qvec, k=10)
+        got = ann_ops.ivfpq_search(
+            km, assigned_enc, emb, books, qvec, k=10, nprobe=4, shortlist=100
+        )
+        recalls.append(ann_ops.recall_at_k(got, ex))
+    assert sum(recalls) / len(recalls) >= 0.6, recalls

@@ -570,6 +570,43 @@ def pq_search_rerank_batch(
     )
 
 
+def ivfpq_search(
+    km_model,
+    assigned_encoded_df: DataFrame,
+    full_df: DataFrame,
+    codebooks,
+    query,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ hybrid (the FAISS IVFPQ layout): the coarse quantizer
+    prunes to nprobe clusters — with the Hive-partitioned store that
+    is PARTITION pruning, nprobe/n_clusters of the files — and within
+    the probed cells only the 16-byte CODE column is ADC-scored;
+    float vectors are read for the `shortlist` rerank rows alone.
+    Compounding reductions at 100 TB: read nprobe/k of the partitions
+    × 1/16 of the bytes, then hydrate ~100 rows. Input
+    `assigned_encoded_df` carries (id, cluster_id, codes) — built by
+    build_ivf_index + encode_pq_arrow, both constant-cost fits."""
+    import numpy as np
+
+    q = np.asarray(list(query), dtype=np.float64)
+    centers = np.stack([np.asarray(c) for c in km_model.clusterCenters()])
+    nearest = np.argsort(((centers - q) ** 2).sum(axis=1))[:nprobe].tolist()
+    cand = assigned_encoded_df.where(F.col("cluster_id").isin(nearest))
+    short = pq_search(cand, codebooks, query, k=shortlist, id_col=id_col)
+    exact = full_df.join(F.broadcast(short.select(id_col)), id_col)
+    dist = F.round(euclidean(vec_col, array_lit(q)), 6).alias("dist")
+    return (
+        exact.select(F.col(id_col), dist)
+        .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def encode_pq_arrow(
     df: DataFrame, codebooks, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -343,6 +343,41 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return _PQ_INDEX_CACHE[key]
 
 
+_IVFPQ_INDEX_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """(kmeans_model, (id, cluster_id, codes) table): the IVFPQ index
+    at rest — coarse routing + compressed codes, both from bounded
+    constant-cost fits, cached fit-once/query-many."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVFPQ_INDEX_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+        books, enc = _pq_index(spark, sf_dir)
+        km, assigned = ann_ops.build_ivf_index(emb, n_clusters=16)
+        assigned_enc = (
+            assigned.select("vec_id", "cluster_id").join(enc, "vec_id").cache()
+        )
+        assigned_enc.count()
+        _IVFPQ_INDEX_CACHE[key] = (km, books, assigned_enc)
+    return _IVFPQ_INDEX_CACHE[key]
+
+
+@query("ann_ivfpq")  # rows-only: recall-gated in tests/test_ann.py
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ: coarse-quantizer routing prunes to 4 of 16 clusters
+    (partition pruning in the at-rest layout), ADC scores only the
+    probed cells' 16-byte codes, exact rerank hydrates a 100-row
+    shortlist. The compounding form of ann_ivf × ann_pq — at 100 TB
+    this reads nprobe/k of the partitions × 1/16 of the bytes."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    km, books, assigned_enc = _ivfpq_index(spark, sf_dir)
+    return ann_ops.ivfpq_search(
+        km, assigned_enc, emb, books, _query_vec(spark, sf_dir),
+        k=10, nprobe=4, shortlist=100,
+    )
+
+
 @query("ann_pq_batch")  # rows-only: recall-gated in tests/test_ann.py
 def q_ann_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch PQ serving: 5 query vectors ADC-scored against the cached
