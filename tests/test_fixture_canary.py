@@ -1,0 +1,80 @@
+"""Fixture-schema canary: if the driver silently regenerates a
+parquet fixture with a different encoding (as happened when events.ts
+went TIMESTAMP(NANOS) -> timestamp[us]/NTZ between rounds), fail HERE
+with an explicit message instead of 22 queries deep in a bench run.
+
+Asserts the post-loader dtypes — i.e. the contract every operator
+downstream of ``load_table`` relies on — not the raw on-disk types,
+which are allowed to vary as long as the loader normalizes them.
+"""
+
+import pytest
+
+from pyspark.sql import types as T
+
+from vfs_spark.sources.parquet import load_table
+
+# Column -> expected Spark type AFTER the loader's normalization.
+EXPECTED = {
+    "events": {
+        "event_id": T.LongType(),
+        "ts": T.TimestampType(),  # loader maps nanos-long / NTZ -> TIMESTAMP
+        "user_id": T.LongType(),
+        "event_type": T.StringType(),
+        "value": T.DoubleType(),
+        "props": T.StringType(),
+    },
+    "embeddings": {
+        "vec_id": T.LongType(),
+        "embedding": T.ArrayType(T.FloatType()),
+    },
+    "documents": {
+        "doc_id": T.LongType(),
+        "text": T.StringType(),
+    },
+    # o_orderdate / l_shipdate arrive as timestamp[us] -> NTZ; every
+    # TPC-H-shaped query (and its DuckDB oracle) is written against
+    # that, so NTZ *is* the working contract for these two — pin it.
+    "orders": {
+        "o_orderkey": T.LongType(),
+        "o_custkey": T.LongType(),
+        "o_totalprice": T.DoubleType(),
+        "o_orderdate": T.TimestampNTZType(),
+    },
+    "lineitem": {
+        "l_orderkey": T.LongType(),
+        "l_quantity": T.DoubleType(),
+        "l_extendedprice": T.DoubleType(),
+        "l_shipdate": T.TimestampNTZType(),
+    },
+    "customer": {"c_custkey": T.LongType()},
+    "supplier": {"s_suppkey": T.LongType()},
+    "part": {"p_partkey": T.LongType()},
+    "nation": {"n_nationkey": T.IntegerType()},
+    "region": {"r_regionkey": T.IntegerType()},
+}
+
+
+@pytest.mark.parametrize("table", sorted(EXPECTED))
+def test_fixture_schema_canary(spark, sf_dir, table):
+    schema = {f.name: f.dataType for f in load_table(spark, sf_dir, table).schema}
+    for col, want in EXPECTED[table].items():
+        assert col in schema, (
+            f"fixture regression: {table}.{col} missing — driver regenerated "
+            f"the fixture with a different schema? columns: {sorted(schema)}"
+        )
+        assert schema[col] == want, (
+            f"fixture regression: {table}.{col} loads as {schema[col]}, "
+            f"expected {want}. If the on-disk encoding changed, extend the "
+            f"normalization in vfs_spark/sources/parquet.py:_load_raw."
+        )
+
+
+def test_events_ts_is_tz_aware_not_ntz(spark, sf_dir):
+    # The specific round-3 regression: NTZ ts makes every unix_micros
+    # call site throw. The loader must hand downstream a tz-aware ts.
+    ts_type = load_table(spark, sf_dir, "events").schema["ts"].dataType
+    assert not isinstance(ts_type, T.TimestampNTZType), (
+        "events.ts reached query code as TIMESTAMP_NTZ — loader "
+        "normalization regressed (vfs_spark/sources/parquet.py:_load_raw)"
+    )

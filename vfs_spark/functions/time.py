@@ -1,0 +1,29 @@
+"""Time helpers shared by every operator doing epoch arithmetic.
+
+The fixture's on-disk ``ts`` encoding has changed across driver
+versions (TIMESTAMP(NANOS) -> int64-nanos legacy read ->
+timestamp[us]/TIMESTAMP_NTZ). The loader normalizes to tz-aware
+TIMESTAMP, but operators also receive caller-constructed DataFrames,
+so epoch arithmetic goes through :func:`ts_micros`, which tolerates
+either timestamp flavor instead of throwing AnalysisException.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def ts_micros(col) -> Column:
+    """Epoch microseconds of a timestamp column, accepting both
+    TIMESTAMP and TIMESTAMP_NTZ inputs.
+
+    ``unix_micros`` requires tz-aware TIMESTAMP; an NTZ column (what
+    Spark reads from plain ``timestamp[us]`` parquet) makes it throw.
+    Casting NTZ -> TIMESTAMP interprets the wall-clock in the session
+    timezone (UTC everywhere in this engine), so values are unchanged;
+    casting TIMESTAMP -> TIMESTAMP is a no-op. Integer microseconds —
+    not float seconds — so gap/bucket arithmetic is exact.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))

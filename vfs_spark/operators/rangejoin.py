@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vfs_spark.functions.time import ts_micros
+
 _BUCKET = "__rj_bucket"
 
 
@@ -40,15 +42,15 @@ def interval_join_bucketed(
     w_us = window_s * 1_000_000
 
     def bucket(ts_col: str):
-        return F.floor(F.unix_micros(F.col(ts_col)) / w_us)
+        return F.floor(ts_micros(ts_col) / w_us)
 
     l_exploded = left.withColumn(
         _BUCKET, F.explode(F.array(bucket(left_ts) - 1, bucket(left_ts)))
     )
     r_bucketed = right.withColumn(_BUCKET, bucket(right_ts))
-    lo = F.unix_micros(F.col(left_ts)) - w_us
-    hi = F.unix_micros(F.col(left_ts))
-    rt = F.unix_micros(F.col(right_ts))
+    lo = ts_micros(left_ts) - w_us
+    hi = ts_micros(left_ts)
+    rt = ts_micros(right_ts)
     return (
         l_exploded.join(r_bucketed, on + [_BUCKET])
         .where((rt >= lo) & (rt <= hi))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from vfs_spark.functions.time import ts_micros
 from vfs_spark.queries.registry import query
 from vfs_spark.sources.parquet import load_table
 
@@ -1441,7 +1442,7 @@ def q_window_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(frame) running state per row."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(ts_micros("ts"))
         .rangeBetween(-3600000000, Window.currentRow)
     )
     return _t(spark, sf_dir, "events").select(

@@ -70,14 +70,21 @@ def load_table(
 
 def _load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
-        # rejects; read the raw int64 nanos and truncate to micros with
-        # integer division (ns values ~1.7e18 exceed double's 2^53 exact
-        # range, so float division would drift by a microsecond).
+        # The events fixture's on-disk ts encoding has changed across
+        # driver versions; normalize every variant to tz-aware TIMESTAMP
+        # so downstream unix_micros()/window() call sites see one type:
+        #   - TIMESTAMP(NANOS): Spark's reader rejects it, so read the
+        #     raw int64 nanos (legacy conf) and truncate to micros with
+        #     integer division (ns values ~1.7e18 exceed double's 2^53
+        #     exact range; float division would drift by a microsecond).
+        #   - timestamp[us] (no tz) -> TIMESTAMP_NTZ: cast to TIMESTAMP.
+        #     Session tz is UTC, so wall-clock values are unchanged.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

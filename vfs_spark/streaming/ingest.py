@@ -15,22 +15,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vfs_spark.schema import EVENTS_SCHEMA
-
-
 def read_event_stream(
     spark: SparkSession, src_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
-    """File-source stream over the fixture events table (nanos ts
-    handled as in the batch loader)."""
+    """File-source stream over the fixture events table. readStream
+    needs an explicit schema, so sniff the batch reader's schema for
+    the actual on-disk ts encoding (int64 nanos vs timestamp[us] vs
+    tz-aware) and apply the same normalization as the batch loader —
+    one code path decides, both engines agree."""
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    batch_schema = (
+        spark.read.option("pathGlobFilter", glob).parquet(src_dir).schema
+    )
     df = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", glob)
         .parquet(src_dir)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = batch_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def windowed_counts(

@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.window import Window
 
+from vfs_spark.functions.time import ts_micros
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, sum_value double"
@@ -91,7 +93,7 @@ def sessionize_windowed(
     seconds cast would lose exactness near the 30-min boundary."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ts_us = F.unix_micros("ts")
+    ts_us = ts_micros("ts")
     prev_us = F.lag(ts_us).over(w)
     new_sess = F.when(
         prev_us.isNull() | ((ts_us - prev_us) > gap_s * 1_000_000), 1
