@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_minhash_mllib",
     "dedup_simhash",
+    "dedup_simhash_udf",
     "dedup_simhash_jvm",
     "multimodal_extract",
     "knn_batch_bruteforce",
@@ -115,7 +116,46 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    # FAULT ISOLATION CONTRACT: one broken query must cost exactly its
+    # own number, never the artifact. Round 3's bench crashed on query
+    # 22 of 88 and the round recorded ZERO numbers; every section below
+    # is therefore guarded, failures land in `errors`, and the JSON
+    # line prints unconditionally (even if the session itself dies).
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def guarded(name, fn):
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+
+    def timed(name, fn):
+        # one UNTIMED warm-up (Python/Arrow worker spawn, plan
+        # compile, one-time index fits), then best-of-2: r2's driver
+        # numbers recorded worker cold start (multimodal_embed 15.2 s
+        # recorded vs 1.4 s idle) — the measurement should be the
+        # plan's cost, not process churn or host-load noise.
+        def run():
+            fn()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
+
+        guarded(name, run)
+
+    try:
+        _suite(sf_dir, times, errors, timed, guarded)
+    except Exception as e:  # noqa: BLE001 — report, don't crash
+        errors["__suite__"] = f"{type(e).__name__}: {e}"[:300]
+    _report(sf_dir, times, errors)
+
+
+def _suite(sf_dir, times, errors, timed, guarded) -> None:
     from vfs_spark.session import get_spark
     from vfs_spark.queries import QUERIES
     from vfs_spark.operators import ann as ann_ops
@@ -125,28 +165,14 @@ def main() -> None:
     spark = get_spark("vfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    times: dict[str, float] = {}
-
-    def timed(name, fn):
-        # one UNTIMED warm-up (Python/Arrow worker spawn, plan
-        # compile, one-time index fits), then best-of-2: r2's driver
-        # numbers recorded worker cold start (multimodal_embed 15.2 s
-        # recorded vs 1.4 s idle) — the measurement should be the
-        # plan's cost, not process churn or host-load noise.
-        fn()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            fn()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
-
     # warm the JVM/session so query 1 doesn't pay startup, and spawn
     # the Python/Arrow worker pool once ahead of every pandas kernel
-    load_table(spark, sf_dir, "embeddings").count()
-    spark.range(32).repartition(32).mapInPandas(
-        lambda it: (pdf for pdf in it), "id long"
-    ).write.mode("overwrite").format("noop").save()
+    guarded("__warmup__", lambda: (
+        load_table(spark, sf_dir, "embeddings").count(),
+        spark.range(32).repartition(32).mapInPandas(
+            lambda it: (pdf for pdf in it), "id long"
+        ).write.mode("overwrite").format("noop").save(),
+    ))
 
     # -- vector engine ------------------------------------------------------
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
@@ -154,24 +180,38 @@ def main() -> None:
     queries_df = emb.where(F.col("vec_id") < n_q).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    batch_wall = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        _run(knn_batch(emb, queries_df, k=5))
-        batch_wall = min(batch_wall, time.time() - t0)
-    times["exact_knn_batch100"] = round(batch_wall, 3)
 
-    from vfs_spark.operators.knn import knn_batch_arrow
+    def batch_knn():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _run(knn_batch(emb, queries_df, k=5))
+            best = min(best, time.time() - t0)
+        times["exact_knn_batch100"] = round(best, 3)
 
-    arrow_wall = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        _run(knn_batch_arrow(emb, queries_df, k=5))
-        arrow_wall = min(arrow_wall, time.time() - t0)
-    times["exact_knn_batch100_arrow"] = round(arrow_wall, 3)
-    times["exact_knn_amortized_per_query"] = round(min(batch_wall, arrow_wall) / n_q, 4)
+    guarded("exact_knn_batch100", batch_knn)
+
+    def batch_knn_arrow():
+        from vfs_spark.operators.knn import knn_batch_arrow
+
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _run(knn_batch_arrow(emb, queries_df, k=5))
+            best = min(best, time.time() - t0)
+        times["exact_knn_batch100_arrow"] = round(best, 3)
+
+    guarded("exact_knn_batch100_arrow", batch_knn_arrow)
+    walls = [
+        times[k]
+        for k in ("exact_knn_batch100", "exact_knn_batch100_arrow")
+        if k in times
+    ]
+    if walls:
+        times["exact_knn_amortized_per_query"] = round(min(walls) / n_q, 4)
 
     def lsh():
+        t_lsh0 = time.time()
         model, vdf = ann_ops.build_lsh_index(emb)
         t_fit = time.time()
         times["lsh_index_build"] = round(t_fit - t_lsh0, 3)
@@ -179,8 +219,7 @@ def main() -> None:
         _run(ann_ops.approx_knn(model, vdf, q, k=5))
         times["lsh_query"] = round(time.time() - t_fit, 3)
 
-    t_lsh0 = time.time()
-    lsh()
+    guarded("lsh_query", lsh)
 
     # SISD-vs-SIMD axis from BASELINE.md: same exact-knn, distance as
     # (a) codegen column expr [exact_knn below] vs (b) Arrow+NumPy UDF.
@@ -200,33 +239,47 @@ def main() -> None:
 
     # one-time PQ fit + Arrow encode, timed explicitly (the ann_pq
     # query itself reuses this cache — fit-once/query-many, like LSH)
-    from vfs_spark.queries.similarity import _pq_index
+    def pq_build():
+        from vfs_spark.queries.similarity import _pq_index
 
-    t_pq0 = time.time()
-    _pq_index(spark, sf_dir)
-    times["pq_index_build"] = round(time.time() - t_pq0, 3)
+        t_pq0 = time.time()
+        _pq_index(spark, sf_dir)
+        times["pq_index_build"] = round(time.time() - t_pq0, 3)
 
-    registry_bench = BENCH_QUERIES
-    for name in registry_bench:
+    guarded("pq_index_build", pq_build)
+
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            errors[name] = "not in QUERIES registry"
+            continue
         timed(name, lambda n=name: _run(QUERIES[n](spark, sf_dir)))
 
-    total = round(sum(times.values()) - times["exact_knn_amortized_per_query"], 3)
+
+def _report(sf_dir, times, errors) -> None:
+    amortized = times.get("exact_knn_amortized_per_query", 0.0)
+    total = round(sum(times.values()) - amortized, 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     detail = {
         "metric": "headline-suite wall time at sf, warm-up + best-of-2 per query",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "errors": errors,
         "sf": sf,
     }
     # Full per-query breakdown goes to a FILE: r2's single in-line
     # breakdown outgrew the driver's stdout tail capture, which
     # truncated the line from the FRONT and lost the headline number.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-        "w",
-    ) as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # the printed line below is the artifact that matters
     # The printed line stays small and parse-proof: value first, then
     # only the slowest-15 breakdown.
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:15])
@@ -240,7 +293,10 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in slowest.items()},
         "sf": sf,
         "n_queries": len(times),
+        "n_errors": len(errors),
     }
+    if errors:
+        out["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
     print(json.dumps(out))
 
 

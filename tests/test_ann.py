@@ -299,3 +299,19 @@ def test_ivfpq_recall(emb, pq):
         )
         recalls.append(ann_ops.recall_at_k(got, ex))
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_lsh_multiprobe_recall_monotone(emb, qvec):
+    """The per-query recall knob (reference ef_search, tcp.rs:397-398):
+    widening probe_width grows the candidate set monotonically, so
+    recall vs exact must be non-decreasing — and at width 1 the bucket
+    predicate matches single-probe semantics."""
+    model, vdf = ann_ops.build_lsh_index(emb, num_hash_tables=3, bucket_length=1.0)
+    exact = exact_knn(emb, qvec, k=10)
+    recalls = []
+    for w in (1, 2, 4, 8):
+        got = ann_ops.approx_knn_multiprobe(model, vdf, qvec, k=10, probe_width=w)
+        assert got.count() <= 10
+        recalls.append(ann_ops.recall_at_k(got, exact))
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] >= 0.9, recalls  # wide probe ~ brute force

@@ -13,10 +13,12 @@ import __spark_entry__ as entry
 # a justification comment.
 ROWS_ONLY_ALLOWED = {
     "approx_knn",  # LSH candidate set
+    "approx_knn_multiprobe",  # LSH candidate set; recall monotone in probe_width
     "ann_ivf",  # cluster-probe candidate set
     "ann_ivf_batch",  # cluster-probe candidate set (batch form)
     "similarity_join",  # LSH candidate set
     "dedup_minhash",  # xxhash64 hash family (native default)
+    "dedup_simhash_udf",  # md5 hash family comparison twin
     "dedup_minhash_mllib",  # MLlib MinHashLSH hash family (comparison)
     "dedup_clusters_banded",  # MinHash candidate edges (production twin of dedup_clusters)
     "dedup_simhash",  # md5 hash family

@@ -105,6 +105,76 @@ def approx_knn(
     return res.select(F.col(id_col), F.round(F.col("dist"), 6).alias("dist"))
 
 
+def approx_knn_multiprobe(
+    model,
+    indexed_df: DataFrame,
+    query: Sequence[float],
+    k: int = 5,
+    probe_width: int = 1,
+    id_col: str = "vec_id",
+    metric: str = "euclidean",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k — the per-QUERY recall knob the reference
+    exposes as ``ef_search`` (tcp.rs:397-398): widen the candidate set
+    at query time without refitting the index.
+
+    ``probe_width=1`` probes only the query's own bucket per hash
+    table (MLlib approxNearestNeighbors' single-probe semantics);
+    ``probe_width=w`` also probes the w-1 adjacent buckets on each
+    side. The candidate set grows monotonically with w, so recall is
+    monotone in the knob (asserted in tests/test_ann.py); at large w
+    it degrades gracefully to exact brute force.
+
+    Plan shape: the bucket predicate is a scan-stage OR over the
+    table hashes (no shuffle — candidates never leave their
+    partitions), then exact distance + TakeOrderedAndProject on the
+    survivors. At 100 TB the hashed table is written once at index
+    build (fit-once / transform-once) and this probe is a pruned scan
+    of it."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.linalg import Vectors
+
+    import numpy as np
+
+    q = np.asarray(list(query), dtype=float)
+    if metric == "cosine":
+        n = np.linalg.norm(q)
+        if n > 0:
+            q = q / n
+
+    hashed = model.transform(indexed_df)
+    spark = indexed_df.sparkSession
+    q_row = spark.createDataFrame([(Vectors.dense(q),)], ["features"])
+    q_hashes = [
+        float(v[0]) for v in model.transform(q_row).first()["hashes"]
+    ]
+
+    within = None
+    for i, qh in enumerate(q_hashes):
+        cond = (
+            F.abs(vector_to_array(F.col("hashes")[i])[0] - F.lit(qh))
+            <= probe_width - 1
+        )
+        within = cond if within is None else (within | cond)
+
+    dist = F.round(
+        euclidean(
+            F.col(vec_col).cast("array<double>")
+            if metric != "cosine"
+            else vector_to_array(F.col("features")),
+            array_lit([float(x) for x in q]),
+        ),
+        6,
+    ).alias("dist")
+    return (
+        hashed.where(within)
+        .select(F.col(id_col), dist)
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def approx_knn_join(
     model,
     indexed_df: DataFrame,
