@@ -276,3 +276,32 @@ def test_interrupted_delete_recovery(spark, tmp_path):
     e4.init(vector_dimension=2)
     assert e4.vectors().count() == 1
     assert not os.path.isdir(d3 + ".old") and not os.path.isdir(d3 + ".rewrite")
+
+
+def test_quantize_metadata_mutation_roundtrip(spark, tmp_path):
+    """Reference quantize metadata semantics (vector.rs:116-121,
+    145-150): the AT-REST quantized row carries name+'_quantized' and
+    a pushed 'quantized' tag; the dequantizing read strips both, so
+    the round trip is metadata-invisible. created_at stays stable
+    (SURVEY Q7: the reference re-stamps; we don't copy that)."""
+    e = VFSEngine(spark, str(tmp_path / "qmeta"))
+    e.init(vector_dimension=2, quantize_storage=True)
+    e.insert([[0.5, -0.5]], names=["alpha"], tags=[["keep"]])
+    # at rest: mutated name + pushed tag
+    raw = spark.read.parquet(str(tmp_path / "qmeta" / "vectors")).first()
+    assert raw["name"] == "alpha_quantized"
+    assert list(raw["tags"]) == ["keep", "quantized"]
+    # read path: stripped back
+    row = e.get(1)
+    assert row["name"] == "alpha"
+    assert list(row["tags"]) == ["keep"]
+
+
+def test_quantize_metadata_mutation_off(spark, tmp_path):
+    e = VFSEngine(spark, str(tmp_path / "qmeta2"))
+    e.init(vector_dimension=2, quantize_storage=True, mutate_metadata=False)
+    e.insert([[1.0, 0.0]], names=["beta"], tags=[["t1"]])
+    raw = spark.read.parquet(str(tmp_path / "qmeta2" / "vectors")).first()
+    assert raw["name"] == "beta"
+    assert list(raw["tags"]) == ["t1"]
+    assert e.get(1)["name"] == "beta"

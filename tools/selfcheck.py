@@ -45,7 +45,7 @@ def _rows_to_set(cols, rows):
     ), [cols[i] for i in order]
 
 
-def check(spark, con, name, fn, sql, sf_dir):
+def check(spark, con, name, fn, sql, sf_dir, results=None):
     t0 = time.time()
     sdf = fn(spark, sf_dir)
     scols = sdf.columns
@@ -76,12 +76,26 @@ def check(spark, con, name, fn, sql, sf_dir):
         f"{status}  {name:28s} rows={len(srows):6d} spark={t_spark:5.1f}s duck={t_duck:4.1f}s "
         + ("; ".join(problems) if problems else "")
     )
+    if results is not None:
+        results[name] = {
+            "status": status,
+            "rows": len(srows),
+            "spark_s": round(t_spark, 2),
+            "duck_s": round(t_duck, 2),
+            "problems": problems,
+        }
     return not problems
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from vfs_spark.session import get_spark
     from vfs_spark.queries import QUERIES, ORACLES
@@ -94,6 +108,7 @@ def main():
         )
 
     ok = fail = rows_only = 0
+    results: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -101,20 +116,43 @@ def main():
             try:
                 n = fn(spark, sf_dir).count()
                 print(f"ROWS  {name:28s} rows={n:6d} (no oracle)")
+                results[name] = {"status": "ROWS_ONLY", "rows": n, "problems": []}
                 rows_only += 1
             except Exception as e:  # noqa: BLE001
                 print(f"FAIL  {name:28s} EXC {type(e).__name__}: {e}")
+                results[name] = {
+                    "status": "FAIL",
+                    "problems": [f"{type(e).__name__}: {str(e)[:300]}"],
+                }
                 fail += 1
             continue
         try:
-            if check(spark, con, name, fn, ORACLES[name], sf_dir):
+            if check(spark, con, name, fn, ORACLES[name], sf_dir, results):
                 ok += 1
             else:
                 fail += 1
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name:28s} EXC {type(e).__name__}: {str(e)[:300]}")
+            results[name] = {
+                "status": "FAIL",
+                "problems": [f"{type(e).__name__}: {str(e)[:300]}"],
+            }
             fail += 1
     print(f"\n{ok} pass, {fail} fail, {rows_only} rows-only")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "summary": {"pass": ok, "fail": fail, "rows_only": rows_only},
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     sys.exit(1 if fail else 0)
 
 

@@ -34,6 +34,7 @@ class VFSEngine:
         self.storage_dir = storage_dir
         self.vector_dimension: int | None = None
         self.quantize_on_write = False
+        self.mutate_metadata = True
         # fitted ANN indexes (LSH keyed by distance metric; one IVF),
         # invalidated on insert/restore. Fit-once-query-many is the
         # whole point of the Spark design (SURVEY Q3) — rebuilding per
@@ -48,9 +49,20 @@ class VFSEngine:
         vector_dimension: int,
         truncate_data: bool = False,
         quantize_storage: bool = False,
+        mutate_metadata: bool = True,
     ) -> None:
+        """``mutate_metadata`` mirrors the reference's quantize
+        metadata semantics (vector.rs:116-121,145-150): the quantized
+        form AT REST carries ``name || '_quantized'`` and a pushed
+        ``'quantized'`` tag, and dequantizing on read strips both —
+        so the round trip is invisible to readers while the stored
+        bytes match the reference's. ``created_at`` stays stable per
+        SURVEY Q7 (the reference re-stamps it; ruled a bug-shaped
+        behavior we don't copy). Pass False for plain pass-through
+        metadata."""
         self.vector_dimension = vector_dimension
         self.quantize_on_write = quantize_storage
+        self.mutate_metadata = mutate_metadata
         self._recover_interrupted_rewrite()
         if truncate_data and os.path.isdir(self._data_dir):
             shutil.rmtree(self._data_dir)
@@ -148,6 +160,19 @@ class VFSEngine:
                 )
                 .drop("embedding")
             )
+            if self.mutate_metadata:
+                # reference Vector::quantize (vector.rs:116-121): the
+                # at-rest quantized row renames and pushes a tag (a
+                # plain push — duplicates allowed, as in the Rust).
+                df = df.withColumn(
+                    "name", F.concat(F.col("name"), F.lit("_quantized"))
+                ).withColumn(
+                    "tags",
+                    F.concat(
+                        F.coalesce("tags", F.array().cast("array<string>")),
+                        F.array(F.lit("quantized")),
+                    ),
+                )
         df.sortWithinPartitions("id").write.mode("append").parquet(self._data_dir)
 
     # -- full collection view ---------------------------------------------
@@ -164,6 +189,15 @@ class VFSEngine:
             df = df.withColumn(
                 "embedding", dequantize("embedding_q", scale).cast("array<float>")
             ).drop("embedding_q", "q_scale")
+            if self.mutate_metadata:
+                # reference Vector::dequantize (vector.rs:145-150):
+                # strip the suffix and retain tags != 'quantized' (ALL
+                # occurrences, matching the Rust retain).
+                df = df.withColumn(
+                    "name", F.replace("name", F.lit("_quantized"), F.lit(""))
+                ).withColumn(
+                    "tags", F.filter("tags", lambda t: t != "quantized")
+                )
         return df
 
     def next_id(self) -> int:
