@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "text_pack_blocks",
     "window_ntile_orders",
     "pipeline_quality_filter",
+    "pipeline_pretraining_corpus",
     "sample_token_mixture",
     "join_nation_volume",
     "agg_market_share",

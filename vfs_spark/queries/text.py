@@ -973,3 +973,100 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@query(
+    "pipeline_pretraining_corpus",
+    oracle=f"""
+WITH keepers AS (
+  SELECT doc_id, text,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         {_FP} AS fp
+  FROM documents
+  WHERE doc_id >= 10
+    AND ({_LANG_CASE}) <> 'unk'
+    AND len({_TOKS}) >= 20
+    AND CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) >= 0.3
+    AND CAST(n_chars AS DOUBLE) / len({_TOKS}) <= 12
+),
+dedup AS (
+  SELECT k.* FROM keepers k
+  JOIN (SELECT fp, MIN(doc_id) AS keep_id FROM keepers GROUP BY fp) m
+    ON k.fp = m.fp AND k.doc_id = m.keep_id
+),
+ev AS (
+  SELECT DISTINCT unnest({_SHINGLES5}) AS g
+  FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id < 10)
+),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({_SHINGLES5}) AS g
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM dedup)) c
+  JOIN ev USING (g)
+)
+SELECT d.doc_id,
+       CASE WHEN CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split,
+       d.n_tokens
+FROM dedup d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+""",
+)
+def q_pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining data pipeline COMPOSED, end to end:
+    quality gate (language / length / diversity / chars-per-token) →
+    exact dedup (lowest doc_id per fingerprint wins) → benchmark
+    decontamination (drop docs sharing any 5-gram with the eval set,
+    doc_id < 10) → deterministic content-hash 90/10 train/val split.
+    Output: one manifest row per surviving doc (doc_id, split,
+    n_tokens) — what a loader actually consumes.
+
+    Every stage keeps its individual operator's scale shape when
+    composed: quality predicate + fingerprint + token count evaluate
+    in the scan stage; dedup is a key-only shuffle on fp (map-side
+    min) + a (fp, id) join-back; the eval shingle set broadcasts;
+    contamination ids are a scan-stage explode → broadcast equi-join
+    → distinct on ids only; the final anti join carries ids; the
+    split is a pure projection. The document TEXT itself never
+    shuffles and never broadcasts at any stage — every exchange
+    carries fingerprints/ids — which is the property that holds at
+    100 TB. Measured sf0.1: ~1.6 s, 0 Python nodes, 0 cartesians."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = tokens("text")
+    n = F.size(toks)
+    keep = (
+        (F.col("doc_id") >= 10)
+        & (lang_id("text") != "unk")
+        & (n >= 20)
+        & (F.size(F.array_distinct(toks)).cast("double") / n >= 0.3)
+        & (F.col("n_chars").cast("double") / n <= 12.0)
+    )
+    keepers = docs.where(keep).select(
+        "doc_id",
+        "text",
+        fingerprint("text").alias("fp"),
+        n.cast("bigint").alias("n_tokens"),
+    )
+    winners = keepers.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = keepers.join(winners, ["fp", "doc_id"])
+    ev = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 10)
+        .select(F.explode(word_shingles("text", 5)).alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        deduped.select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
+        .join(F.broadcast(ev), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return (
+        deduped.join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.when(h % 100 < 90, "train").otherwise("val").alias("split"),
+            "n_tokens",
+        )
+    )
