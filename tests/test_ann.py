@@ -315,3 +315,19 @@ def test_lsh_multiprobe_recall_monotone(emb, qvec):
         recalls.append(ann_ops.recall_at_k(got, exact))
     assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
     assert recalls[-1] >= 0.9, recalls  # wide probe ~ brute force
+
+
+def test_pq_batch_arrow_matches_expr(emb, pq):
+    """The Arrow batch-ADC kernel must return exactly what the
+    Catalyst scorer returns for the same queries (same rounded
+    distances, same tiebreak ordering)."""
+    books, enc = pq
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    a = ann_ops.pq_search_batch_arrow(enc, books, q, k=7)
+    b = ann_ops.pq_search_batch(enc, books, q, k=7)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb

