@@ -162,3 +162,44 @@ def test_simhash_agg_fingerprints_equal_jvm(spark, sf_dir):
     a = {r["doc_id"]: r["simhash"] for r in dedup_ops.simhash_fingerprints_jvm(docs).collect()}
     b = {r["doc_id"]: r["simhash"] for r in dedup_ops.simhash_fingerprints_agg(docs).collect()}
     assert a == b
+
+
+def test_minhash_signatures_independent_per_seed(spark):
+    """Regression: the old signature builder created its five seeded
+    min-hashes as five F.transform lambdas inside one projection, and
+    they collapsed to a SINGLE seed's value (every doc's five sigs
+    identical), degenerating OR-banding to one effective hash and
+    silently dropping true near-dup candidates. The aggregate form
+    must produce genuinely different minima across seeds."""
+    from pyspark.sql import functions as F
+    from vfs_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    ex = df.select("doc_id", F.explode(word_shingles("text")).alias("_s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("_s", F.lit(i))).alias(f"h{i}") for i in range(5)]
+    )
+    row = sig.first()
+    vals = [row[f"h{i}"] for i in range(5)]
+    assert len(set(vals)) > 1, f"per-seed minima collapsed: {vals}"
+
+
+def test_minhash_finds_all_banded_candidates(spark, sf_dir):
+    """Every pair whose five min-hash signatures ALL match must reach
+    the verify stage and, at jaccard >= threshold, the output — the
+    pair the collapsed-lambda bug dropped (doc 285/301 at sf0.01,
+    jaccard 0.989) is the canary shape: construct two near-identical
+    docs and require the pair in the result."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " omega"), (3, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ops.minhash_native_pairs(df, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs, pairs

@@ -101,14 +101,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup candidates (jaccard ≥ 0.3) — the
     sub-quadratic production path for dedup_ngram_jaccard. Delegates
-    to the pure-Catalyst implementation (seeded xxhash64 signatures +
-    OR-banding + exact-Jaccard verify), same contract as the MLlib
-    form (registered as dedup_minhash_mllib). Measured at sf0.1 on an
-    idle host: 0.74 s vs 1.96 s MLlib (~2.6×; the vector-UDT
-    conversion overhead). Round-3's recorded 5.8 s was bench-host
-    CONTENTION, not a plan regression — on a loaded 32-core host the
-    cold shingle scan straggles; re-measured idle it is sub-second
-    and the cached-shingle timed path is ~0.6 s."""
+    to the pure-Catalyst implementation: exploded shingles → seeded
+    xxhash64 min-AGGREGATES (map-side combined codegen, no corpus
+    cache) → OR-banding equi-join → exact-Jaccard verify recomputed
+    for candidate docs only. Same contract as the MLlib form
+    (registered as dedup_minhash_mllib). Round-3's recorded 5.8 s was
+    bench-host CONTENTION plus a cache-hit lottery in the old
+    cached-shingle form; the redesign has deterministic cost with no
+    corpus-sized cache: ~2 s at sf0.1, 13-18 s at 200k docs (the old
+    form measured 45.7 s there)."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return dedup_ops.minhash_native_pairs(docs, jaccard_threshold=0.3)
 
