@@ -48,3 +48,26 @@ def test_running_offsets_match_global_window(spark, sf_dir):
         for r in running_offsets(t, "n", "doc_id").collect()
     }
     assert got == want
+
+
+def test_ranged_ids_equal_global_row_number(spark, sf_dir):
+    """assign_dense_ids_ranged must reproduce row_number() OVER
+    (ORDER BY key) exactly — the property that lets the registered
+    insert_assign_ids slug be both oracle-parity AND scale-true."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from vfs_spark.operators.ids import assign_dense_ids_ranged
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        r["vec_id"]: r["id"]
+        for r in assign_dense_ids_ranged(emb, "vec_id").select("vec_id", "id").collect()
+    }
+    want = {
+        r["vec_id"]: r["id"]
+        for r in emb.select(
+            "vec_id",
+            F.row_number().over(Window.orderBy("vec_id")).cast("bigint").alias("id"),
+        ).collect()
+    }
+    assert got == want

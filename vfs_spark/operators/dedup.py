@@ -44,19 +44,27 @@ def minhash_near_dup_pairs(
     with doc_a < doc_b. Shuffle volume is bands·n rows, not n²."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = docs.select(
-        F.col(id_col), word_shingles(text_col).alias("shingles")
-    ).where(F.size("shingles") > 0)
+    # Pre-filter with the CHEAP equivalent predicate (shingles are
+    # empty iff the doc has < 3 tokens) instead of filtering on the
+    # computed shingle column: Catalyst pushes a column filter below
+    # the fan-out exchange into the scan stage WITH its whole defining
+    # expression inlined, so the O(tokens·k) shingle build would run
+    # twice — once on the skew-prone scan tasks (measured as a 4-5 s
+    # straggler at sf0.1) and again in the projection.
+    sh = docs.where(
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), " ")) >= 3
+    ).select(F.col(id_col), word_shingles(text_col).alias("shingles"))
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
     )
-    # cache: the featurized table is scanned as BOTH sides of the LSH
-    # self-join (and once more by fit) — without caching, shingling +
-    # hashing re-run three times.
-    feat = tf.transform(sh).cache()
-    feat.count()  # materialize BEFORE the self-join: both sides read the
-    # cache in ONE job, and unmaterialized blocks would race and compute
-    # the shingling twice concurrently.
+    # localCheckpoint: the featurized table is scanned as BOTH sides
+    # of the LSH self-join (and once more by fit) — without
+    # materializing, shingling + hashing re-run three times. An eager
+    # checkpoint (not .cache()) makes the cost deterministic: cache
+    # reuse across separately-built plans is a canonicalization
+    # lottery (measured 1.1-5.4 s swings for this op between bench
+    # runs), a checkpoint is always materialized exactly once here.
+    feat = tf.transform(sh).localCheckpoint(eager=True)
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=SEED
     )

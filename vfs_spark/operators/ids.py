@@ -56,6 +56,43 @@ def assign_dense_ids(
     )
 
 
+def assign_dense_ids_ranged(
+    df: DataFrame, order_col: str, id_name: str = "id", start: int = 1
+) -> DataFrame:
+    """Dense ids in EXACT global ``order_col`` order — without the
+    global-sort single-partition window. Range-partition on the order
+    column (partition p holds strictly smaller keys than p+1, so
+    partition-id order IS key order), per-partition counts → driver
+    prefix sums (|partitions| integers), then a partition-LOCAL
+    row_number rides the same partitioning. Output is identical to
+    ``row_number() OVER (ORDER BY order_col)`` (asserted in
+    tests/test_ids.py) while every stage stays parallel: one range
+    exchange + one narrow pass — the content-deterministic AND
+    scale-true id assignment. Requires ``order_col`` values unique
+    (ties would make the global form nondeterministic anyway)."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n_parts, F.col(order_col))
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, start
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    offset_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    )
+    w_local = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        with_pid.withColumn("_local", F.row_number().over(w_local) - 1)
+        .withColumn(id_name, (offset_col + F.col("_local")).cast("bigint"))
+        .drop("_pid", "_local")
+    )
+
+
 def running_offsets(
     df: DataFrame, n_col: str, order_col: str, start: int = 0
 ) -> DataFrame:

@@ -224,13 +224,18 @@ FROM embeddings
 )
 def q_insert_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#1 monotonically-increasing dense id assignment at insert
-    (storage_manager.rs:126-130,317-335). row_number() here for exact
-    oracle parity; the scale path (per-partition offsets, no global
-    sort) is operators/ids.assign_dense_ids."""
-    w = Window.orderBy("vec_id")
-    return _emb(spark, sf_dir).select(
-        F.row_number().over(w).cast("bigint").alias("new_id"), "vec_id", "label"
+    (storage_manager.rs:126-130,317-335). Uses the SCALE-TRUE
+    range-partitioned two-pass (operators/ids.assign_dense_ids_ranged):
+    output is identical to row_number() OVER (ORDER BY vec_id) — the
+    oracle hash-checks that — but the plan has no single-partition
+    global-sort window: one range exchange, per-partition counts,
+    partition-local row_number."""
+    from vfs_spark.operators.ids import assign_dense_ids_ranged
+
+    out = assign_dense_ids_ranged(
+        _emb(spark, sf_dir), order_col="vec_id", id_name="new_id"
     )
+    return out.select("new_id", "vec_id", "label")
 
 
 @query(
