@@ -305,3 +305,16 @@ def test_quantize_metadata_mutation_off(spark, tmp_path):
     assert raw["name"] == "beta"
     assert list(raw["tags"]) == ["t1"]
     assert e.get(1)["name"] == "beta"
+
+
+def test_quantize_metadata_replace_all_matches_reference(spark, tmp_path):
+    """Rust str::replace("_quantized", "") strips ALL occurrences, so
+    a name that already contained the suffix loses it on the
+    dequantizing read — the reference's exact (quirky) semantics
+    (vector.rs:145-150). Pinned here so nobody "fixes" it to
+    suffix-only without noticing the parity break; opt out with
+    mutate_metadata=False for pass-through names."""
+    e = VFSEngine(spark, str(tmp_path / "qmeta3"))
+    e.init(vector_dimension=2, quantize_storage=True)
+    e.insert([[1.0, 0.0]], names=["odd_quantized_name"], tags=[[]])
+    assert e.get(1)["name"] == "odd_name"

@@ -92,6 +92,8 @@ def main():
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: selfcheck.py [sf_dir] [query ...] --json PATH")
         json_path = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"

@@ -191,8 +191,14 @@ class VFSEngine:
             ).drop("embedding_q", "q_scale")
             if self.mutate_metadata:
                 # reference Vector::dequantize (vector.rs:145-150):
-                # strip the suffix and retain tags != 'quantized' (ALL
-                # occurrences, matching the Rust retain).
+                # Rust str::replace removes ALL occurrences of
+                # "_quantized" (not just the appended suffix), and
+                # retain drops ALL 'quantized' tags — so a name that
+                # legitimately contained "_quantized" before insert
+                # comes back without it. Deliberately faithful to the
+                # reference's quirk (asserted in test_engine.py);
+                # callers needing pass-through metadata use
+                # mutate_metadata=False.
                 df = df.withColumn(
                     "name", F.replace("name", F.lit("_quantized"), F.lit(""))
                 ).withColumn(

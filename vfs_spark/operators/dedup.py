@@ -51,9 +51,9 @@ def minhash_near_dup_pairs(
     # expression inlined, so the O(tokens·k) shingle build would run
     # twice — once on the skew-prone scan tasks (measured as a 4-5 s
     # straggler at sf0.1) and again in the projection.
-    sh = docs.where(
-        F.size(F.split(F.lower(F.trim(F.col(text_col))), " ")) >= 3
-    ).select(F.col(id_col), word_shingles(text_col).alias("shingles"))
+    sh = docs.where(F.size(tokens(text_col)) >= 3).select(
+        F.col(id_col), word_shingles(text_col).alias("shingles")
+    )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
     )

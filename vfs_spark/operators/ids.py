@@ -1,25 +1,69 @@
 """Dense monotonically-increasing id assignment (reference next_id
 counter, storage_manager.rs:126-130,317-335).
 
-Two strategies (SURVEY §4.3.1):
+Strategies (SURVEY §4.3.1):
 
 - ``assign_dense_ids(order_col=...)``: row_number over a global order.
-  Exactly reproducible (the oracle-checked form), but the window
-  collapses to a single partition — fine for tests, wrong at 100 TB.
-- ``assign_dense_ids()`` (scale path): two-phase zipWithIndex-style —
-  count rows per partition, prefix-sum the counts driver-side
-  (|partitions| integers, trivially small), then add each row's
-  within-partition ordinal to its partition's offset. No global sort,
-  no single-partition window, one extra narrow pass; ids are dense
-  and unique but partition-order-dependent (stable for a given
-  layout, not content-deterministic).
+  Exactly reproducible, but the window collapses to a single
+  partition — fine for tests, wrong at 100 TB.
+- ``assign_dense_ids()``: two-phase zipWithIndex-style — count rows
+  per partition, prefix-sum the counts driver-side (|partitions|
+  integers), then add each row's within-partition ordinal to its
+  partition's offset. No global sort; ids are dense and unique but
+  partition-order-dependent.
+- ``assign_dense_ids_ranged(order_col)``: range-partition on the
+  order column first, so ids follow EXACT global key order (equal to
+  ``row_number() OVER (ORDER BY order_col)``, asserted in tests)
+  while every stage stays parallel — the content-deterministic AND
+  scale-true form.
+
+All two-phase forms PIN the partition layout with an eager
+localCheckpoint before counting: the per-partition counts and the
+row-numbering pass are separate Spark jobs, and without pinning each
+job re-executes the lineage — ``repartitionByRange`` bounds come from
+per-execution sampling, so the second job could land rows in a
+different layout than the one counted, yielding duplicate/gapped/NULL
+ids. At petabyte scale the materialization is typically the store
+write itself (assign ids while writing the ranged layout once).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _pin_partitions(df: DataFrame, order_col: str | None) -> DataFrame:
+    """Freeze one partition layout (optionally range-partitioned on
+    ``order_col``) and tag rows with their partition id. The eager
+    localCheckpoint is load-bearing — see module docstring."""
+    if order_col is not None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartitionByRange(n_parts, F.col(order_col))
+    return df.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+
+
+def _offset_col(with_pid: DataFrame, agg: Column, start: int) -> Column:
+    """Per-partition aggregate → driver-side EXCLUSIVE prefix sums
+    (|partitions| integers) → a map-lookup column giving each row its
+    partition's base offset."""
+    sums = {
+        r["_pid"]: r["v"]
+        for r in with_pid.groupBy("_pid").agg(agg.alias("v")).collect()
+    }
+    offsets, acc = {}, start
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p]
+    if not offsets:
+        return F.lit(start)
+    return F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    )
 
 
 def assign_dense_ids(
@@ -31,27 +75,12 @@ def assign_dense_ids(
             id_name, (F.row_number().over(w) + (start - 1)).cast("bigint")
         )
 
-    pid = F.spark_partition_id()
-    with_pid = df.withColumn("_pid", pid)
-    # per-partition counts → driver-side prefix sums (tiny)
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, start
-    for p in sorted(counts):
-        offsets[p] = acc
-        acc += counts[p]
-    offset_col = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
-        ),
-        F.col("_pid"),
-    )
+    with_pid = _pin_partitions(df, None)
+    offset = _offset_col(with_pid, F.count("*"), start)
     w_local = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
     return (
         with_pid.withColumn("_local", F.row_number().over(w_local) - 1)
-        .withColumn(id_name, (offset_col + F.col("_local")).cast("bigint"))
+        .withColumn(id_name, (offset + F.col("_local")).cast("bigint"))
         .drop("_pid", "_local")
     )
 
@@ -60,35 +89,19 @@ def assign_dense_ids_ranged(
     df: DataFrame, order_col: str, id_name: str = "id", start: int = 1
 ) -> DataFrame:
     """Dense ids in EXACT global ``order_col`` order — without the
-    global-sort single-partition window. Range-partition on the order
-    column (partition p holds strictly smaller keys than p+1, so
-    partition-id order IS key order), per-partition counts → driver
-    prefix sums (|partitions| integers), then a partition-LOCAL
-    row_number rides the same partitioning. Output is identical to
-    ``row_number() OVER (ORDER BY order_col)`` (asserted in
-    tests/test_ids.py) while every stage stays parallel: one range
-    exchange + one narrow pass — the content-deterministic AND
-    scale-true id assignment. Requires ``order_col`` values unique
-    (ties would make the global form nondeterministic anyway)."""
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(n_parts, F.col(order_col))
-    with_pid = parts.withColumn("_pid", F.spark_partition_id())
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, start
-    for p in sorted(counts):
-        offsets[p] = acc
-        acc += counts[p]
-    offset_col = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("_pid"),
-    )
+    global-sort single-partition window. Range partition p holds
+    strictly smaller keys than p+1, so partition-id order IS key
+    order; a partition-LOCAL row_number over the pinned layout plus
+    the partition's offset reproduces ``row_number() OVER (ORDER BY
+    order_col)`` exactly (asserted in tests/test_ids.py) while every
+    stage stays parallel. Requires ``order_col`` values unique (ties
+    would make the global form nondeterministic anyway)."""
+    with_pid = _pin_partitions(df, order_col)
+    offset = _offset_col(with_pid, F.count("*"), start)
     w_local = Window.partitionBy("_pid").orderBy(order_col)
     return (
         with_pid.withColumn("_local", F.row_number().over(w_local) - 1)
-        .withColumn(id_name, (offset_col + F.col("_local")).cast("bigint"))
+        .withColumn(id_name, (offset + F.col("_local")).cast("bigint"))
         .drop("_pid", "_local")
     )
 
@@ -98,30 +111,14 @@ def running_offsets(
 ) -> DataFrame:
     """EXCLUSIVE running sum of ``n_col`` in ``order_col`` order — the
     scale form of `SUM(n) OVER (ORDER BY ...) - n`, which Catalyst
-    executes as a single-partition window. Strategy mirrors
-    assign_dense_ids' two-pass: range-partition on the order column
-    (range partition p holds smaller keys than p+1, so partition id
-    order IS key order), per-partition totals → driver prefix sums
-    (|partitions| integers), then a partition-local running-sum window
-    rides the SAME partitioning — no global sort, no single-reducer
-    stage. Used by the sequence-packing manifest (text_pack_blocks'
-    oracle-parity form uses the global window; equality asserted in
+    executes as a single-partition window. Same pinned two-phase
+    strategy: per-partition totals → driver prefix sums, then a
+    partition-local running-sum window rides the SAME layout. Used by
+    the sequence-packing manifest (text_pack_blocks' oracle-parity
+    form uses the global window; equality asserted in
     tests/test_ids.py)."""
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(n_parts, F.col(order_col))
-    with_pid = parts.withColumn("_pid", F.spark_partition_id())
-    sums = {
-        r["_pid"]: r["s"]
-        for r in with_pid.groupBy("_pid").agg(F.sum(n_col).alias("s")).collect()
-    }
-    base, acc = {}, start
-    for p in sorted(sums):
-        base[p] = acc
-        acc += sums[p]
-    base_col = F.element_at(
-        F.create_map(*[F.lit(x) for kv in base.items() for x in kv]),
-        F.col("_pid"),
-    )
+    with_pid = _pin_partitions(df, order_col)
+    base = _offset_col(with_pid, F.sum(n_col), start)
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
@@ -129,5 +126,5 @@ def running_offsets(
     )
     return with_pid.withColumn(
         "start",
-        (base_col + F.sum(n_col).over(w_local) - F.col(n_col)).cast("bigint"),
+        (base + F.sum(n_col).over(w_local) - F.col(n_col)).cast("bigint"),
     ).drop("_pid")

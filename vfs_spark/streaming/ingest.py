@@ -26,9 +26,17 @@ def read_event_stream(
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = (
-        spark.read.option("pathGlobFilter", glob).parquet(src_dir).schema
-    )
+    try:
+        batch_schema = (
+            spark.read.option("pathGlobFilter", glob).parquet(src_dir).schema
+        )
+    except Exception:  # noqa: BLE001 — no files yet is the normal
+        # stream-startup case (producer hasn't written the first
+        # micro-batch); fall back to the canonical schema so the
+        # stream starts and picks files up as they arrive.
+        from vfs_spark.schema import EVENTS_SCHEMA
+
+        batch_schema = EVENTS_SCHEMA
     df = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", glob)
