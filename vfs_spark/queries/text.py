@@ -574,18 +574,16 @@ def q_text_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id order and cut fixed 512-token training blocks; emit which
     docs each block draws from (a doc spanning a boundary appears in
     both blocks) — the packing manifest an LLM pretraining loader
-    materializes. The running-offset window here is the oracle-parity
-    form; at 100 TB the offset comes from the two-pass per-partition
-    count + cumulative base (operators/ids.assign_dense_ids pattern)
-    and block assembly is embarrassingly parallel after it."""
-    from pyspark.sql.window import Window
+    materializes. Running offsets come from the SCALE-TRUE
+    range-partitioned two-pass (operators/ids.running_offsets): output
+    identical to SUM(n) OVER (ORDER BY doc_id) — the oracle
+    hash-checks it — with no single-partition window; block assembly
+    is embarrassingly parallel after it."""
+    from vfs_spark.operators.ids import running_offsets
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", token_count("text").alias("n"))
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = t.withColumn("start", F.sum("n").over(w) - F.col("n"))
+    c = running_offsets(t, "n", "doc_id")
     b = c.select(
         "doc_id",
         F.explode(
