@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "fuzzy_join_names",
     "decontaminate_against_eval",
     "sample_stable_split",
+    "sample_shuffle_order",
     "text_pack_blocks",
     "window_ntile_orders",
     "pipeline_quality_filter",

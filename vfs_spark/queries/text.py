@@ -1068,3 +1068,34 @@ def q_pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_tokens",
         )
     )
+
+
+@query(
+    "sample_shuffle_order",
+    oracle="""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5(text || CAST(doc_id AS VARCHAR)))
+            AS BIGINT) AS shuffle_rank
+FROM documents
+""",
+)
+def q_sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle — the training-order manifest a
+    pretraining loader consumes: each doc's rank in a pseudo-random
+    permutation keyed by a content+id hash, so the order is stable
+    across runs, engines, and repartitions (the property
+    random.shuffle lacks), and re-shuffling for a new epoch is just a
+    different salt. Scale shape: the hash is a scan-stage projection
+    and the rank comes from the range-partitioned two-pass assigner
+    (operators/ids.assign_dense_ids_ranged) — identical output to
+    row_number() OVER (ORDER BY key), hash-checked by the oracle, with
+    no single-partition sort."""
+    from vfs_spark.operators.ids import assign_dense_ids_ranged
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat("text", F.col("doc_id").cast("string"))).alias("_k"),
+    )
+    out = assign_dense_ids_ranged(keyed, order_col="_k", id_name="shuffle_rank")
+    return out.select("doc_id", "shuffle_rank")
