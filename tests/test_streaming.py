@@ -303,3 +303,55 @@ def test_compact_ivf_store_preserves_results(spark, sf_dir, tmp_path):
         ).collect()
     ]
     assert before == after
+
+
+def test_stream_corpus_ingest_matches_batch_and_dedups(spark, sf_dir, tmp_path):
+    """The streaming corpus ingest must land exactly the batch
+    pipeline's quality-gated, fingerprint-deduped doc set — and a
+    replay of the same source through a NEW checkpoint must add zero
+    rows (the cross-batch anti-join on fp)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from vfs_spark.functions.text import fingerprint, lang_id, tokens
+    from vfs_spark.streaming.ingest import (
+        read_document_stream,
+        stream_corpus_ingest,
+    )
+
+    dest = str(tmp_path / "corpus")
+    q = stream_corpus_ingest(
+        read_document_stream(spark, sf_dir),
+        dest,
+        str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination()
+
+    # batch twin
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens("text")
+    n = F.size(toks)
+    keep = (
+        (lang_id("text") != "unk")
+        & (n >= 20)
+        & (F.size(F.array_distinct(toks)).cast("double") / n >= 0.3)
+        & (F.col("n_chars").cast("double") / n <= 12.0)
+    )
+    kept = docs.where(keep).withColumn("fp", fingerprint("text"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    want = {
+        r["doc_id"]
+        for r in kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .collect()
+    }
+    got = {r["doc_id"] for r in spark.read.parquet(dest).collect()}
+    assert got == want
+
+    # replay through a fresh checkpoint: anti-join must drop everything
+    q2 = stream_corpus_ingest(
+        read_document_stream(spark, sf_dir),
+        dest,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(dest).count() == len(want)

@@ -326,3 +326,76 @@ def stream_apply_cdc(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_document_stream(
+    spark: SparkSession, src_dir: str, glob: str = "documents.parquet"
+) -> DataFrame:
+    """File-source stream over the documents table (schema sniffed
+    from the batch reader, like read_event_stream; falls back to the
+    canonical schema when no files exist yet)."""
+    try:
+        schema = spark.read.option("pathGlobFilter", glob).parquet(src_dir).schema
+    except Exception:  # noqa: BLE001 — empty ingest dir at startup
+        from vfs_spark.schema import DOCUMENTS_SCHEMA
+
+        schema = DOCUMENTS_SCHEMA
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(src_dir)
+    )
+
+
+def stream_corpus_ingest(
+    docs_stream: DataFrame, dest_dir: str, checkpoint_dir: str
+):
+    """Streaming corpus ingest — the streaming twin of the
+    pipeline_pretraining_corpus front half: per micro-batch, quality
+    gate (language / length / diversity / chars-per-token, identical
+    predicate to the batch query) → fingerprint → keep-first dedup
+    WITHIN the batch → anti-join dedup AGAINST everything already
+    ingested → append to the store with the fingerprint column.
+
+    Scale: the quality gate and fingerprint are scan-stage
+    projections over the micro-batch; the in-batch window partitions
+    by fp (batch-sized state, not stream-sized); the cross-batch
+    check reads ONLY the store's fp column (column pruning) and
+    anti-joins batch-sized keys against it; the append is the same
+    memtable-flush shape as stream_append_vectors. Checkpointing
+    makes the whole batch exactly-once, so a replayed batch cannot
+    double-ingest (asserted in tests/test_streaming.py)."""
+    from pyspark.sql.window import Window
+
+    from vfs_spark.functions.text import fingerprint, lang_id, tokens
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        toks = tokens("text")
+        n = F.size(toks)
+        keep = (
+            (lang_id("text") != "unk")
+            & (n >= 20)
+            & (F.size(F.array_distinct(toks)).cast("double") / n >= 0.3)
+            & (F.col("n_chars").cast("double") / n <= 12.0)
+        )
+        kept = batch_df.where(keep).withColumn("fp", fingerprint("text"))
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        first = (
+            kept.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            existing = spark.read.parquet(dest_dir).select("fp")
+            first = first.join(existing, "fp", "left_anti")
+        except Exception:  # noqa: BLE001 — store doesn't exist yet
+            pass
+        first.write.mode("append").parquet(dest_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
