@@ -355,3 +355,39 @@ def test_stream_corpus_ingest_matches_batch_and_dedups(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(dest).count() == len(want)
+
+
+def test_stream_corpus_ingest_decontaminates(spark, sf_dir, tmp_path):
+    """With eval_docs supplied, the streamed store must exclude every
+    doc sharing a 5-gram with the eval set — matching the batch
+    pipeline_pretraining_corpus contract (eval docs themselves are
+    doc_id < 10 and are filtered by the caller)."""
+    from pyspark.sql import functions as F
+    from vfs_spark.functions.text import word_shingles
+    from vfs_spark.streaming.ingest import (
+        read_document_stream,
+        stream_corpus_ingest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev_docs = docs.where(F.col("doc_id") < 10)
+    dest = str(tmp_path / "corpus_dc")
+    q = stream_corpus_ingest(
+        read_document_stream(spark, sf_dir),
+        dest,
+        str(tmp_path / "ckpt_dc"),
+        eval_docs=ev_docs,
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(dest)
+    # no ingested doc shares any 5-gram with the eval set
+    ev = (
+        ev_docs.select(F.explode(word_shingles("text", 5)).alias("g")).distinct()
+    )
+    overlap = (
+        got.select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
+        .join(ev, "g")
+        .count()
+    )
+    assert overlap == 0
+    assert got.count() > 0

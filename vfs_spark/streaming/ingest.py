@@ -348,26 +348,42 @@ def read_document_stream(
 
 
 def stream_corpus_ingest(
-    docs_stream: DataFrame, dest_dir: str, checkpoint_dir: str
+    docs_stream: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+    eval_docs: DataFrame | None = None,
 ):
-    """Streaming corpus ingest — the streaming twin of the
-    pipeline_pretraining_corpus front half: per micro-batch, quality
-    gate (language / length / diversity / chars-per-token, identical
+    """Streaming corpus ingest — the streaming twin of the FULL
+    pipeline_pretraining_corpus: per micro-batch, quality gate
+    (language / length / diversity / chars-per-token, identical
     predicate to the batch query) → fingerprint → keep-first dedup
     WITHIN the batch → anti-join dedup AGAINST everything already
-    ingested → append to the store with the fingerprint column.
+    ingested → (optionally) benchmark DECONTAMINATION against
+    ``eval_docs`` → append to the store with the fingerprint column.
 
     Scale: the quality gate and fingerprint are scan-stage
     projections over the micro-batch; the in-batch window partitions
     by fp (batch-sized state, not stream-sized); the cross-batch
     check reads ONLY the store's fp column (column pruning) and
-    anti-joins batch-sized keys against it; the append is the same
+    anti-joins batch-sized keys against it; the eval 5-gram set is
+    materialized ONCE at stream definition (eval sets are tiny) and
+    broadcast into every batch; the append is the same
     memtable-flush shape as stream_append_vectors. Checkpointing
     makes the whole batch exactly-once, so a replayed batch cannot
     double-ingest (asserted in tests/test_streaming.py)."""
     from pyspark.sql.window import Window
 
-    from vfs_spark.functions.text import fingerprint, lang_id, tokens
+    from vfs_spark.functions.text import fingerprint, lang_id, tokens, word_shingles
+
+    ev = None
+    if eval_docs is not None:
+        # one pass at stream definition, pinned so every micro-batch
+        # broadcasts the same materialized set instead of re-deriving
+        ev = (
+            eval_docs.select(F.explode(word_shingles("text", 5)).alias("g"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -391,6 +407,16 @@ def stream_corpus_ingest(
             first = first.join(existing, "fp", "left_anti")
         except Exception:  # noqa: BLE001 — store doesn't exist yet
             pass
+        if ev is not None:
+            contaminated = (
+                first.select(
+                    "doc_id", F.explode(word_shingles("text", 5)).alias("g")
+                )
+                .join(F.broadcast(ev), "g")
+                .select("doc_id")
+                .distinct()
+            )
+            first = first.join(contaminated, "doc_id", "left_anti")
         first.write.mode("append").parquet(dest_dir)
 
     return (
