@@ -78,3 +78,20 @@ def test_events_ts_is_tz_aware_not_ntz(spark, sf_dir):
         "events.ts reached query code as TIMESTAMP_NTZ — loader "
         "normalization regressed (vfs_spark/sources/parquet.py:_load_raw)"
     )
+
+
+def test_ts_micros_accepts_both_timestamp_flavors(spark):
+    """ts_micros must yield identical epoch micros for TIMESTAMP and
+    TIMESTAMP_NTZ inputs holding the same UTC wall-clock (the session
+    timezone is pinned UTC), so operators survive either fixture
+    encoding."""
+    from vfs_spark.functions.time import ts_micros
+
+    df = spark.sql(
+        "SELECT TIMESTAMP'2024-03-01 12:34:56.789' AS t_tz, "
+        "TIMESTAMP_NTZ'2024-03-01 12:34:56.789' AS t_ntz"
+    )
+    row = df.select(
+        ts_micros("t_tz").alias("a"), ts_micros("t_ntz").alias("b")
+    ).first()
+    assert row["a"] == row["b"] != 0
