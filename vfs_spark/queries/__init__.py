@@ -14,3 +14,47 @@ import vfs_spark.queries.relational  # noqa: F401,E402
 import vfs_spark.queries.tpch_ext  # noqa: F401,E402
 import vfs_spark.queries.text  # noqa: F401,E402
 import vfs_spark.queries.similarity  # noqa: F401,E402
+
+
+def _rotate_for_driver_coverage() -> None:
+    """Reorder the registry so slugs without a driver-recorded pass come
+    first (oracle-backed before rows-only, registration order preserved
+    within each group).
+
+    The driver's per-round CORRECTNESS artifact samples a bounded window
+    of ``queries()`` in dict-insertion order; without rotation the same
+    window is re-checked every round while the rest of the surface only
+    ever sees self-reported checks. Reading the committed
+    ``CORRECTNESS_r*.json`` files makes the rotation automatic: anything
+    already green moves to the back, so cumulative driver coverage grows
+    monotonically round over round.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    passed: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for slug, rec in data.items():
+            if isinstance(rec, dict) and rec.get("rows_match"):
+                passed.add(slug)
+    order = sorted(
+        QUERIES, key=lambda k: (k in passed, k not in ORACLES)
+    )  # stable sort: both groups keep registration order internally
+    for registry in (QUERIES, ORACLES):
+        snapshot = {k: registry[k] for k in order if k in registry}
+        registry.clear()
+        registry.update(snapshot)
+
+
+_rotate_for_driver_coverage()
