@@ -1,0 +1,77 @@
+"""Persistent query-level index store (operators/index_store.py): the
+query-surface analogue of the reference persisting its index map in
+the manager snapshot (storage_manager.rs:367-427) — a fresh
+application must LOAD a previously-fitted LSH/IVF/PQ artifact, not
+refit, and a changed dataset fingerprint must refit."""
+
+import pytest
+
+from vfs_spark.operators import ann as ann_ops
+from vfs_spark.operators import index_store
+from vfs_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def store_root(tmp_path, monkeypatch):
+    root = tmp_path / "ann_index"
+    monkeypatch.setenv("VFS_SPARK_INDEX_DIR", str(root))
+    return root
+
+
+def _no_fit(monkeypatch, name):
+    def boom(*a, **k):
+        raise AssertionError(f"{name} refit despite a valid stored artifact")
+
+    monkeypatch.setattr(ann_ops, name, boom)
+
+
+def test_lsh_loads_without_refit(spark, store_root, monkeypatch):
+    emb = load_table(spark, SF, "embeddings")
+    q = [0.0] * 64
+    model1, vdf1 = index_store.load_or_fit_lsh(spark, emb, SF)
+    before = ann_ops.approx_knn(model1, vdf1, q, k=5).collect()
+
+    _no_fit(monkeypatch, "build_lsh_index")  # second call must hit the store
+    model2, vdf2 = index_store.load_or_fit_lsh(spark, emb, SF)
+    after = ann_ops.approx_knn(model2, vdf2, q, k=5).collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+
+def test_ivf_loads_without_refit(spark, store_root, monkeypatch):
+    emb = load_table(spark, SF, "embeddings")
+    q = [0.0] * 64
+    km1, a1 = index_store.load_or_fit_ivf(spark, emb, SF, n_clusters=4)
+    before = ann_ops.ivf_search(km1, a1, q, k=5, nprobe=2).collect()
+
+    _no_fit(monkeypatch, "build_ivf_index")
+    km2, a2 = index_store.load_or_fit_ivf(spark, emb, SF, n_clusters=4)
+    after = ann_ops.ivf_search(km2, a2, q, k=5, nprobe=2).collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+
+def test_pq_loads_without_refit(spark, store_root, monkeypatch):
+    emb = load_table(spark, SF, "embeddings")
+    books1 = index_store.load_or_fit_pq(spark, emb, SF, m=8, k=8)
+
+    _no_fit(monkeypatch, "fit_pq_codebooks")
+    books2 = index_store.load_or_fit_pq(spark, emb, SF, m=8, k=8)
+    assert books1 == books2  # identical codebooks, byte-for-byte
+
+
+def test_stale_fingerprint_refits(spark, store_root):
+    emb = load_table(spark, SF, "embeddings")
+    index_store.load_or_fit_pq(spark, emb, SF, m=8, k=8)
+    # same store key (same sf tag / params) but a different row count:
+    # the fingerprint must miss and the fit must rerun on the new data
+    subset = emb.limit(50)
+    books = index_store.load_or_fit_pq(spark, subset, SF, m=8, k=8)
+    assert len(books) == 8  # refit on the subset succeeded
+
+
+def test_param_change_uses_distinct_artifact(spark, store_root):
+    emb = load_table(spark, SF, "embeddings")
+    b16 = index_store.load_or_fit_pq(spark, emb, SF, m=16, k=8)
+    b8 = index_store.load_or_fit_pq(spark, emb, SF, m=8, k=8)
+    assert len(b16) == 16 and len(b8) == 8
