@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vfs_spark.functions.distance import array_lit, euclidean, l2_norm
+from vfs_spark.operators.knn import collect_serving_batch
 
 DEFAULT_BUCKET_LENGTH = 2.0
 # plays the role of HNSW ef/M recall knobs. tools/lsh_sweep.py on the
@@ -264,6 +265,7 @@ def ivf_search_batch(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Batch IVF: route EVERY query to its nprobe nearest clusters in
     one driver-side pass over the (tiny) centroid table, then ONE scan
@@ -281,7 +283,7 @@ def ivf_search_batch(
     import numpy as np
 
     spark = assigned_df.sparkSession
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = collect_serving_batch(queries, query_id_col, query_vec_col, max_queries)
     if not qrows:
         # schema must match the non-empty path (query_id included)
         return spark.createDataFrame(
@@ -535,6 +537,7 @@ def pq_search_batch(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Batch ADC: the many-queries form of pq_search (ivf_search_batch's
     move applied to PQ). One driver pass builds each query's m×k
@@ -546,7 +549,7 @@ def pq_search_batch(
     import numpy as np
 
     spark = encoded_df.sparkSession
-    qrows = queries_df.select(query_id_col, query_vec_col).collect()
+    qrows = collect_serving_batch(queries_df, query_id_col, query_vec_col, max_queries)
     if not qrows:
         return spark.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, dist double"
@@ -616,6 +619,7 @@ def pq_search_batch_arrow(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Arrow/NumPy batch ADC — the SCALE twin of pq_search_batch with
     the identical per-query output contract (asserted in tests). The
@@ -632,7 +636,7 @@ def pq_search_batch_arrow(
     import pandas as pd
 
     spark = encoded_df.sparkSession
-    qrows = queries_df.select(query_id_col, query_vec_col).collect()
+    qrows = collect_serving_batch(queries_df, query_id_col, query_vec_col, max_queries)
     out_schema = f"{query_id_col} long, {id_col} long, dist double"
     if not qrows:
         return spark.createDataFrame([], out_schema)

@@ -30,7 +30,42 @@ from vfs_spark.functions.distance import array_lit, cosine_distance, euclidean
 
 DEFAULT_K = 5  # reference default result_limit (rank.rs:129)
 
+# Ceiling on driver-side query-batch materialization in the serving
+# kernels (knn_batch_arrow, ivf/pq batch search). 10k × dim-1024 float64
+# ≈ 80 MB — comfortably broadcastable; anything bigger belongs on the
+# join-form path, not the driver.
+MAX_SERVING_BATCH = 10_000
+
 _METRICS = {"euclidean": euclidean, "cosine": cosine_distance}
+
+
+def collect_serving_batch(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    max_queries: int | None = None,
+) -> list:
+    """Materialize a SERVING batch of query vectors on the driver.
+
+    The batch kernels ship the whole query set to every worker (BLAS
+    matrices / broadcast ADC tables), so |Q| must stay serving-sized —
+    the contract every call site documents. This guard ENFORCES it:
+    `limit(cap+1)` means an oversized DataFrame is never materialized
+    (the old failure mode was a silent driver OOM), and the error
+    names the join-form twin (`knn_batch` / `ivf_search` per query /
+    `pq_search_batch`'s broadcast-join shape) as the overflow path for
+    bulk workloads."""
+    cap = MAX_SERVING_BATCH if max_queries is None else int(max_queries)
+    qrows = queries.select(query_id_col, query_vec_col).limit(cap + 1).collect()
+    if len(qrows) > cap:
+        raise ValueError(
+            f"serving batch exceeds max_queries={cap}: batch ANN kernels "
+            "broadcast the full query set to every executor, so they are "
+            "for serving-sized batches only. For bulk query workloads use "
+            "the join-form twin (knn_batch / approx_knn_join / "
+            "similarity_join), which scales out instead of collecting."
+        )
+    return qrows
 
 
 def distance_col(metric: str, vec_col: Column | str, query: Column) -> Column:
@@ -131,6 +166,7 @@ def knn_batch_arrow(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     round_digits: int = 6,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Batch exact k-NN, the 100×-scale path (euclidean): one BLAS
     matmul per Arrow batch + per-partition top-k BEFORE any shuffle.
@@ -148,7 +184,7 @@ def knn_batch_arrow(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = collect_serving_batch(queries, query_id_col, query_vec_col, max_queries)
     if not qrows:
         return knn_batch(vectors, queries, k=k, id_col=id_col, vec_col=vec_col)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
