@@ -301,6 +301,54 @@ def test_ivfpq_recall(emb, pq):
     assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
+def test_ivfpq_batch_matches_single_and_recall(emb, pq):
+    """ivfpq_search_batch must agree with per-query ivfpq_search for
+    every query in the batch — the routing mask inside the Arrow ADC
+    kernel has to reproduce single-query nprobe semantics exactly —
+    and clear the same recall gate vs exact."""
+    from vfs_spark.operators.knn import exact_knn
+
+    books, enc = pq
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=8)
+    assigned_enc = assigned.select("vec_id", "cluster_id").join(enc, "vec_id")
+    queries_df = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    batch = ann_ops.ivfpq_search_batch(
+        km, assigned_enc, emb, books, queries_df, k=10, nprobe=4, shortlist=100
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["dist"]))
+    assert set(by_q) == {0, 1, 2, 3}
+    recalls = []
+    for r in emb.where(F.col("vec_id") < 4).collect():
+        qid, qvec = r["vec_id"], r["embedding"]
+        single = [
+            (x["vec_id"], x["dist"])
+            for x in ann_ops.ivfpq_search(
+                km, assigned_enc, emb, books, qvec, k=10, nprobe=4, shortlist=100
+            ).collect()
+        ]
+        assert by_q[qid] == single, qid
+        ex = exact_knn(emb, qvec, k=10)
+        exact_ids = {x["vec_id"] for x in ex.collect()}
+        got = {v for v, _ in by_q[qid]}
+        recalls.append(len(got & exact_ids) / len(exact_ids))
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_ivfpq_batch_empty_queries_schema(spark, emb, pq):
+    books, enc = pq
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=4)
+    assigned_enc = assigned.select("vec_id", "cluster_id").join(enc, "vec_id")
+    empty_q = spark.createDataFrame([], "query_id long, query_vec array<double>")
+    out = ann_ops.ivfpq_search_batch(km, assigned_enc, emb, books, empty_q, k=3)
+    assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "dist"]
+    assert out.count() == 0
+
+
 def test_lsh_multiprobe_recall_monotone(emb, qvec):
     """The per-query recall knob (reference ef_search, tcp.rs:397-398):
     widening probe_width grows the candidate set monotonically, so

@@ -773,6 +773,114 @@ def ivfpq_search(
     )
 
 
+def ivfpq_search_batch(
+    km_model,
+    assigned_encoded_df: DataFrame,
+    full_df: DataFrame,
+    codebooks,
+    queries_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    max_queries: int | None = None,
+) -> DataFrame:
+    """Batch IVFPQ serving — the many-queries form of ivfpq_search,
+    composing ivf_search_batch's driver-side routing with the Arrow
+    ADC kernel (pq_search_batch_arrow) plus exact rerank.
+
+    One driver pass routes every query to its nprobe nearest
+    centroids (≤ n_clusters rows — constant); ONE scan covers the
+    UNION of all routed cells (with the cluster-partitioned store
+    that is partition pruning to |∪ routed| partitions) reading only
+    the code column; inside the kernel a per-query routing mask keeps
+    each row competing only for queries routed to its cell, so the
+    per-query candidate semantics match the single-query form while
+    the scan cost is shared by the whole batch. Only per-batch
+    shortlists (≤ shortlist·|Q| rows per partition) leave the kernel;
+    float vectors hydrate for the |Q|·shortlist rerank pairs alone."""
+    import numpy as np
+    import pandas as pd
+
+    spark = assigned_encoded_df.sparkSession
+    qrows = collect_serving_batch(queries_df, query_id_col, query_vec_col, max_queries)
+    out_schema = f"{query_id_col} long, {id_col} long, dist double"
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    centers = np.stack([np.asarray(c) for c in km_model.clusterCenters()])
+    qids, lut = _pq_luts(codebooks, qrows)
+    m = len(codebooks)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    cell_d = ((centers[None, :, :] - Q[:, None, :]) ** 2).sum(axis=2)  # (q, C)
+    routed = np.argsort(cell_d, axis=1)[:, :nprobe]  # (q, nprobe)
+    allow = np.zeros((len(qids), len(centers)), dtype=bool)
+    for qi in range(len(qids)):
+        allow[qi, routed[qi]] = True
+    needed = sorted(int(c) for c in set(routed.ravel().tolist()))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cluster_id"].to_numpy().astype(np.int64)
+            D = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            for j in range(m):
+                D += lut[:, j, :][:, codes[:, j]]
+            dist = np.sqrt(D).round(6)
+            dist[~allow[:, cells]] = np.inf  # routing mask per query
+            take = min(shortlist, len(ids))
+            qcol, icol, dcol = [], [], []
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, dist[qi]))[:take]
+                order = order[np.isfinite(dist[qi][order])]
+                qcol.append(np.full(len(order), qids[qi]))
+                icol.append(ids[order])
+                dcol.append(dist[qi][order])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(qcol),
+                    id_col: np.concatenate(icol),
+                    "dist": np.concatenate(dcol),
+                }
+            )
+
+    cand = assigned_encoded_df.where(F.col("cluster_id").isin(needed))
+    part = cand.select(id_col, "cluster_id", "codes").mapInPandas(kernel, out_schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc_nulls_last(), F.col(id_col).asc()
+    )
+    short = (
+        part.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= shortlist)
+        .drop("rnk", "dist")
+    )
+    qv = queries_df.select(
+        query_id_col, F.col(query_vec_col).cast("array<double>").alias("_qv")
+    )
+    exact = (
+        full_df.select(id_col, vec_col)
+        .join(F.broadcast(short), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(euclidean(vec_col, F.col("_qv")), 6).alias("dist"),
+        )
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def encode_pq_arrow(
     df: DataFrame, codebooks, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -423,6 +423,26 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivfpq_batch")  # rows-only: recall-gated + matches-single in tests
+def q_ann_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVFPQ serving: 5 queries routed driver-side to 4/16
+    cells each, ONE scan of the union of routed cells reading only
+    the code column, per-query routing mask inside the Arrow ADC
+    kernel, exact rerank on |Q|·shortlist hydrated pairs. The
+    compounding form of ann_ivf_batch × ann_pq_batch — at 100 TB the
+    whole batch reads |∪ routed|/n_clusters of the partitions × 1/16
+    of the bytes, once."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    km, books, assigned_enc = _ivfpq_index(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    return ann_ops.ivfpq_search_batch(
+        km, assigned_enc, emb, books, queries_df, k=10, nprobe=4, shortlist=100
+    )
+
+
 @query("ann_pq_batch")  # rows-only: recall-gated in tests/test_ann.py
 def q_ann_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch PQ serving: 5 query vectors ADC-scored against the cached
