@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Machine-readable green record for the streaming surface.
+
+Runs the streaming equivalence suite (tests/test_streaming.py — every
+streaming operator asserted against its oracle-checked batch twin) and
+the streaming driver slugs' selfcheck, then writes STREAMCHECK_r*.json
+at the repo root: one entry per check with pass/fail and wall time.
+The streaming analogue of tools/selfcheck.py's SELFCHECK artifact.
+
+Usage: python tools/streamcheck.py [round_number]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import xml.etree.ElementTree as ET
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "05"
+    xml_path = os.path.join(REPO, ".streamcheck_junit.xml")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            "tests/test_streaming.py",
+            "-q",
+            f"--junitxml={xml_path}",
+        ],
+        cwd=REPO,
+    )
+    results: dict[str, dict] = {}
+    tree = ET.parse(xml_path)
+    for case in tree.iter("testcase"):
+        name = case.get("name", "?")
+        failed = case.find("failure") is not None or case.find("error") is not None
+        skipped = case.find("skipped") is not None
+        results[name] = {
+            "status": "skip" if skipped else ("fail" if failed else "pass"),
+            "time_s": round(float(case.get("time", "0")), 2),
+        }
+    os.remove(xml_path)
+    n_pass = sum(1 for r in results.values() if r["status"] == "pass")
+    n_fail = sum(1 for r in results.values() if r["status"] == "fail")
+    out = {
+        "suite": "tests/test_streaming.py",
+        "n_pass": n_pass,
+        "n_fail": n_fail,
+        "checks": results,
+        "driver_slugs": [
+            "stream_window_counts",
+            "stream_ingest_corpus",
+            "stream_cdc_upsert",
+        ],
+    }
+    dest = os.path.join(REPO, f"STREAMCHECK_r{rnd}.json")
+    with open(dest, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {dest}: {n_pass} pass, {n_fail} fail")
+    return 1 if (n_fail or proc.returncode) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -14,6 +14,7 @@ import vfs_spark.queries.relational  # noqa: F401,E402
 import vfs_spark.queries.tpch_ext  # noqa: F401,E402
 import vfs_spark.queries.text  # noqa: F401,E402
 import vfs_spark.queries.similarity  # noqa: F401,E402
+import vfs_spark.queries.streaming_queries  # noqa: F401,E402
 
 
 def _rotate_for_driver_coverage() -> None:

@@ -1,0 +1,196 @@
+"""⊕ Streaming slugs for the driver contract: each callable stages the
+fixture table as a file-source stream, drains it with an availableNow
+trigger (Structured Streaming's run-to-completion mode), and returns
+the landed result as a batch DataFrame — so the driver's DuckDB oracle
+hash-checks STREAMING semantics exactly like any batch query.
+
+Until now the streaming surface (vfs_spark/streaming/) was verified
+only by pytest equivalence tests against oracle-checked batch twins;
+these slugs give the driver a direct, recorded pass. Each one keeps
+the streaming path's scale shape: watermark-bounded state, foreachBatch
+appends to the same Parquet layouts the batch engine reads, broadcast
+joins against batch-sized key sets.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vfs_spark.queries.registry import query
+from vfs_spark.queries.text import _FP, _LANG_CASE, _SHINGLES5, _TOKS
+from vfs_spark.sources.parquet import load_table
+
+
+def _fresh_dir() -> str:
+    return tempfile.mkdtemp(prefix="vfs_stream_")
+
+
+def _stage_single_file(df: DataFrame, dest_path: str) -> None:
+    """Write ``df`` as ONE parquet FILE at ``dest_path`` (the fixture
+    layout read_document_stream's pathGlobFilter expects — a plain
+    ``.write.parquet`` would create a directory of part files that the
+    leaf-file glob never matches, silently yielding an empty stream)."""
+    tmp = dest_path + "_stage"
+    df.coalesce(1).write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.makedirs(os.path.dirname(dest_path), exist_ok=True)
+    os.replace(os.path.join(tmp, part), dest_path)
+    shutil.rmtree(tmp)
+
+
+@query(
+    "stream_window_counts",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows computed BY THE STREAM
+    (readStream → withWatermark → window agg → availableNow drain to a
+    memory sink) and hash-checked against the same DuckDB oracle as
+    the batch twin `event_window_counts` — the driver-recorded proof
+    that the streaming aggregation semantics match batch. At scale
+    this is the standing query shape: watermark bounds window state,
+    partial aggregation happens per micro-batch."""
+    from vfs_spark.streaming import ingest
+
+    table = f"stream_wc_{uuid.uuid4().hex[:8]}"
+    stream = ingest.read_event_stream(spark, sf_dir)
+    ingest.run_to_memory(ingest.windowed_counts(stream), table)
+    return spark.table(table)
+
+
+@query(
+    "stream_ingest_corpus",
+    oracle=f"""
+WITH keepers AS (
+  SELECT doc_id, text, n_chars, {_FP} AS fp
+  FROM documents
+  WHERE doc_id >= 10
+    AND ({_LANG_CASE}) <> 'unk'
+    AND len({_TOKS}) >= 20
+    AND CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) >= 0.3
+    AND CAST(n_chars AS DOUBLE) / len({_TOKS}) <= 12
+),
+dedup AS (
+  SELECT k.* FROM keepers k
+  JOIN (SELECT fp, MIN(doc_id) AS keep_id FROM keepers GROUP BY fp) m
+    ON k.fp = m.fp AND k.doc_id = m.keep_id
+),
+ev AS (
+  SELECT DISTINCT unnest({_SHINGLES5}) AS g
+  FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id < 10)
+),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({_SHINGLES5}) AS g
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM dedup)) c
+  JOIN ev USING (g)
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+""",
+)
+def q_stream_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming corpus-ingest pipeline (quality gate → in-batch
+    keep-first dedup → cross-batch fp anti-join → 5-gram benchmark
+    decontamination → store append) drained over the corpus
+    (doc_id ≥ 10; doc_id < 10 is the eval set) and hash-checked
+    against the batch pipeline's selection — the driver-recorded
+    streaming twin of `pipeline_pretraining_corpus`. Cross-batch
+    behavior (replay idempotence, multi-batch dedup) is covered in
+    tests/test_streaming.py; here one drain proves the landed set is
+    exactly the batch answer."""
+    from vfs_spark.streaming.ingest import (
+        read_document_stream,
+        stream_corpus_ingest,
+    )
+
+    work = _fresh_dir()
+    try:
+        src = os.path.join(work, "in")
+        docs = load_table(spark, sf_dir, "documents")
+        _stage_single_file(
+            docs.where(F.col("doc_id") >= 10),
+            os.path.join(src, "documents.parquet"),
+        )
+        dest = os.path.join(work, "corpus")
+        q = stream_corpus_ingest(
+            read_document_stream(spark, src),
+            dest,
+            os.path.join(work, "ckpt"),
+            eval_docs=docs.where(F.col("doc_id") < 10),
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(dest).select(
+            "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+        )
+        # materialize before the tmp store is deleted
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+SELECT vec_id,
+       CAST(CASE WHEN vec_id % 10 = 0 THEN label + 100 ELSE label END
+            AS INTEGER) AS label,
+       CAST(len(embedding) AS INTEGER) AS dim
+FROM embeddings
+""",
+)
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert drained end to end: seed a versioned store
+    with the scalarized embeddings table, stream one micro-batch of
+    keyed updates (every 10th vector re-labeled — the same update set
+    as the batch `merge_upsert_vectors`) through stream_apply_cdc,
+    and return the post-merge store. The pointer-flip commit, the
+    broadcast anti-join merge, and last-writer-wins all run on the
+    real streaming path; the oracle states the expected end state in
+    one CASE expression."""
+    from vfs_spark.streaming.ingest import read_cdc_store, stream_apply_cdc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.size("embedding").cast("int").alias("dim"),
+    )
+    updates = emb.where(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        (F.col("label") + 100).cast("int").alias("label"),
+        F.size("embedding").cast("int").alias("dim"),
+    )
+    work = _fresh_dir()
+    try:
+        store = os.path.join(work, "store")
+        base.write.parquet(os.path.join(store, "v_base"))
+        with open(os.path.join(store, "_CURRENT"), "w") as fh:
+            fh.write("v_base")
+        upd_src = os.path.join(work, "updates")
+        _stage_single_file(updates, os.path.join(upd_src, "batch.parquet"))
+        stream = (
+            spark.readStream.schema("vec_id bigint, label int, dim int")
+            .option("pathGlobFilter", "batch.parquet")
+            .parquet(upd_src)
+        )
+        q = stream_apply_cdc(
+            stream, store, os.path.join(work, "ckpt"), id_col="vec_id"
+        )
+        q.awaitTermination()
+        out = read_cdc_store(spark, store)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
