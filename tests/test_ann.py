@@ -349,6 +349,22 @@ def test_ivfpq_batch_empty_queries_schema(spark, emb, pq):
     assert out.count() == 0
 
 
+def test_multiprobe_rejects_non_brp_model(spark, emb, qvec):
+    """Adjacent-bucket probing is only defined for scalar projection
+    buckets — a MinHashLSH model must be rejected loudly, not probed
+    meaninglessly."""
+    from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vdf = emb.limit(50).withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=2)
+    model = mh.fit(vdf)
+    with pytest.raises(TypeError, match="BucketedRandomProjectionLSH"):
+        ann_ops.approx_knn_multiprobe(model, vdf, qvec, k=5)
+
+
 def test_lsh_multiprobe_recall_monotone(emb, qvec):
     """The per-query recall knob (reference ef_search, tcp.rs:397-398):
     widening probe_width grows the candidate set monotonically, so

@@ -203,3 +203,28 @@ def test_minhash_finds_all_banded_candidates(spark, sf_dir):
         for r in dedup_ops.minhash_native_pairs(df, jaccard_threshold=0.5).collect()
     }
     assert (1, 2) in pairs, pairs
+
+
+def test_minhash_salted_skew_path_matches_plain(spark):
+    """A hot band bucket (here: a 20-doc identical cluster — every
+    signature collides, the straggler-reducer shape) routed through
+    the salted self-join must produce EXACTLY the plain equi-join's
+    pairs: salting redistributes the B² pair generation, it must not
+    create or drop a single pair."""
+    hot = "the quick brown fox jumps over the lazy dog again and again " * 2
+    rows = [(i, hot) for i in range(20)]  # one identical cluster
+    rows += [(100, "completely unrelated words appear in this document text")]
+    rows += [(101, hot + " extra"), (102, "more unrelated filler text body")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ops.minhash_native_pairs(df, jaccard_threshold=0.5).collect()
+    }
+    salted = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ops.minhash_native_pairs(
+            df, jaccard_threshold=0.5, skew_threshold=5, n_salts=4
+        ).collect()
+    }
+    assert plain == salted
+    assert len(plain) >= 20 * 19 / 2  # the cluster's pairs all survived

@@ -133,10 +133,21 @@ def approx_knn_multiprobe(
     survivors. At 100 TB the hashed table is written once at index
     build (fit-once / transform-once) and this probe is a pruned scan
     of it."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSHModel
     from pyspark.ml.functions import vector_to_array
     from pyspark.ml.linalg import Vectors
 
     import numpy as np
+
+    # adjacent-bucket arithmetic (|bucket - q_bucket| <= w-1) only
+    # means anything for scalar projection buckets: a MinHashLSH model
+    # would "probe" meaningless hash-value neighborhoods silently.
+    if not isinstance(model, BucketedRandomProjectionLSHModel):
+        raise TypeError(
+            "approx_knn_multiprobe requires a BucketedRandomProjectionLSH "
+            f"model (got {type(model).__name__}): adjacent-bucket probing "
+            "is defined on scalar projection buckets only"
+        )
 
     q = np.asarray(list(query), dtype=float)
     if metric == "cosine":
@@ -150,6 +161,11 @@ def approx_knn_multiprobe(
     q_hashes = [
         float(v[0]) for v in model.transform(q_row).first()["hashes"]
     ]
+    if not q_hashes:
+        raise ValueError(
+            "LSH model produced no hash tables (numHashTables=0?) — "
+            "multiprobe needs at least one bucket predicate"
+        )
 
     within = None
     for i, qh in enumerate(q_hashes):

@@ -223,6 +223,8 @@ def minhash_native_pairs(
     text_col: str = "text",
     jaccard_threshold: float = 0.3,
     n_hashes: int = 5,
+    skew_threshold: int | None = None,
+    n_salts: int = 8,
 ) -> DataFrame:
     """Pure-Catalyst MinHash-LSH — no MLlib, no vector conversion, no
     corpus-sized cache:
@@ -244,6 +246,16 @@ def minhash_native_pairs(
     4. exact Jaccard verify recomputes shingle sets for CANDIDATE
        docs only, via a broadcast semi-join into the doc scan — the
        corpus text never shuffles, never broadcasts, never caches.
+
+    Skew: a signature value shared by a huge near-duplicate cluster
+    lands that whole cluster in ONE band bucket → one straggler
+    reducer. With ``skew_threshold=B``, buckets larger than B rows
+    run through a salted self-join instead (scatter one side over
+    ``n_salts`` deterministic salts, replicate the other — the
+    salted_join move from operators/scale.py applied to a self-join,
+    each pair still produced exactly once), spreading the B² pair
+    generation over n_salts reducers. Cold buckets keep the plain
+    equi-join; candidates are unioned before verify.
 
     Same contract as minhash_near_dup_pairs."""
     ex = docs.select(
@@ -269,19 +281,52 @@ def minhash_native_pairs(
         ).alias("b"),
     ).select(id_col, "b.hash_idx", "b.sig")
 
-    a, b = sig.alias("a"), sig.alias("b")
-    cand = (
-        a.join(
+    def _band_pairs(s: DataFrame) -> DataFrame:
+        a, b = s.alias("a"), s.alias("b")
+        return a.join(
             b,
             (F.col("a.hash_idx") == F.col("b.hash_idx"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
+        ).select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
         )
-        .distinct()
+
+    if skew_threshold is None:
+        pairs = _band_pairs(sig)
+    else:
+        hot_keys = (
+            sig.groupBy("hash_idx", "sig")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > skew_threshold)
+            .select("hash_idx", "sig")
+        )
+        cold = sig.join(F.broadcast(hot_keys), ["hash_idx", "sig"], "left_anti")
+        hot = sig.join(F.broadcast(hot_keys), ["hash_idx", "sig"], "left_semi")
+        # salted self-join: scatter side a over n_salts deterministic
+        # salts, replicate side b across all of them — every (a, b)
+        # pair joins exactly once, at a's salt, but the hot bucket's
+        # pair generation spreads over n_salts reducers.
+        ha = hot.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+        ).alias("a")
+        hb = hot.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        ).alias("b")
+        hot_pairs = ha.join(
+            hb,
+            (F.col("a.hash_idx") == F.col("b.hash_idx"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        pairs = _band_pairs(cold).unionByName(hot_pairs)
+    cand = (
+        pairs.distinct()
         .localCheckpoint(eager=True)  # candidates only — never the corpus
     )
     ids = cand.select(

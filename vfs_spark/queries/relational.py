@@ -1144,8 +1144,17 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance 3, blocked by nation (the record-linkage sibling of the
     text near-dup family — same blocked-join shape, edit distance
     instead of jaccard; both engines evaluate levenshtein natively).
-    At 100 TB the blocking key bounds the quadratic term exactly like
-    lang-blocking does for dedup_ngram_jaccard."""
+
+    Scale contract: this is the BLOCKED-PAIRWISE form — Σ|block|²
+    comparisons, exact and oracle-checkable, fine while blocks stay
+    bounded. At 100 TB (or with a skewed blocking key) use the BANDED
+    twin instead: generate candidates with a band equi-join the way
+    the dedup family does — character-n-gram shingles through
+    minhash_native_pairs (operators/dedup.py:220, which also salts
+    hot buckets via skew_threshold) or dedup_ngram_jaccard's shingle
+    join — then verify ONLY candidates with levenshtein. Same
+    banded-candidates → exact-verify pattern, shuffle bands·n rows
+    instead of Σ|block|²."""
     sup = _t(spark, sf_dir, "supplier")
     a, b = sup.alias("a"), sup.alias("b")
     d = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))

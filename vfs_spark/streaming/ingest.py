@@ -22,7 +22,16 @@ def read_event_stream(
     needs an explicit schema, so sniff the batch reader's schema for
     the actual on-disk ts encoding (int64 nanos vs timestamp[us] vs
     tz-aware) and apply the same normalization as the batch loader —
-    one code path decides, both engines agree."""
+    one code path decides, both engines agree.
+
+    The ts-normalization decision is FROZEN at stream definition: if
+    the source dir is empty at startup we fall back to EVENTS_SCHEMA
+    (canonical timestamp encoding) so the stream can start, and files
+    that later arrive MUST use that canonical encoding — int64-nanos
+    files appearing mid-stream would be read against the timestamp
+    schema with no ``ts div 1000`` normalization. Producers that emit
+    the nanos encoding must write at least one file before the stream
+    starts (or the caller re-creates the stream once data exists)."""
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -368,9 +377,18 @@ def stream_corpus_ingest(
     anti-joins batch-sized keys against it; the eval 5-gram set is
     materialized ONCE at stream definition (eval sets are tiny) and
     broadcast into every batch; the append is the same
-    memtable-flush shape as stream_append_vectors. Checkpointing
-    makes the whole batch exactly-once, so a replayed batch cannot
-    double-ingest (asserted in tests/test_streaming.py)."""
+    memtable-flush shape as stream_append_vectors.
+
+    Delivery semantics: the foreachBatch sink is at-least-once; the
+    checkpoint plus the fp anti-join make ingest IDEMPOTENT under
+    replay (a replayed batch adds zero rows — asserted in
+    tests/test_streaming.py), which is the practical exactly-once.
+    Docs dropped by decontamination leave a TOMBSTONE fp in a
+    sidecar (``<dest>_tombstones``, kept OUTSIDE the store directory
+    so plain readers of the store never see it) that the anti-join
+    also checks — so a later near-duplicate of a decontaminated doc
+    (same fp, possibly different shingles: fp is order-insensitive)
+    is dropped too, matching the batch pipeline, which drops both."""
     from pyspark.sql.window import Window
 
     from vfs_spark.functions.text import fingerprint, lang_id, tokens, word_shingles
@@ -384,6 +402,23 @@ def stream_corpus_ingest(
             .distinct()
             .localCheckpoint(eager=True)
         )
+
+    tomb_dir = dest_dir.rstrip("/") + "_tombstones"
+
+    def _read_fps(spark: SparkSession, path: str):
+        """fp column of an append store, or None before any rows have
+        landed (absent directory, or a directory holding only commit
+        markers because every row of the first batches was filtered).
+        Only those empty cases are tolerated — any OTHER read failure
+        (corrupt files, permissions) must raise, not silently disable
+        cross-batch dedup and double-ingest."""
+        import os
+
+        if not os.path.isdir(path) or not any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            return None
+        return spark.read.parquet(path).select("fp")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -402,11 +437,10 @@ def stream_corpus_ingest(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        try:
-            existing = spark.read.parquet(dest_dir).select("fp")
-            first = first.join(existing, "fp", "left_anti")
-        except Exception:  # noqa: BLE001 — store doesn't exist yet
-            pass
+        for seen_dir in (dest_dir, tomb_dir):
+            seen = _read_fps(spark, seen_dir)
+            if seen is not None:
+                first = first.join(seen, "fp", "left_anti")
         if ev is not None:
             contaminated = (
                 first.select(
@@ -416,6 +450,10 @@ def stream_corpus_ingest(
                 .select("doc_id")
                 .distinct()
             )
+            # tombstone the dropped fps so a later same-fp duplicate
+            # (batch semantics: both copies die) cannot slip in
+            dropped = first.join(contaminated, "doc_id", "left_semi")
+            dropped.select("fp").write.mode("append").parquet(tomb_dir)
             first = first.join(contaminated, "doc_id", "left_anti")
         first.write.mode("append").parquet(dest_dir)
 
