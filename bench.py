@@ -114,6 +114,12 @@ BENCH_QUERIES = [
     "window_percent_rank",
     "window_trailing_hour",
     "event_session_windows",
+    "ann_ivfpq_batch",
+    # streaming slugs (availableNow drains; stream_ingest_corpus is
+    # excluded — its full-corpus drain belongs to CORRECTNESS and
+    # STREAMCHECK, not a per-round latency suite)
+    "stream_window_counts",
+    "stream_cdc_upsert",
 ]
 
 
@@ -125,6 +131,7 @@ def main() -> None:
     # line prints unconditionally (even if the session itself dies).
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     times: dict[str, float] = {}
+    times_cold: dict[str, float] = {}
     errors: dict[str, str] = {}
 
     def guarded(name, fn):
@@ -134,13 +141,18 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     def timed(name, fn):
-        # one UNTIMED warm-up (Python/Arrow worker spawn, plan
-        # compile, one-time index fits), then best-of-2: r2's driver
-        # numbers recorded worker cold start (multimodal_embed 15.2 s
-        # recorded vs 1.4 s idle) — the measurement should be the
-        # plan's cost, not process churn or host-load noise.
+        # First run is recorded as COLD (plan compile, Python/Arrow
+        # worker spawn, one-time index fits), then best-of-2 as WARM.
+        # The headline stays warm — the plan's cost, not process churn
+        # (r2's driver numbers recorded worker cold start:
+        # multimodal_embed 15.2 s vs 1.4 s idle) — but the cold column
+        # in BENCH_DETAIL keeps warm-up visible so a cold-path
+        # regression (e.g. an index refit sneaking into a query) can't
+        # hide behind the warm best-of-2.
         def run():
+            t0 = time.time()
             fn()
+            times_cold[name] = round(time.time() - t0, 3)
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
@@ -154,7 +166,7 @@ def main() -> None:
         _suite(sf_dir, times, errors, timed, guarded)
     except Exception as e:  # noqa: BLE001 — report, don't crash
         errors["__suite__"] = f"{type(e).__name__}: {e}"[:300]
-    _report(sf_dir, times, errors)
+    _report(sf_dir, times, errors, times_cold)
 
 
 def _suite(sf_dir, times, errors, timed, guarded) -> None:
@@ -257,15 +269,16 @@ def _suite(sf_dir, times, errors, timed, guarded) -> None:
         timed(name, lambda n=name: _run(QUERIES[n](spark, sf_dir)))
 
 
-def _report(sf_dir, times, errors) -> None:
+def _report(sf_dir, times, errors, times_cold=None) -> None:
     amortized = times.get("exact_knn_amortized_per_query", 0.0)
     total = round(sum(times.values()) - amortized, 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     detail = {
-        "metric": "headline-suite wall time at sf, warm-up + best-of-2 per query",
+        "metric": "headline-suite wall time at sf, cold + best-of-2-warm per query",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_cold": times_cold or {},
         "errors": errors,
         "sf": sf,
     }
