@@ -349,6 +349,41 @@ def test_ivfpq_batch_empty_queries_schema(spark, emb, pq):
     assert out.count() == 0
 
 
+def test_join_multiprobe_superset_and_monotone(spark, emb):
+    """The bulk multiprobe join at probe_width=1 must contain every
+    within-threshold pair the MLlib bucket join finds (same candidate
+    generation, exact distances both), and the pair set must grow
+    monotonically with probe_width."""
+    model, vdf = ann_ops.build_lsh_index(emb, num_hash_tables=3, bucket_length=1.0)
+    vdf = vdf.cache()
+    vdf.count()
+    queries_df = vdf.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("features")
+    )
+    mllib = {
+        (r[0], r[1])
+        for r in ann_ops.approx_knn_join(model, vdf, queries_df, threshold=3.0)
+        .select("datasetA.query_id", "datasetB.vec_id")
+        .collect()
+    }
+    sizes = []
+    prev = None
+    for w in (1, 2, 4):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ann_ops.approx_knn_join_multiprobe(
+                model, vdf, queries_df, threshold=3.0, probe_width=w
+            ).collect()
+        }
+        if w == 1:
+            assert mllib <= got  # same buckets -> same candidates
+        if prev is not None:
+            assert prev <= got  # probe window only ever widens
+        prev = got
+        sizes.append(len(got))
+    assert sizes[0] <= sizes[-1]
+
+
 def test_multiprobe_rejects_non_brp_model(spark, emb, qvec):
     """Adjacent-bucket probing is only defined for scalar projection
     buckets — a MinHashLSH model must be rejected loudly, not probed

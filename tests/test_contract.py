@@ -26,6 +26,7 @@ ROWS_ONLY_ALLOWED = {
     "ann_pq",  # PQ codebooks are KMeans-derived; recall-gated in test_ann.py
     "ann_pq_batch",  # batch form of ann_pq; equality-to-single + recall gated
     "ann_ivfpq_batch",  # batch IVFPQ; equality-to-single + recall gated
+    "similarity_join_multiprobe",  # bulk multiprobe; superset+monotone gated
     "ann_ivfpq",  # IVF routing × PQ codes; recall-gated in test_ann.py
 }
 

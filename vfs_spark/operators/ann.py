@@ -206,6 +206,80 @@ def approx_knn_join(
     )
 
 
+def approx_knn_join_multiprobe(
+    model,
+    indexed_df: DataFrame,
+    indexed_queries: DataFrame,
+    threshold: float,
+    probe_width: int = 1,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Bulk multi-probe: the per-query recall knob
+    (approx_knn_multiprobe) applied to the JOIN form — per-PAIR probe
+    width for batch re-ranking pipelines.
+
+    The trick that keeps it an EQUI-join (no range-join explosion):
+    only the QUERY side expands — each query hash bucket explodes to
+    the 2·(w-1)+1 buckets of its probe window — then (table_idx,
+    bucket) equi-joins against the data side's exact buckets. The
+    collection side stays one row per (vector, table); the query side
+    grows (2w-1)×, which is fine because queries are the small side.
+    probe_width=1 reproduces the single-probe bucket-join candidate
+    set; recall grows monotonically with w (asserted in tests).
+    Candidates are deduped on ids, then exact distance filters to
+    `threshold` — output (query_id, vec_id, dist), distances exact."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSHModel
+    from pyspark.ml.functions import vector_to_array
+
+    if not isinstance(model, BucketedRandomProjectionLSHModel):
+        raise TypeError(
+            "approx_knn_join_multiprobe requires a "
+            f"BucketedRandomProjectionLSH model (got {type(model).__name__})"
+        )
+    n_tables = model.getNumHashTables()
+    if n_tables < 1:
+        raise ValueError("LSH model has no hash tables")
+    w = probe_width - 1
+
+    def buckets(df, keep_id):
+        hashed = model.transform(df)
+        return hashed.select(
+            F.col(keep_id),
+            F.col("features"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("t"),
+                            vector_to_array(F.col("hashes")[i])[0]
+                            .cast("long")
+                            .alias("b"),
+                        )
+                        for i in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(keep_id, "features", "tb.t", "tb.b")
+
+    d = buckets(indexed_df, id_col)
+    q = buckets(indexed_queries, query_id_col).withColumn(
+        "b", F.explode(F.sequence(F.col("b") - w, F.col("b") + w))
+    )
+    cand = (
+        q.select(query_id_col, F.col("features").alias("_qf"), "t", "b")
+        .join(d, ["t", "b"])
+        .select(query_id_col, id_col, "_qf", "features")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    dist = F.round(
+        euclidean(vector_to_array("features"), vector_to_array("_qf")), 6
+    ).alias("dist")
+    return cand.select(F.col(query_id_col), F.col(id_col), dist).where(
+        F.col("dist") <= threshold
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) index: KMeans coarse quantizer + cluster pruning
 

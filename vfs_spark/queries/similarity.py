@@ -199,6 +199,24 @@ def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("query_id") != F.col("vec_id"))
 
 
+@query("similarity_join_multiprobe")  # rows-only: recall monotone in knob
+def q_similarity_join_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk ANN with the per-pair recall knob: the multiprobe bucket
+    expansion applied to the JOIN form (probe_width=2 widens each
+    query's bucket window; only the tiny query side expands, the
+    collection side joins on exact buckets — still an equi-join).
+    The batch re-ranking path when single-probe similarity_join
+    misses cross-bucket neighbors."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    model, vdf = index_store.load_or_fit_lsh(spark, emb, sf_dir)
+    queries_df = vdf.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("features")
+    )
+    return ann_ops.approx_knn_join_multiprobe(
+        model, vdf, queries_df, threshold=3.0, probe_width=2
+    ).where(F.col("query_id") != F.col("vec_id"))
+
+
 @query(
     "multimodal_embed",
     oracle="""
