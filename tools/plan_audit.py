@@ -61,6 +61,20 @@ EXPECTED = {
     "dedup_minhash_mllib": {"py", "many"},
     "dedup_simhash": {"py", "many"},
     "dedup_simhash_jvm": {"many"},
+    # IVFPQ: Arrow ADC kernel (the documented scale twin of the expr
+    # scorer) + routed-cells scan + rerank = a composed pipeline's
+    # exchanges of code-rows and shortlist ids, never the collection:
+    "ann_ivfpq": {"py", "many"},
+    "ann_ivfpq_batch": {"py", "many"},
+    # bulk multiprobe: per-hash-table exchanges of (table, bucket)
+    # keys — the similarity_join shape with a widened query side:
+    "similarity_join_multiprobe": {"many"},
+    # composed 4-stage pipeline (quality→dedup→decontam→split): each
+    # stage's exchange carries fingerprints/ids, text never shuffles:
+    "pipeline_pretraining_corpus": {"many"},
+    # measured comparison twin, kept registered for the A/B (default
+    # slug is the all-JVM `agg` form); not for pipelines:
+    "dedup_simhash_udf": {"py", "many"},
 }
 
 

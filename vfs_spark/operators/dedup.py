@@ -332,7 +332,18 @@ def minhash_native_pairs(
     ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     ).distinct()
-    csh = docs.join(F.broadcast(ids), id_col).select(
+    # Row-group pruning for the verify scan: the candidate set is
+    # checkpointed and tiny, so its id bounds cost one cheap agg, and
+    # the BETWEEN predicate reaches the Parquet scan as a min/max
+    # row-group filter (doc_a < doc_b, so min(doc_a)/max(doc_b) bound
+    # every candidate id). With an id-clustered store the verify then
+    # reads only row groups containing candidates instead of the whole
+    # corpus; the broadcast semi-join stays as the exact filter.
+    bounds = cand.agg(F.min("doc_a"), F.max("doc_b")).first()
+    verify_src = docs
+    if bounds[0] is not None:
+        verify_src = docs.where(F.col(id_col).between(bounds[0], bounds[1]))
+    csh = verify_src.join(F.broadcast(ids), id_col).select(
         F.col(id_col), word_shingles(text_col).alias("sh")
     )
     sa = csh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
