@@ -20,6 +20,19 @@ def test_point_lookup_pushes_filter(emb):
     ex.assert_pushed_filters(df, "EqualTo(vec_id,42)")
 
 
+def test_minhash_verify_scan_pushes_id_bounds(spark, sf_dir):
+    """The MinHash verify stage's doc re-scan must carry the candidate
+    id BETWEEN bounds down to the Parquet scan (row-group pruning on
+    an id-clustered store) — not rely on the join alone."""
+    from vfs_spark.operators.dedup import minhash_native_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = minhash_native_pairs(docs, jaccard_threshold=0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(doc_id" in plan, plan[:2000]
+    assert "LessThanOrEqual(doc_id" in plan, plan[:2000]
+
+
 def test_scan_prunes_columns(emb):
     df = emb.select("vec_id", "label")
     ex.assert_read_schema_only(df, ["vec_id", "label"])
