@@ -746,10 +746,21 @@ def pq_search_batch_arrow(
             take = min(k, len(ids))
             qcol, icol, dcol = [], [], []
             for qi in range(len(qids)):
-                order = np.lexsort((ids, dist[qi]))[:take]
+                # argpartition (O(b)) + lexsort of only the boundary
+                # tie group — not a full O(b log b) sort per (query,
+                # batch); same move as knn_batch_arrow, same exact
+                # (dist, id) tiebreak contract (asserted byte-identical
+                # to the expr scorer in tests). At 10M codes × 100
+                # queries the full-sort form measured 30 s.
+                col = dist[qi]
+                part_idx = np.argpartition(col, take - 1)[:take]
+                kth = col[part_idx].max()
+                cand = np.flatnonzero(col <= kth)
+                order = np.lexsort((ids[cand], col[cand]))[:take]
+                sel = cand[order]
                 qcol.append(np.full(take, qids[qi]))
-                icol.append(ids[order])
-                dcol.append(dist[qi][order])
+                icol.append(ids[sel])
+                dcol.append(col[sel])
             yield pd.DataFrame(
                 {
                     query_id_col: np.concatenate(qcol),
