@@ -937,11 +937,24 @@ def ivfpq_search_batch(
             take = min(shortlist, len(ids))
             qcol, icol, dcol = [], [], []
             for qi in range(len(qids)):
-                order = np.lexsort((ids, dist[qi]))[:take]
-                order = order[np.isfinite(dist[qi][order])]
-                qcol.append(np.full(len(order), qids[qi]))
-                icol.append(ids[order])
-                dcol.append(dist[qi][order])
+                # argpartition + boundary-tie re-rank (the
+                # knn_batch_arrow / pq_search_batch_arrow move);
+                # masked-out rows are +inf, so when fewer than `take`
+                # candidates are finite the tie group collapses to the
+                # finite rows only — same output as the full sort.
+                col = dist[qi]
+                part_idx = np.argpartition(col, take - 1)[:take]
+                kth = col[part_idx].max()
+                cand = (
+                    np.flatnonzero(col <= kth)
+                    if np.isfinite(kth)
+                    else np.flatnonzero(np.isfinite(col))
+                )
+                order = np.lexsort((ids[cand], col[cand]))[:take]
+                sel = cand[order]
+                qcol.append(np.full(len(sel), qids[qi]))
+                icol.append(ids[sel])
+                dcol.append(col[sel])
             yield pd.DataFrame(
                 {
                     query_id_col: np.concatenate(qcol),
