@@ -27,6 +27,7 @@ ROWS_ONLY_ALLOWED = {
     "ann_pq_batch",  # batch form of ann_pq; equality-to-single + recall gated
     "ann_ivfpq_batch",  # batch IVFPQ; equality-to-single + recall gated
     "similarity_join_multiprobe",  # bulk multiprobe; superset+monotone gated
+    "ann_ivf_partitioned",  # partitioned-store IVF; equals ann_ivf in tests
     "ann_ivfpq",  # IVF routing × PQ codes; recall-gated in test_ann.py
 }
 

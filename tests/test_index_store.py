@@ -60,6 +60,32 @@ def test_pq_loads_without_refit(spark, store_root, monkeypatch):
     assert books1 == books2  # identical codebooks, byte-for-byte
 
 
+def test_ivf_store_written_once_and_search_matches(spark, store_root, monkeypatch):
+    """The partitioned store is written on first use, reused after
+    (no rewrite — write_ivf_partitioned must not be called again),
+    and partitioned search returns exactly the in-memory ann_ivf
+    answer for the same model/nprobe."""
+    emb = load_table(spark, SF, "embeddings")
+    q = [0.0] * 64
+    km, store = index_store.load_or_fit_ivf_store(spark, emb, SF, n_clusters=4)
+    _, assigned = index_store.load_or_fit_ivf(spark, emb, SF, n_clusters=4)
+    want = [
+        tuple(r)
+        for r in ann_ops.ivf_search(km, assigned, q, k=5, nprobe=2).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in ann_ops.ivf_search_partitioned(
+            spark, km, store, q, k=5, nprobe=2
+        ).collect()
+    ]
+    assert got == want
+
+    _no_fit(monkeypatch, "write_ivf_partitioned")
+    km2, store2 = index_store.load_or_fit_ivf_store(spark, emb, SF, n_clusters=4)
+    assert store2 == store
+
+
 def test_stale_fingerprint_refits(spark, store_root):
     emb = load_table(spark, SF, "embeddings")
     index_store.load_or_fit_pq(spark, emb, SF, m=8, k=8)

@@ -128,6 +128,32 @@ def load_or_fit_ivf(
     return km, assigned
 
 
+def load_or_fit_ivf_store(
+    spark: SparkSession,
+    df: DataFrame,
+    sf_dir: str,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+):
+    """(kmeans_model, partitioned_store_path): the IVF index AT REST —
+    one Hive partition per cluster — written once per dataset
+    fingerprint and reused by every later application. Queries
+    against the returned path get physical partition pruning
+    (ivf_search_partitioned); this is the layout `stream_append_ivf`
+    maintains incrementally and `compact_ivf_store` folds."""
+    km, assigned = load_or_fit_ivf(
+        spark, df, sf_dir, vec_col=vec_col, n_clusters=n_clusters
+    )
+    art = _artifact_dir(sf_dir, f"ivf_{n_clusters}")
+    store = os.path.join(art, "store")
+    meta_path = os.path.join(art, "store_meta.json")
+    meta = {"rows": df.count(), "n_clusters": n_clusters}
+    if not _meta_matches(meta_path, meta):
+        ann_ops.write_ivf_partitioned(assigned, store, vec_col=vec_col)
+        _write_meta(meta_path, meta)
+    return km, store
+
+
 def load_or_fit_pq(
     spark: SparkSession,
     df: DataFrame,

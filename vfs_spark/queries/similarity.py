@@ -104,6 +104,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ops.ivf_search(km, assigned, _query_vec(spark, sf_dir), k=5, nprobe=4)
 
 
+@query("ann_ivf_partitioned")  # rows-only: asserted equal to ann_ivf in tests
+def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against the index AT REST: the Hive-partitioned
+    store (one directory per cluster, written once into the index
+    store) is scanned with a cluster_id IN (...) predicate that
+    prunes to nprobe partition DIRECTORIES before any file opens —
+    the physical form of ann_ivf's logical pruning, and the layout
+    the streaming maintenance path (stream_append_ivf +
+    compact_ivf_store) keeps current at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    km, store = index_store.load_or_fit_ivf_store(spark, emb, sf_dir, n_clusters=16)
+    return ann_ops.ivf_search_partitioned(
+        spark, km, store, _query_vec(spark, sf_dir), k=5, nprobe=4
+    )
+
+
 @query("dedup_minhash")  # rows-only: recall vs exact jaccard in tests
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup candidates (jaccard ≥ 0.3) — the
