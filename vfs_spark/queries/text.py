@@ -547,6 +547,84 @@ def q_sample_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_redact_pii",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or call 55512345' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+         '[0-9]{9,}', '<NUM>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(
+         t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails
+FROM seeded
+""",
+)
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ PII scrub — the redaction pass a pretraining pipeline runs
+    before anything else: emails → <EMAIL>, long digit runs → <NUM>.
+    The fixture corpus contains no PII, so the query SEEDS a
+    deterministic email + phone per doc (same expression in the
+    oracle) and the hash compare proves both engines redact them
+    identically — the regex semantics are value-checked, not assumed.
+    Pure scan-stage projection: regexp_replace is codegen'd, nothing
+    shuffles, and at 100 TB this runs at read bandwidth."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 55512345"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(seeded, email_re, "<EMAIL>"),
+            r"[0-9]{9,}",
+            "<NUM>",
+        ).alias("clean_text"),
+        F.regexp_count(seeded, F.lit(email_re)).cast("bigint").alias("n_emails"),
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 <
+      CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 80
+           WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
+           ELSE 20 END
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ Deterministic stratified sampling: per-source keep rates
+    (src0-4 80% / src5-9 50% / rest 20% — the up/down-weighting every
+    corpus mixture applies), decided by the same content-hash idiom
+    as sample_stable_split, so membership is stable across runs,
+    engines, and repartitions — no RNG, no seed coordination across
+    1000 executors. Scan-stage predicate only; at 100 TB sampling
+    costs one projection, and the SAME hash mod drives the split op
+    so strata stay consistent between pipeline stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 80)
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 50)
+        .otherwise(20)
+    )
+    return docs.select("doc_id", "source").where((h % 100) < rate)
+
+
+@query(
     "text_pack_blocks",
     oracle="""
 WITH t AS (
