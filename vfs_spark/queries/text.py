@@ -625,6 +625,79 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bigram_logprob",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+doc_bg AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                         for i in range(1, len(toks))]) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+counts AS (
+  SELECT bg, COUNT(*) AS c12 FROM doc_bg GROUP BY bg
+),
+heads AS (
+  SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1
+  FROM counts GROUP BY 1
+)
+SELECT d.doc_id,
+       ROUND(AVG(LN(CAST(c.c12 AS DOUBLE) / h.c1)), 6) AS avg_logprob,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM doc_bg d
+JOIN counts c USING (bg)
+JOIN heads h ON h.w1 = split_part(d.bg, ' ', 1)
+GROUP BY d.doc_id
+""",
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ n-gram LM fluency scoring: train a bigram model ON the corpus
+    (MLE, no smoothing — every doc bigram is observed by construction)
+    and score each doc by its average log P(w2|w1). The statistical
+    quality signal real pipelines (CCNet-style) use to rank documents
+    — low scores flag token salads that the heuristic gates
+    (length/diversity) miss.
+
+    Shape: bigrams explode in the scan stage; the model is two
+    map-side-combined count aggregations shuffling (token-pair, count)
+    rows — never text; scoring joins the doc bigram stream to the
+    count table on the bigram key. At 100 TB the observed-bigram
+    table outgrows broadcast: partition both sides on the bigram key
+    (one co-located shuffle), or cap the model to top-V bigrams with
+    an <unk> backoff probability and broadcast — the standard LM
+    serving trade. Exact MLE form kept here for the oracle."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    t = docs.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    doc_bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks)-1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+            )
+        ).alias("bg"),
+    )
+    counts = doc_bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    heads = counts.groupBy(
+        F.substring_index("bg", " ", 1).alias("w1")
+    ).agg(F.sum("c12").alias("c1"))
+    return (
+        doc_bg.join(counts, "bg")
+        .join(heads, F.substring_index(doc_bg["bg"], " ", 1) == heads["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("c12").cast("double") / F.col("c1"))), 6
+            ).alias("avg_logprob"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+        )
+    )
+
+
+@query(
     "text_pack_blocks",
     oracle="""
 WITH t AS (
