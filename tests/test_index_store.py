@@ -96,6 +96,26 @@ def test_stale_fingerprint_refits(spark, store_root):
     assert len(books) == 8  # refit on the subset succeeded
 
 
+def test_unwritable_store_degrades_to_plain_fit(spark, tmp_path, monkeypatch):
+    """Persisting is an optimization: with the store root pointed at
+    an unwritable location the fit must still succeed (warning, no
+    exception) — a read-only deployment can't lose ANN correctness
+    over a cache write."""
+    import warnings
+
+    blocker = tmp_path / "blocker"
+    blocker.write_text("")  # a FILE where a directory is needed:
+    # makedirs under it fails with ENOTDIR for any uid (chmod-based
+    # read-only doesn't bind when tests run as root)
+    monkeypatch.setenv("VFS_SPARK_INDEX_DIR", str(blocker / "sub"))
+    emb = load_table(spark, SF, "embeddings")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        books = index_store.load_or_fit_pq(spark, emb, SF, m=8, k=8)
+    assert len(books) == 8  # fit returned despite persist failure
+    assert any("persist skipped" in str(w.message) for w in caught)
+
+
 def test_param_change_uses_distinct_artifact(spark, store_root):
     emb = load_table(spark, SF, "embeddings")
     b16 = index_store.load_or_fit_pq(spark, emb, SF, m=16, k=8)

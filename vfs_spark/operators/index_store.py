@@ -65,6 +65,19 @@ def _write_meta(path: str, meta: dict) -> None:
     os.replace(tmp, path)  # atomic publish: readers never see a partial file
 
 
+def _try_persist(fn) -> None:
+    """Persisting an index artifact is an optimization, never a
+    correctness requirement: on a read-only filesystem (or any other
+    store-write failure) the freshly-fitted model is still returned
+    and the next application simply refits."""
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001 — OSError locally, py4j from MLlib writers
+        import warnings
+
+        warnings.warn(f"index store persist skipped: {e}", stacklevel=3)
+
+
 def load_or_fit_lsh(
     spark: SparkSession,
     df: DataFrame,
@@ -97,8 +110,12 @@ def load_or_fit_lsh(
         num_hash_tables=num_hash_tables,
         metric=metric,
     )
-    model.write().overwrite().save(model_path)
-    _write_meta(os.path.join(art, "meta.json"), meta)
+
+    def _persist():
+        model.write().overwrite().save(model_path)
+        _write_meta(os.path.join(art, "meta.json"), meta)
+
+    _try_persist(_persist)
     return model, vdf
 
 
@@ -123,8 +140,12 @@ def load_or_fit_ivf(
         ).withColumnRenamed("prediction", "cluster_id")
         return km, assigned
     km, assigned = ann_ops.build_ivf_index(df, vec_col=vec_col, n_clusters=n_clusters)
-    km.write().overwrite().save(model_path)
-    _write_meta(os.path.join(art, "meta.json"), meta)
+
+    def _persist():
+        km.write().overwrite().save(model_path)
+        _write_meta(os.path.join(art, "meta.json"), meta)
+
+    _try_persist(_persist)
     return km, assigned
 
 
@@ -149,6 +170,8 @@ def load_or_fit_ivf_store(
     meta_path = os.path.join(art, "store_meta.json")
     meta = {"rows": df.count(), "n_clusters": n_clusters}
     if not _meta_matches(meta_path, meta):
+        # unlike the model artifacts, the partitioned store IS the
+        # queryable result here — a failed write must raise, not warn
         ann_ops.write_ivf_partitioned(assigned, store, vec_col=vec_col)
         _write_meta(meta_path, meta)
     return km, store
@@ -175,10 +198,14 @@ def load_or_fit_pq(
         except (OSError, ValueError):
             pass  # torn artifact: fall through to refit
     books = ann_ops.fit_pq_codebooks(df, vec_col=vec_col, m=m, k=k)
-    os.makedirs(art, exist_ok=True)
-    tmp = books_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(books, fh)
-    os.replace(tmp, books_path)
-    _write_meta(os.path.join(art, "meta.json"), meta)
+
+    def _persist():
+        os.makedirs(art, exist_ok=True)
+        tmp = books_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(books, fh)
+        os.replace(tmp, books_path)
+        _write_meta(os.path.join(art, "meta.json"), meta)
+
+    _try_persist(_persist)
     return books
