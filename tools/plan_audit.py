@@ -75,6 +75,10 @@ EXPECTED = {
     # measured comparison twin, kept registered for the A/B (default
     # slug is the all-JVM `agg` form); not for pipelines:
     "dedup_simhash_udf": {"py", "many"},
+    # bigram LM: two map-side-combined count aggs (model fit) + the
+    # scoring join — every exchange carries (token-pair, count) rows,
+    # never text; both model joins broadcast at fixture scale:
+    "text_bigram_logprob": {"many"},
 }
 
 
