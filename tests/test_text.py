@@ -153,3 +153,58 @@ def test_merge_upsert_replaces_not_duplicates(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_decontaminate_bloom_equals_exact(spark, sf_dir):
+    """The bloom prefilter is a pure candidate reducer: false
+    positives die in the exact broadcast join, false negatives are
+    impossible (every set bit of a genuinely-shared gram is set) —
+    so the output must EQUAL the exact form's, row for row."""
+    from vfs_spark.queries.registry import QUERIES
+
+    exact = {
+        (r["doc_id"], r["n_shared"])
+        for r in QUERIES["decontaminate_against_eval"](spark, sf_dir).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_shared"])
+        for r in QUERIES["decontaminate_bloom"](spark, sf_dir).collect()
+    }
+    assert bloom == exact
+
+
+def test_sample_source_cap_quota_and_determinism(spark, sf_dir):
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.sources.parquet import load_table
+
+    out = QUERIES["sample_source_cap"](spark, sf_dir)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r["rk"])
+    docs = load_table(spark, sf_dir, "documents")
+    src_sizes = {
+        r["source"]: r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    for src, rks in per.items():
+        # quota respected; ranks dense from 1; small sources keep all
+        assert len(rks) == min(8, src_sizes[src])
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+    # deterministic: a second run picks the identical sample
+    again = {
+        (r["doc_id"], r["rk"])
+        for r in QUERIES["sample_source_cap"](spark, sf_dir).collect()
+    }
+    assert again == {(r["doc_id"], r["rk"]) for r in rows}
+
+
+def test_corpus_mixture_stats_shares_sum_to_e6(spark, sf_dir):
+    from vfs_spark.queries.registry import QUERIES
+
+    rows = QUERIES["corpus_mixture_stats"](spark, sf_dir).collect()
+    assert rows
+    total_share = sum(r["share_e6"] for r in rows)
+    # integer floor division: the sum undershoots 1e6 by < |groups|
+    assert 1_000_000 - len(rows) < total_share <= 1_000_000
+    assert all(r["n_docs"] > 0 and r["n_tokens"] > 0 for r in rows)

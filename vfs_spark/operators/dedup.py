@@ -525,3 +525,67 @@ def connected_components(
     return labels.select(
         F.col("node").alias(id_col), F.col("comp").alias("cluster_id")
     )
+
+
+def embedding_banded_pairs(
+    df: DataFrame,
+    cos_threshold: float = 0.8,
+    num_hash_tables: int = 8,
+    bucket_length: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup over the WHOLE corpus: random-projection LSH
+    self-join candidates, then exact-cosine verify — the unblocked
+    scale twin of the label-blocked pairwise form
+    (queries/text.py:q_dedup_embedding_cosine), same banding→verify
+    contract as MinHash (minhash_native_pairs) but over embeddings.
+
+    Reference parity: the reference's approx path rebuilds an index
+    per request (ann.rs:432-509); here the same hash family serves
+    dedup as a single bucket EQUI-join over the corpus.
+
+    Math: on L2-normalized vectors, cos(a,b) ≥ t  ⟺
+    ‖â−b̂‖ ≤ sqrt(2−2t), so the euclidean LSH join radius is derived
+    from the cosine threshold; the verify step computes the exact
+    cosine on the ORIGINAL arrays, so emitted pairs are never false
+    positives (banding can only MISS pairs — recall grows with
+    num_hash_tables; recall-gated in tests/test_dedup.py).
+
+    100 TB shape: signatures are a projection in the scan stage; the
+    self-join is an equi-join on (table, bucket) — candidates only,
+    never all pairs; each pair verifies with one O(dim) expression.
+    Zero-norm vectors pass through unscaled (cos undefined → they
+    match nothing above any positive threshold).
+    """
+    import math
+
+    from vfs_spark.functions.distance import dot, l2_norm
+    from vfs_spark.operators.ann import build_lsh_index
+
+    model, vdf = build_lsh_index(
+        df,
+        vec_col=vec_col,
+        bucket_length=bucket_length,
+        num_hash_tables=num_hash_tables,
+        metric="cosine",
+    )
+    radius = math.sqrt(max(0.0, 2.0 - 2.0 * cos_threshold)) + 1e-9
+    pairs = model.approxSimilarityJoin(vdf, vdf, radius, distCol="_dist")
+    a_id = F.col(f"datasetA.{id_col}")
+    b_id = F.col(f"datasetB.{id_col}")
+    sim = F.round(
+        dot(F.col(f"datasetA.{vec_col}"), F.col(f"datasetB.{vec_col}"))
+        / (
+            l2_norm(F.col(f"datasetA.{vec_col}"))
+            * l2_norm(F.col(f"datasetB.{vec_col}"))
+        ),
+        6,
+    )
+    return (
+        pairs.where(a_id < b_id)  # each unordered pair once, no self-pairs
+        .select(
+            a_id.alias("vec_a"), b_id.alias("vec_b"), sim.alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= cos_threshold)
+    )

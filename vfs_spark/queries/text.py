@@ -756,9 +756,7 @@ _SHINGLES5 = (
 )
 
 
-@query(
-    "decontaminate_against_eval",
-    oracle=f"""
+_DECONTAM_ORACLE = f"""
 WITH ev AS (
   SELECT DISTINCT unnest({_SHINGLES5}) AS g
   FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id < 10)
@@ -770,8 +768,10 @@ cor AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM cor JOIN ev USING (g)
 GROUP BY doc_id
-""",
-)
+"""
+
+
+@query("decontaminate_against_eval", oracle=_DECONTAM_ORACLE)
 def q_decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any
     distinct word 5-gram with the eval set (here: doc_id < 10 stands
@@ -1250,3 +1250,177 @@ def q_sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = assign_dense_ids_ranged(keyed, order_col="_k", id_name="shuffle_rank")
     return out.select("doc_id", "shuffle_rank")
+
+
+@query("decontaminate_bloom", oracle=_DECONTAM_ORACLE)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — IDENTICAL output to
+    decontaminate_against_eval (same oracle), different 100 TB cost
+    model: the exact form ships every corpus 5-gram into the broadcast
+    hash-join probe; here a Bloom filter over the eval shingles
+    discards the overwhelmingly-common non-matching grams INSIDE the
+    scan stage, so the join probe only sees the contaminated tail.
+    Bloom has false positives only — the exact broadcast join
+    afterwards removes them, so equality to the exact form is
+    structural, not statistical (asserted in tests/test_text.py).
+
+    Spark 4 does not expose `bloom_filter_agg` as a callable function
+    (it is optimizer-internal, used by runtime join pruning — see
+    tests/test_plans.py), so the filter is built from first
+    principles and stays scale-true end to end:
+
+    - BUILD (distributed): each eval gram sets 3 bits at
+      pmod(xxhash64(g, seed), 65536); per-word masks are OR-combined
+      with a map-side-combinable `bit_or` aggregate into ≤1024
+      (word_idx, word) rows. The driver collect is BOUNDED by the
+      filter size (8 KB), never by |eval|.
+    - PROBE (pure codegen): the 1024-long array rides a 1-row
+      broadcast; membership is element_at + shiftleft + bitwise AND
+      per seed — no Python, no UDF, whole-stage codegen."""
+    _NBITS, _NWORDS, _SEEDS = 65536, 1024, (1, 2, 3)
+
+    def _pos(seed: int) -> str:
+        return f"cast(pmod(xxhash64(g, {seed}L), {_NBITS}) as int)"
+
+    ev = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 10)
+        .select(F.explode(word_shingles("text", 5)).alias("g"))
+        .distinct()
+    )
+    word_rows = (
+        ev.select(
+            F.explode(
+                F.array(*[F.expr(_pos(s)) for s in _SEEDS])
+            ).alias("p")
+        )
+        .select(
+            F.expr("p div 64").alias("w"),
+            F.expr("shiftleft(1L, p % 64)").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("word"))
+        .collect()
+    )
+    words = [0] * _NWORDS
+    for r in word_rows:
+        words[r["w"]] = r["word"]
+    bloom_df = spark.createDataFrame([(words,)], "_bloom array<long>")
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    cor = docs.where(F.col("doc_id") >= 10).select(
+        "doc_id", F.explode(word_shingles("text", 5)).alias("g")
+    )
+    hit = None
+    for s in _SEEDS:
+        p = _pos(s)
+        test = F.expr(
+            f"(element_at(_bloom, cast(({p}) div 64 + 1 as int))"
+            f" & shiftleft(1L, ({p}) % 64)) != 0"
+        )
+        hit = test if hit is None else (hit & test)
+    pre = cor.crossJoin(F.broadcast(bloom_df)).where(hit).drop("_bloom")
+    return (
+        pre.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+
+
+@query(
+    "sample_source_cap",
+    oracle="""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 8
+""",
+)
+def q_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap — the domain-balancing pass of a web-scale
+    corpus (no single domain may dominate the mixture): keep at most
+    8 docs per source, chosen by a DETERMINISTIC engine-neutral hash
+    (Knuth multiplicative, exact in int64 on both engines) so the
+    sample is reproducible and order-independent, with doc_id as the
+    tiebreaker (SURVEY Q8).
+
+    Shape: one shuffle by source + per-key window; only `cap` rows
+    survive per reducer. A single web-scale hot domain concentrates
+    on one reducer — the skew escape is a two-pass form: sample an
+    approximate cap-th-smallest hash threshold per hot source, filter
+    to survivors in the scan stage, then exact-rank the (tiny)
+    remainder; same output, bounded reducers."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("bigint").alias("rk")
+        )
+        .where(F.col("rk") <= 8)
+    )
+
+
+@query(
+    "corpus_mixture_stats",
+    oracle=f"""
+WITH g AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens,
+       CAST(n_tokens * 1000000 // (SELECT SUM(n_tokens) FROM g) AS BIGINT)
+         AS share_e6
+FROM g
+""",
+)
+def q_corpus_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture table a pretraining run is provisioned from: docs
+    and tokens per (source, lang) plus each cell's ppm share of the
+    total token budget. Share is exact INTEGER arithmetic
+    (tokens·1e6 div total) — no float division to drift across
+    engines. Shape: one map-side-combined groupBy over a projection;
+    the grand total is a 1-row broadcast joined back to |groups|
+    rows (never to the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grp = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    total = grp.agg(F.sum("n_tokens").alias("_total"))
+    return grp.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens * 1000000 div _total").cast("bigint").alias("share_e6"),
+    )
+
+
+@query("dedup_embedding_banded")  # rows-only: LSH candidate set is hash-family-specific
+def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup over the WHOLE corpus (no blocking key):
+    random-projection LSH self-join candidates → exact-cosine verify,
+    emitted pairs all genuinely ≥ the threshold. The scale twin the
+    label-blocked q_dedup_embedding_cosine docstring promises: banding
+    replaces the |block|² pairwise join with a bucket equi-join, the
+    same candidates→verify contract as MinHash text dedup. Rows-only:
+    banding can MISS pairs (hash-family-specific recall, gated in
+    tests/test_dedup.py); every emitted pair is exact-verified."""
+    from vfs_spark.operators.dedup import embedding_banded_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    # fixture embeddings are near-isotropic (max pairwise cos ≈ 0.51),
+    # so the slug's threshold sits where near-dups actually live there
+    return embedding_banded_pairs(
+        emb, cos_threshold=0.35, num_hash_tables=8, bucket_length=2.0
+    )
