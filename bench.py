@@ -115,6 +115,10 @@ BENCH_QUERIES = [
     "window_trailing_hour",
     "event_session_windows",
     "ann_ivfpq_batch",
+    "decontaminate_bloom",
+    "sample_source_cap",
+    "corpus_mixture_stats",
+    "dedup_embedding_banded",
     # streaming slugs (availableNow drains; stream_ingest_corpus is
     # excluded — its full-corpus drain belongs to CORRECTNESS and
     # STREAMCHECK, not a per-round latency suite)

@@ -52,6 +52,8 @@ EXPECTED = {
     # one-row scalar broadcasts (a global aggregate crossJoined back)
     # plan as BroadcastNestedLoopJoin — 1-row build side, by design:
     "agg_idle_customers": {"bnlj"},
+    "corpus_mixture_stats": {"bnlj"},  # grand-total scalar attach
+    "decontaminate_bloom": {"bnlj"},  # 1-row 8KB bloom-array attach
     "sample_token_mixture": {"bnlj"},
     "text_tfidf_top_terms": {"bnlj", "many"},
     "text_vocab_coverage": {"bnlj", "many"},
