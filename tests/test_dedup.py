@@ -267,7 +267,7 @@ def test_embedding_banded_recall_and_precision(spark):
             load_table(spark, sf, "embeddings"),
             cos_threshold=0.35,
             num_hash_tables=8,
-            bucket_length=2.0,
+            bucket_length=0.75,
         ).collect()
     }
     assert got  # non-degenerate at the operating point

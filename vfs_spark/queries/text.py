@@ -1419,8 +1419,15 @@ def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vfs_spark.operators.dedup import embedding_banded_pairs
 
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
-    # fixture embeddings are near-isotropic (max pairwise cos ≈ 0.51),
-    # so the slug's threshold sits where near-dups actually live there
+    # Fixture embeddings are near-isotropic (max pairwise cos ≈ 0.51),
+    # so the slug's threshold sits where "near"-dups actually live
+    # there — an ADVERSARIAL operating point for any LSH: radius
+    # sqrt(2−2·0.35)=1.14 vs bulk inter-point distance ≈ 1.41 leaves
+    # almost no contrast, and the candidate set approaches all pairs
+    # (measured: identical output and ~flat runtime across
+    # bucket_length 0.5–2.0 × 8–12 tables; see SCALE.md). On a real
+    # near-dup corpus (cos ≥ 0.8 ⇒ radius ≤ 0.63) the same plan is
+    # selective — that regime is what the defaults target.
     return embedding_banded_pairs(
-        emb, cos_threshold=0.35, num_hash_tables=8, bucket_length=2.0
+        emb, cos_threshold=0.35, num_hash_tables=8, bucket_length=0.75
     )
