@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "ann_ivfpq_batch",
     "decontaminate_bloom",
     "sample_source_cap",
+    "sample_source_cap_twopass",
     "corpus_mixture_stats",
     "dedup_embedding_banded",
     # streaming slugs (availableNow drains; stream_ingest_corpus is

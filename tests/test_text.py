@@ -208,3 +208,41 @@ def test_corpus_mixture_stats_shares_sum_to_e6(spark, sf_dir):
     # integer floor division: the sum undershoots 1e6 by < |groups|
     assert 1_000_000 - len(rows) < total_share <= 1_000_000
     assert all(r["n_docs"] > 0 and r["n_tokens"] > 0 for r in rows)
+
+
+def test_source_cap_twopass_hot_and_fallback_paths(spark):
+    """The skew twin must equal the plain window on BOTH of its
+    branches: (a) a hot source pruned by the uniformity threshold,
+    (b) a pathological source whose hashes all cluster ABOVE the
+    threshold, forcing the exact fallback."""
+    from vfs_spark.queries.text import source_cap_twopass
+
+    cap, margin, count = 8, 4, 100
+    t = min(1 << 32, (margin * cap * (1 << 32)) // count)
+    h = lambda i: (i * 2654435761) % (1 << 32)  # noqa: E731
+    # (b): pick `count` ids whose hash is >= t — prefilter keeps none
+    clustered, i = [], 0
+    while len(clustered) < count:
+        if h(i) >= t:
+            clustered.append(i)
+        i += 1
+    rows = [(d, "clustered") for d in clustered]
+    # (a): a hot source with sequential ids (uniform-ish hashes)
+    rows += [(10_000 + d, "hot") for d in range(200)]
+    rows += [(90_000 + d, "cold") for d in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    got = {
+        (r["doc_id"], r["source"], r["rk"])
+        for r in source_cap_twopass(
+            df, cap=cap, hot_threshold=32, margin=margin
+        ).collect()
+    }
+    expected = set()
+    for src in ("clustered", "hot", "cold"):
+        ids = [d for d, s2 in rows if s2 == src]
+        ids.sort(key=lambda d: (h(d), d))
+        expected |= {(d, src, rk + 1) for rk, d in enumerate(ids[:cap])}
+    assert got == expected
+    # sanity: the clustered source really had zero prefilter survivors
+    assert all(h(d) >= t for d in clustered)

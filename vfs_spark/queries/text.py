@@ -1327,9 +1327,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sample_source_cap",
-    oracle="""
+_SOURCE_CAP_ORACLE = """
 SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
 FROM (
   SELECT doc_id, source,
@@ -1340,8 +1338,92 @@ FROM (
   FROM documents
 )
 WHERE rk <= 8
-""",
-)
+"""
+
+
+def _source_cap_hash():
+    """Engine-neutral multiplicative hash (Knuth 2654435761), exact in
+    int64 on Spark and DuckDB — same expression text in the oracle."""
+    return (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+
+
+def source_cap_twopass(
+    docs: DataFrame, cap: int = 8, hot_threshold: int = 32, margin: int = 4
+) -> DataFrame:
+    """Skew-safe per-source quota: the two-pass form whose output is
+    EXACTLY the single-pass window's (asserted in tests/test_text.py,
+    incl. a synthetic hot-source case).
+
+    Pass 1 computes per-source counts (map-side-combined, |sources|
+    rows, broadcast back). Hot sources (count > hot_threshold) are
+    PRE-TRUNCATED in the scan stage with a hash threshold derived
+    from uniformity: the cap-th smallest of `count` uniform draws in
+    [0, 2^32) sits near cap/count·2^32, so keeping
+    h < margin·cap/count·2^32 leaves ~margin·cap survivors per hot
+    source — the window then ranks tens of rows per key instead of
+    the full domain, so a single billion-doc domain cannot pin one
+    reducer.
+
+    Exactness does NOT ride on the uniformity estimate: pass 1.5
+    counts survivors, and any source left with fewer than
+    min(cap, count) rows (pathologically clustered hashes) falls
+    back to unfiltered ranking for that source alone. Given
+    ≥ cap survivors under a pure h-threshold, the cap smallest
+    (h, doc_id) of the whole source all survive (boundary h-ties are
+    kept wholesale), so the final rank ≤ cap set is identical."""
+    from pyspark.sql.window import Window
+
+    h = _source_cap_hash()
+    counts = docs.groupBy("source").agg(F.count("*").alias("_n"))
+    # exact int64 arithmetic: margin·cap·2^32 div count
+    thresh = F.expr(f"least({1 << 32}L, {margin * cap * (1 << 32)}L div _n)")
+    stats = counts.select("source", F.col("_n"), thresh.alias("_t"))
+    pre = (
+        docs.join(F.broadcast(stats), "source")
+        .where((F.col("_n") <= hot_threshold) | (h < F.col("_t")))
+    )
+    surv = pre.groupBy("source").agg(F.count("*").alias("_s"))
+    # LEFT join from stats: a source whose prefilter kept ZERO rows
+    # has no surv group at all — it must still reach the fallback
+    bad = (
+        stats.join(surv, "source", "left")
+        .where(
+            F.coalesce(F.col("_s"), F.lit(0))
+            < F.least(F.lit(cap), F.col("_n"))
+        )
+        .select("source")
+    )
+    kept = pre.join(F.broadcast(bad), "source", "left_anti").select(
+        "doc_id", "source"
+    )
+    fallback = docs.join(F.broadcast(bad), "source", "left_semi").select(
+        "doc_id", "source"
+    )
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        kept.unionByName(fallback)
+        .select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= cap)
+    )
+
+
+@query("sample_source_cap_twopass", oracle=_SOURCE_CAP_ORACLE)
+def q_sample_source_cap_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe scale twin of sample_source_cap (same oracle —
+    the outputs are provably identical; see source_cap_twopass).
+    Registered separately so both plans stay driver-checked: the
+    window form is the readable contract, this is the one a
+    billion-doc hot domain runs."""
+    return source_cap_twopass(
+        load_table(spark, sf_dir, "documents"), cap=8, hot_threshold=32
+    )
+
+
+@query("sample_source_cap", oracle=_SOURCE_CAP_ORACLE)
 def q_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota cap — the domain-balancing pass of a web-scale
     corpus (no single domain may dominate the mixture): keep at most
@@ -1352,14 +1434,15 @@ def q_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one shuffle by source + per-key window; only `cap` rows
     survive per reducer. A single web-scale hot domain concentrates
-    on one reducer — the skew escape is a two-pass form: sample an
-    approximate cap-th-smallest hash threshold per hot source, filter
-    to survivors in the scan stage, then exact-rank the (tiny)
-    remainder; same output, bounded reducers."""
+    on one reducer — the registered skew twin
+    `sample_source_cap_twopass` (source_cap_twopass above) pre-
+    truncates hot sources with a hash threshold in the scan stage,
+    then exact-ranks the tiny remainder; same output (same oracle),
+    bounded reducers."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    h = _source_cap_hash()
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
     return (
         docs.select(
