@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "sample_source_cap_twopass",
     "corpus_mixture_stats",
     "dedup_embedding_banded",
+    "dedup_embedding_simhash",
     # streaming slugs (availableNow drains; stream_ingest_corpus is
     # excluded — its full-corpus drain belongs to CORRECTNESS and
     # STREAMCHECK, not a per-round latency suite)

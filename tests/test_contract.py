@@ -30,6 +30,7 @@ ROWS_ONLY_ALLOWED = {
     "ann_ivf_partitioned",  # partitioned-store IVF; equals ann_ivf in tests
     "ann_ivfpq",  # IVF routing × PQ codes; recall-gated in test_ann.py
     "dedup_embedding_banded",  # LSH candidate set; recall+precision gated in test_dedup.py
+    "dedup_embedding_simhash",  # banded candidate set; planted + fixture gates in test_dedup.py
 }
 
 TABLES = (

@@ -277,3 +277,59 @@ def test_embedding_banded_recall_and_precision(spark):
         assert abs(v - truth[k]) < 1e-9
     # recall gate (banding may miss; 0.996 measured at these params)
     assert len(got) / len(truth) >= 0.9
+
+
+def test_embedding_simhash_planted_near_dups(spark):
+    """Default-parameter gate on REAL near-dup geometry: 2k isotropic
+    vectors + 1% planted dups at cos ≈ 0.95. The banding must find
+    them (recall ≥ 0.95) and emit nothing below the threshold
+    (precision is structural — exact verify)."""
+    import numpy as np
+    import pandas as pd
+
+    n, dim = 2000, 64
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    p = n // 100
+    src = rng.choice(n, size=p, replace=False)
+    dups = base[src] + 0.04 * rng.standard_normal((p, dim)).astype(np.float32)
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    cos = (dups * base[src]).sum(axis=1)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n + p, dtype=np.int64),
+            "embedding": [r for r in np.vstack([base, dups])],
+        }
+    )
+    df = (
+        spark.createDataFrame(pdf)
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    )
+    planted = {
+        (int(min(s, n + i)), int(max(s, n + i)))
+        for i, s in enumerate(src)
+        if cos[i] >= 0.9
+    }
+    out = dedup_ops.embedding_simhash_pairs(df, cos_threshold=0.9).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in out}
+    assert len(planted & got) / len(planted) >= 0.95
+    assert all(r["cos_sim"] >= 0.9 for r in out)  # verify is exact
+
+
+def test_embedding_simhash_fixture_recall(spark):
+    """Fixture-geometry gate: at the slug's operating point (0.35,
+    r=4) the banding must recover ≥0.9 of the 271 all-pairs truth
+    pairs at sf0.01, every emitted pair exact-verified."""
+    from vfs_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in dedup_ops.embedding_simhash_pairs(
+            emb, cos_threshold=0.35, n_bands=24, band_bits=4
+        ).collect()
+    }
+    assert len(got) >= 0.9 * 271  # vs the all-pairs truth count
+    assert all(v >= 0.35 for v in got.values())

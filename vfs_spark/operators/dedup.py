@@ -589,3 +589,115 @@ def embedding_banded_pairs(
         )
         .where(F.col("cos_sim") >= cos_threshold)
     )
+
+
+def embedding_simhash_pairs(
+    df: DataFrame,
+    cos_threshold: float = 0.8,
+    n_bands: int = 24,
+    band_bits: int = 14,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup via random-hyperplane SimHash banding — the
+    AND-composed scale path that embedding_banded_pairs (MLlib BRP)
+    cannot express: MLlib's numHashTables is OR-only over SINGLE
+    projections, so for a corpus SELF-join its candidate volume
+    degrades toward all pairs even with good geometry. Banding r sign
+    bits per band (collision prob (1−θ/π)^r) suppresses random pairs
+    exponentially while b OR-bands keep near-dup recall — the exact
+    structure of the text MinHash/SimHash banding above, applied to
+    vectors. Defaults (r=14, b=24): a true pair at cos 0.9 collides
+    with prob ≈0.95; an orthogonal pair with prob ≈6e-5 per band.
+
+    100 TB shape (mirrors minhash_native_pairs): signatures come from
+    one Arrow kernel pass in the scan stage (BLAS matmul per batch —
+    the sign bits of dim×(b·r) projections; the seeded plane matrix
+    is a closure constant, ~dim·b·r·4 bytes); only (band_idx, band
+    value, id) rows shuffle — the vectors never do. Candidates are
+    band equi-join hits, distinct-ed and checkpointed; the verify
+    scan is pruned by candidate id bounds + broadcast semi-join and
+    computes the exact cosine, so emitted pairs are never false
+    positives. Zero vectors project to all-zero bits but die in
+    verify (cos undefined → excluded by the threshold)."""
+    import numpy as np
+
+    dim = int(df.select(F.size(F.col(vec_col))).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bands * band_bits)).astype(
+        np.float32
+    )
+    weights = (1 << np.arange(band_bits, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def _band_vals(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy())  # (B, dim)
+        bits = (x.astype(np.float32) @ planes) >= 0  # (B, b*r)
+        packed = bits.reshape(len(x), n_bands, band_bits) @ weights
+        return pd.Series(list(packed))
+
+    sig = (
+        df.select(F.col(id_col), _band_vals(F.col(vec_col)).alias("_bv"))
+        .select(
+            F.col(id_col),
+            F.posexplode("_bv").alias("band_idx", "band_val"),
+        )
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # candidates only — never the corpus
+    )
+    ids = cand.select(
+        F.explode(F.array("vec_a", "vec_b")).alias(id_col)
+    ).distinct()
+    bounds = cand.agg(F.min("vec_a"), F.max("vec_b")).first()
+    verify_src = df
+    if bounds[0] is not None:
+        verify_src = df.where(F.col(id_col).between(bounds[0], bounds[1]))
+    embn = verify_src.join(F.broadcast(ids), id_col).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    ea = embn.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va")
+    )
+    eb = embn.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb")
+    )
+
+    # Arrow verify kernel: the candidate set can be millions of pairs
+    # (random band collisions scale as N²/2^band_bits per band), and
+    # Catalyst's zip_with/aggregate HOFs are interpreted per element —
+    # the measured 30× tax (SCALE.md). One BLAS-ish rowwise kernel
+    # verifies the whole batch; math in float64.
+    @pandas_udf("double")
+    def _cos_kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        xa = np.stack(va.to_numpy()).astype(np.float64)
+        xb = np.stack(vb.to_numpy()).astype(np.float64)
+        num = (xa * xb).sum(axis=1)
+        den = np.linalg.norm(xa, axis=1) * np.linalg.norm(xb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0, num / den, np.nan)
+        return pd.Series(np.round(out, 6))
+
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a", "vec_b", _cos_kernel("_va", "_vb").alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= cos_threshold)
+    )

@@ -1514,3 +1514,25 @@ def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_banded_pairs(
         emb, cos_threshold=0.35, num_hash_tables=8, bucket_length=0.75
     )
+
+
+@query("dedup_embedding_simhash")  # rows-only: candidate set is hash-family-specific
+def q_dedup_embedding_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus semantic near-dup via random-hyperplane SimHash
+    BANDING (r sign bits per band × b OR-bands) → exact-cosine
+    verify — the true scale path. Unlike the MLlib BRP form
+    (dedup_embedding_banded), banding is AND-composed, so random-pair
+    collisions fall as (1−θ/π)^r per band while b bands hold recall:
+    measured on planted near-dups (cos ≈ 0.95, 1% of corpus) —
+    200 k vectors in 57 s with recall 0.999 / precision 1.0, where
+    the BRP self-join needs 176 s at 10 k and does not finish 20 k
+    in 9 min (SCALE.md). band_bits must scale with log2(N) to keep
+    candidates ~linear; defaults here are FIXTURE-geometry params
+    (threshold 0.35 sits at θ≈69°, so only r=4 keeps any recall —
+    see the selectivity-needs-geometry note on the banded twin)."""
+    from vfs_spark.operators.dedup import embedding_simhash_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    return embedding_simhash_pairs(
+        emb, cos_threshold=0.35, n_bands=24, band_bits=4
+    )
