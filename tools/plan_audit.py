@@ -60,6 +60,14 @@ EXPECTED = {
     # banded dedup: one exchange per band/table of 8-byte keys — the
     # sub-quadratic trade documented in SCALE.md (keys move, text doesn't):
     "dedup_minhash": {"many"},
+    # AND-composed hyperplane banding: Arrow signature + verify
+    # kernels (the measured 4x over interpreted HOFs, SCALE.md) and
+    # one exchange per banding stage of (band, id) keys — vectors
+    # never shuffle:
+    "dedup_embedding_simhash": {"py", "many"},
+    # two-pass skew cap: stats agg + survivor-count agg + fallback
+    # union are each tiny |sources|-row exchanges by design:
+    "sample_source_cap_twopass": {"many"},
     "dedup_minhash_mllib": {"py", "many"},
     "dedup_simhash": {"py", "many"},
     "dedup_simhash_jvm": {"many"},
