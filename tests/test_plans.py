@@ -318,3 +318,18 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_source_cap_window_has_partial_group_limit(spark, sf_dir):
+    """The skew-safety claim of sample_source_cap rests on Catalyst's
+    WindowGroupLimit rewrite: a PARTIAL group-limit must sit below
+    the exchange, so each map partition ships at most cap rows per
+    source and a hot domain cannot flood one reducer. If an upgrade
+    or a query rewrite ever loses the rewrite, this test fails
+    before the claim silently becomes false."""
+    from vfs_spark.queries.registry import QUERIES
+
+    df = QUERIES["sample_source_cap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
