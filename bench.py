@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "corpus_mixture_stats",
     "dedup_embedding_banded",
     "dedup_embedding_simhash",
+    "dedup_clusters_semantic",
     # streaming slugs (availableNow drains; stream_ingest_corpus is
     # excluded — its full-corpus drain belongs to CORRECTNESS and
     # STREAMCHECK, not a per-round latency suite)

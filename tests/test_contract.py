@@ -31,6 +31,7 @@ ROWS_ONLY_ALLOWED = {
     "ann_ivfpq",  # IVF routing × PQ codes; recall-gated in test_ann.py
     "dedup_embedding_banded",  # LSH candidate set; recall+precision gated in test_dedup.py
     "dedup_embedding_simhash",  # banded candidate set; planted + fixture gates in test_dedup.py
+    "dedup_clusters_semantic",  # clusters over banded candidate edges; gated in test_dedup.py
 }
 
 TABLES = (

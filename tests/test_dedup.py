@@ -333,3 +333,30 @@ def test_embedding_simhash_fixture_recall(spark):
     }
     assert len(got) >= 0.9 * 271  # vs the all-pairs truth count
     assert all(v >= 0.35 for v in got.values())
+
+
+def test_dedup_clusters_semantic_properties(spark):
+    """Cluster labels must be a valid components labeling of the
+    banded edge set: every vector labeled, labels are cluster minima,
+    and both endpoints of every (verified) near-dup edge share a
+    label."""
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.01"
+    labels = {
+        r["vec_id"]: r["cluster_id"]
+        for r in QUERIES["dedup_clusters_semantic"](spark, sf).collect()
+    }
+    n = load_table(spark, sf, "embeddings").count()
+    assert len(labels) == n  # total labeling, singletons included
+    assert all(c <= v for v, c in labels.items())  # min-id canonical labels
+    edges = dedup_ops.embedding_simhash_pairs(
+        load_table(spark, sf, "embeddings"),
+        cos_threshold=0.35,
+        n_bands=24,
+        band_bits=4,
+    ).collect()
+    assert edges
+    for e in edges:
+        assert labels[e["vec_a"]] == labels[e["vec_b"]]

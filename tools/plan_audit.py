@@ -65,6 +65,9 @@ EXPECTED = {
     # one exchange per banding stage of (band, id) keys — vectors
     # never shuffle:
     "dedup_embedding_simhash": {"py", "many"},
+    # components over the banded edges: iterative label propagation
+    # checkpoints per round + the banding stages above:
+    "dedup_clusters_semantic": {"py", "many"},
     # two-pass skew cap: stats agg + survivor-count agg + fallback
     # union are each tiny |sources|-row exchanges by design:
     "sample_source_cap_twopass": {"many"},

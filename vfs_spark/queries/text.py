@@ -1546,3 +1546,33 @@ def q_dedup_embedding_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_simhash_pairs(
         emb, cos_threshold=0.35, n_bands=24, band_bits=4
     )
+
+
+@query("dedup_clusters_semantic")  # rows-only: banded candidate edges are hash-family-specific
+def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate CLUSTERS over embeddings: SimHash-banded
+    near-dup edges (dedup_embedding_simhash's candidates, exact-cosine
+    verified) fed to the same iterative connected_components the text
+    cluster ops use — every vector labeled with its cluster's min
+    vec_id, singletons label themselves. The embeddings analogue of
+    dedup_clusters_banded: pick-one-per-cluster is then a groupBy
+    min, the canonical dedup decision over SEMANTIC duplicates
+    (paraphrases, re-encodes) rather than token overlap.
+
+    100 TB shape: edges are the banding op's output (candidates only,
+    vectors never shuffle); components converge in O(diameter) rounds
+    over (node, label) pairs — near-dup clusters are shallow stars,
+    so 2-3 rounds in practice."""
+    from vfs_spark.operators.dedup import (
+        connected_components,
+        embedding_simhash_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    edges = embedding_simhash_pairs(
+        emb, cos_threshold=0.35, n_bands=24, band_bits=4
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    cc = connected_components(
+        emb.select("vec_id"), edges, id_col="vec_id"
+    )
+    return cc.select("vec_id", F.col("cluster_id").cast("bigint"))
