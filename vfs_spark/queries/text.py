@@ -1560,9 +1560,12 @@ def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (paraphrases, re-encodes) rather than token overlap.
 
     100 TB shape: edges are the banding op's output (candidates only,
-    vectors never shuffle); components converge in O(diameter) rounds
-    over (node, label) pairs — near-dup clusters are shallow stars,
-    so 2-3 rounds in practice."""
+    vectors never shuffle); label propagation runs ONLY over the
+    edge-touched subgraph — a node with no near-dup edge is a
+    singleton by definition and labels itself without entering the
+    iteration, so the per-round joins scale with |dup pairs|, not
+    |corpus| (near-dups are a sparse minority at scale); components
+    converge in O(diameter) rounds — shallow stars, 2-3 rounds."""
     from vfs_spark.operators.dedup import (
         connected_components,
         embedding_simhash_pairs,
@@ -1572,7 +1575,17 @@ def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = embedding_simhash_pairs(
         emb, cos_threshold=0.35, n_bands=24, band_bits=4
     ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
-    cc = connected_components(
-        emb.select("vec_id"), edges, id_col="vec_id"
+    edges = edges.localCheckpoint(eager=True)  # banding runs once
+    touched = (
+        edges.select(F.col("src").alias("vec_id"))
+        .union(edges.select(F.col("dst").alias("vec_id")))
+        .distinct()
     )
-    return cc.select("vec_id", F.col("cluster_id").cast("bigint"))
+    cc = connected_components(touched, edges, id_col="vec_id")
+    singles = emb.select("vec_id").join(
+        F.broadcast(touched), "vec_id", "left_anti"
+    ).select("vec_id", F.col("vec_id").alias("cluster_id"))
+    return (
+        cc.select("vec_id", F.col("cluster_id").cast("bigint"))
+        .unionByName(singles.select("vec_id", F.col("cluster_id").cast("bigint")))
+    )
