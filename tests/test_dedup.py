@@ -360,3 +360,36 @@ def test_dedup_clusters_semantic_properties(spark):
     assert edges
     for e in edges:
         assert labels[e["vec_a"]] == labels[e["vec_b"]]
+
+
+def test_embedding_simhash_auto_band_bits(spark):
+    """band_bits='auto' must reproduce the SCALE.md sizing rule: r
+    tracks log2(N) so candidate volume stays ~linear, and the planted
+    near-dups still surface at default recall."""
+    import numpy as np
+    import pandas as pd
+
+    n, dim = 2000, 64
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    p = 20
+    src = rng.choice(n, size=p, replace=False)
+    dups = base[src] + 0.04 * rng.standard_normal((p, dim)).astype(np.float32)
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n + p, dtype=np.int64),
+            "embedding": [r for r in np.vstack([base, dups])],
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = dedup_ops.embedding_simhash_pairs(
+        df, cos_threshold=0.9, band_bits="auto"
+    ).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in out}
+    planted = {(int(min(s, n + i)), int(max(s, n + i))) for i, s in enumerate(src)}
+    assert len(planted & got) / len(planted) >= 0.9
+    assert all(r["cos_sim"] >= 0.9 for r in out)

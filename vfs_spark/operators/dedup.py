@@ -595,10 +595,11 @@ def embedding_simhash_pairs(
     df: DataFrame,
     cos_threshold: float = 0.8,
     n_bands: int = 24,
-    band_bits: int = 14,
+    band_bits: int | str = 14,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates_per_row: int = 10,
 ) -> DataFrame:
     """Semantic near-dup via random-hyperplane SimHash banding — the
     AND-composed scale path that embedding_banded_pairs (MLlib BRP)
@@ -621,8 +622,22 @@ def embedding_simhash_pairs(
     computes the exact cosine, so emitted pairs are never false
     positives. Zero vectors project to all-zero bits but die in
     verify (cos undefined → excluded by the threshold)."""
+    import math
+
     import numpy as np
 
+    if band_bits == "auto":
+        # SCALE.md rule made executable: random candidates grow as
+        # n_bands·N²/2^r, so r must track log2(N) to hold the
+        # candidate volume at ~candidates_per_row·N (one count job;
+        # recall then rides on n_bands — raise both together). The
+        # 14..30 clamp keeps fixture corpora non-degenerate and the
+        # band value inside an int64.
+        n = df.count()
+        target = max(1, candidates_per_row * n)
+        band_bits = min(
+            30, max(14, math.ceil(math.log2(max(2, n_bands * n * n // target))))
+        )
     dim = int(df.select(F.size(F.col(vec_col))).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_bands * band_bits)).astype(
