@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "dedup_embedding_banded",
     "dedup_embedding_simhash",
     "dedup_clusters_semantic",
+    "dedup_semdedup",
+    "dedup_window_exact",
+    "text_perplexity_buckets",
     # streaming slugs (availableNow drains; stream_ingest_corpus is
     # excluded — its full-corpus drain belongs to CORRECTNESS and
     # STREAMCHECK, not a per-round latency suite)

@@ -71,3 +71,28 @@ def test_ranged_ids_equal_global_row_number(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_ranged_ids_composite_key_equal_global_row_number(spark, sf_dir):
+    """Composite-key form: range partitioning on (k1, k2) must
+    reproduce row_number() OVER (ORDER BY k1, k2) exactly — the
+    scale-true NTILE used by text_perplexity_buckets rides on this."""
+    from pyspark.sql.window import Window
+
+    from vfs_spark.operators.ids import assign_dense_ids_ranged
+
+    df = (
+        spark.range(0, 5000)
+        .select(
+            (F.col("id") % 7).alias("k1"),  # heavy ties on the leading key
+            F.col("id").alias("k2"),
+        )
+        .repartition(16)
+    )
+    got = assign_dense_ids_ranged(df, ["k1", "k2"], id_name="rid")
+    ref = df.withColumn(
+        "rid_ref", F.row_number().over(Window.orderBy("k1", "k2"))
+    )
+    joined = got.join(ref, ["k1", "k2"])
+    assert joined.where(F.col("rid") != F.col("rid_ref")).count() == 0
+    assert got.count() == 5000

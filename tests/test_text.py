@@ -246,3 +246,60 @@ def test_source_cap_twopass_hot_and_fallback_paths(spark):
     assert got == expected
     # sanity: the clustered source really had zero prefilter survivors
     assert all(h(d) >= t for d in clustered)
+
+
+def test_dedup_window_exact_planted_spans(spark, tmp_path):
+    """Exact-substring dedup: a doc sharing one 8-token span with
+    another is flagged for exactly the positions covered by the span;
+    a unique doc reports zero duplicated windows; short docs (<8
+    tokens) don't crash the window expression (the CASE guard)."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2", "en", "web", 50),
+            (2, "head1 head2 " + shared, "en", "web", 50),
+            (3, "totally different words with no overlap at all here", "en", "web", 50),
+            (4, "tiny doc", "en", "web", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    d = str(tmp_path / "docs_win")
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in QUERIES["dedup_window_exact"](spark, d).collect()}
+    # doc 1: 10 tokens -> 3 windows; only the first (the shared span) dups
+    assert out[1]["n_windows"] == 3 and out[1]["n_dup_windows"] == 1
+    # doc 2: 10 tokens -> 3 windows; only the last (the shared span) dups
+    assert out[2]["n_windows"] == 3 and out[2]["n_dup_windows"] == 1
+    assert out[1]["dup_frac_e6"] == 1_000_000 // 3
+    # unique doc: windows exist, none duplicated
+    assert out[3]["n_dup_windows"] == 0 and out[3]["n_windows"] == 2
+    # short doc: no windows -> absent from the per-doc rollup
+    assert 4 not in out
+
+
+def test_perplexity_buckets_match_global_ntile(spark, sf_dir):
+    """The two-pass ranked bucketing must equal the single-partition
+    global-window NTILE-formula form, doc for doc — and terciles must
+    be NTILE-sized (first buckets take the remainder)."""
+    from pyspark.sql.window import Window
+
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.queries.text import q_text_bigram_logprob
+
+    got = {r["doc_id"]: (r["rk"], r["bucket"])
+           for r in QUERIES["text_perplexity_buckets"](spark, sf_dir).collect()}
+    lp = q_text_bigram_logprob(spark, sf_dir)
+    n = lp.count()
+    ref_rows = lp.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("avg_logprob"), "doc_id"))
+    ).collect()
+    for r in ref_rows:
+        bucket = ["head", "middle", "tail"][(3 * (r["rk"] - 1)) // n]
+        assert got[r["doc_id"]] == (r["rk"], bucket)
+    sizes = [sum(1 for v in got.values() if v[1] == b)
+             for b in ("head", "middle", "tail")]
+    assert sum(sizes) == n and max(sizes) - min(sizes) <= 1

@@ -716,3 +716,69 @@ def embedding_simhash_pairs(
         )
         .where(F.col("cos_sim") >= cos_threshold)
     )
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    cos_threshold: float = 0.8,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample_rows: int | None = 200_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with KMeans, then find semantic near-duplicates
+    by exact pairwise cosine WITHIN each cluster only. The third
+    semantic-dedup strategy next to the LSH forms above
+    (embedding_banded_pairs / embedding_simhash_pairs), trading their
+    probabilistic per-pair recall for a deterministic candidate rule:
+    every within-cluster pair is checked exactly (precision 1.0 by
+    construction), every cross-cluster pair is missed (recall is a
+    property of the clustering — measured in tests/test_dedup.py).
+
+    100 TB shape: the KMeans FIT is bounded to a seeded sample
+    (build_ivf_index policy — constant cost at any corpus size); the
+    ASSIGN pass is one projection over the corpus; the pairwise step
+    is embarrassingly parallel across clusters via applyInPandas with
+    per-cluster cost (N/k)²·dim — pick k ~ N/target so clusters stay
+    at 10⁴-10⁵ rows (the SemDeDup paper uses k=50k–110k for LAION-
+    scale corpora) and the quadratic never sees N. A skewed megacluster
+    is the failure mode: cap it by re-clustering or falling back to a
+    banded form within oversized clusters. Zero-norm vectors match
+    nothing (cosine undefined → excluded).
+
+    Reference parity: reuses the same coarse quantizer as the IVF
+    index (ann.rs:432-509 is the reference's single approx family;
+    this op turns that index structure into a dedup rule)."""
+    import numpy as np
+
+    from vfs_spark.operators.ann import build_ivf_index
+
+    _, assigned = build_ivf_index(
+        df,
+        vec_col=vec_col,
+        n_clusters=n_clusters,
+        fit_sample_rows=fit_sample_rows,
+    )
+    narrow = assigned.select("cluster_id", F.col(id_col), F.col(vec_col))
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        ok = norms > 0
+        xn = np.zeros_like(x)
+        xn[ok] = x[ok] / norms[ok, None]
+        sims = xn @ xn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        sim = np.round(sims[ia, ib], 6)
+        keep = sim >= cos_threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cos_sim": sim[keep]}
+        )
+
+    return narrow.groupBy("cluster_id").applyInPandas(
+        _pairs, schema="vec_a long, vec_b long, cos_sim double"
+    )

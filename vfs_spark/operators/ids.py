@@ -34,13 +34,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _pin_partitions(df: DataFrame, order_col: str | None) -> DataFrame:
+def _order_cols(order_col: str | list[str] | None) -> list[str]:
+    if order_col is None:
+        return []
+    return [order_col] if isinstance(order_col, str) else list(order_col)
+
+
+def _pin_partitions(df: DataFrame, order_col: str | list[str] | None) -> DataFrame:
     """Freeze one partition layout (optionally range-partitioned on
-    ``order_col``) and tag rows with their partition id. The eager
-    localCheckpoint is load-bearing — see module docstring."""
-    if order_col is not None:
+    ``order_col`` — a single column or a composite key list) and tag
+    rows with their partition id. The eager localCheckpoint is
+    load-bearing — see module docstring."""
+    cols = _order_cols(order_col)
+    if cols:
         n_parts = df.sparkSession.sparkContext.defaultParallelism
-        df = df.repartitionByRange(n_parts, F.col(order_col))
+        df = df.repartitionByRange(n_parts, *[F.col(c) for c in cols])
     return df.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
         eager=True
     )
@@ -86,7 +94,7 @@ def assign_dense_ids(
 
 
 def assign_dense_ids_ranged(
-    df: DataFrame, order_col: str, id_name: str = "id", start: int = 1
+    df: DataFrame, order_col: str | list[str], id_name: str = "id", start: int = 1
 ) -> DataFrame:
     """Dense ids in EXACT global ``order_col`` order — without the
     global-sort single-partition window. Range partition p holds
@@ -94,11 +102,13 @@ def assign_dense_ids_ranged(
     order; a partition-LOCAL row_number over the pinned layout plus
     the partition's offset reproduces ``row_number() OVER (ORDER BY
     order_col)`` exactly (asserted in tests/test_ids.py) while every
-    stage stays parallel. Requires ``order_col`` values unique (ties
-    would make the global form nondeterministic anyway)."""
+    stage stays parallel. ``order_col`` may be a composite key (list
+    of columns, compared lexicographically). Requires the key values
+    unique (ties would make the global form nondeterministic
+    anyway)."""
     with_pid = _pin_partitions(df, order_col)
     offset = _offset_col(with_pid, F.count("*"), start)
-    w_local = Window.partitionBy("_pid").orderBy(order_col)
+    w_local = Window.partitionBy("_pid").orderBy(*_order_cols(order_col))
     return (
         with_pid.withColumn("_local", F.row_number().over(w_local) - 1)
         .withColumn(id_name, (offset + F.col("_local")).cast("bigint"))

@@ -1589,3 +1589,182 @@ def q_dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc.select("vec_id", F.col("cluster_id").cast("bigint"))
         .unionByName(singles.select("vec_id", F.col("cluster_id").cast("bigint")))
     )
+
+
+_WIN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+w AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS k
+  FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS g(i)
+  WHERE len(toks) >= 8
+),
+s AS (
+  SELECT k, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY k
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       CAST((1000000 * SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)) // COUNT(*)
+            AS BIGINT) AS dup_frac_e6
+FROM w JOIN s USING (k)
+GROUP BY doc_id
+"""
+
+
+@query("dedup_window_exact", oracle=_WIN_ORACLE)
+def q_dedup_window_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ Exact duplicated-SUBSTRING detection (the ExactSubstr strategy
+    of Lee et al. 2022, arXiv:2107.06499, window-hash approximation):
+    every 8-token window of every doc, flagged when the identical
+    window occurs in ≥2 distinct docs; per-doc output is the
+    position-level duplicated-window count and fraction (integer
+    micro-units) — the signal pipelines use to strip boilerplate spans
+    or drop mostly-copied docs that document-level MinHash misses
+    (partial overlap below the doc-level jaccard threshold).
+
+    100 TB shape: windows explode in the scan stage (text never
+    shuffles — only window keys do); duplicate detection is one
+    map-side-combined two-level aggregate (key,doc)→key; the per-doc
+    rollup joins window rows to key stats on the SAME key the
+    aggregate just shuffled on. At scale, group on xxhash64(window)
+    instead of the window string to cut the shuffle key to 8 bytes
+    (collisions only overcount dup windows at ~2⁻⁶⁴); the string key
+    is kept here for engine-neutral oracle parity. The window width
+    trades recall for key volume exactly like shingle width in
+    MinHash; 8 is this fixture's analogue of the paper's 50-token
+    spans (docs here average ~30 tokens)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # short-doc guard lives INSIDE the expression (CASE, not a filter):
+    # sequence(1, size-7) with size<8 would descend (step defaults to
+    # -1 when start > stop) and feed slice() garbage — and the
+    # optimizer may evaluate the projection before any filter.
+    wins = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 8 "
+                "THEN transform(sequence(1, size(toks) - 7), "
+                "i -> array_join(slice(toks, i, 8), ' ')) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("k"),
+    )
+    per = wins.groupBy("k", "doc_id").agg(F.count("*").alias("c"))
+    stats = per.groupBy("k").agg(F.count("*").alias("nd"))
+    agg = (
+        per.join(stats, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("_n"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).alias("_d"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        F.col("_n").cast("bigint").alias("n_windows"),
+        F.col("_d").cast("bigint").alias("n_dup_windows"),
+        F.expr("(1000000 * _d) div _n").cast("bigint").alias("dup_frac_e6"),
+    )
+
+
+_PPL_BUCKET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+doc_bg AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                         for i in range(1, len(toks))]) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+counts AS (
+  SELECT bg, COUNT(*) AS c12 FROM doc_bg GROUP BY bg
+),
+heads AS (
+  SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1
+  FROM counts GROUP BY 1
+),
+lp AS (
+  SELECT d.doc_id,
+         ROUND(AVG(LN(CAST(c.c12 AS DOUBLE) / h.c1)), 6) AS avg_logprob
+  FROM doc_bg d
+  JOIN counts c USING (bg)
+  JOIN heads h ON h.w1 = split_part(d.bg, ' ', 1)
+  GROUP BY d.doc_id
+),
+r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY avg_logprob DESC, doc_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM lp
+)
+SELECT doc_id,
+       CAST(rk AS BIGINT) AS rk,
+       CASE (3 * (rk - 1)) // n
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM r
+"""
+
+
+@query("text_perplexity_buckets", oracle=_PPL_BUCKET_ORACLE)
+def q_text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ CCNet-style head/middle/tail bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): rank every doc by its corpus-trained bigram-LM
+    fluency (text_bigram_logprob) and cut the ranking into terciles —
+    the standard language-model-filtering scheme where 'head' is the
+    most fluent third kept for pretraining, 'tail' the least. Docs
+    with <2 tokens are unscored and unbucketed, as in the LM slug.
+
+    Scale shape: the scoring stage is the bigram slug's (model counts
+    shuffle, text doesn't). The global rank does NOT use a
+    single-partition window: assign_dense_ids_ranged range-partitions
+    on the composite (−score_e6, doc_id) key so partition order IS
+    rank order and the row_number stays partition-local (two-pass,
+    asserted equal to the global window in tests/test_ids.py). The
+    tercile edge is pure arithmetic on (rank, N) — NTILE semantics
+    without NTILE's single-partition plan. Ranking on the e6 integer
+    of the ROUNDED score keeps the order identical across engines
+    (raw-double ties are ambiguous at the last ulp; rounded ties
+    break on doc_id)."""
+    from vfs_spark.operators.ids import assign_dense_ids_ranged
+
+    lp = q_text_bigram_logprob(spark, sf_dir).select(
+        "doc_id",
+        (-F.round(F.col("avg_logprob") * 1e6)).cast("bigint").alias("_neg"),
+    )
+    ranked = assign_dense_ids_ranged(lp, ["_neg", "doc_id"], id_name="rk")
+    tot = ranked.groupBy().agg(F.count("*").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("rk").cast("bigint"),
+            F.expr(
+                "CASE (3 * (rk - 1)) div _n "
+                "WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"
+            ).alias("bucket"),
+        )
+    )
+
+
+@query("dedup_semdedup")  # rows-only: cross-cluster pairs are missed by design
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ SemDeDup (Abbas et al. 2023): KMeans-cluster the embedding
+    space, exact pairwise cosine WITHIN clusters only — the
+    deterministic-candidate semantic dedup next to the two LSH forms
+    (banded BRP / SimHash banding). Same output contract (every
+    emitted pair is exactly verified ≥ threshold; precision 1.0 by
+    construction); recall = P(near-dup pair lands in one cluster),
+    measured against the all-pairs truth in tests/test_dedup.py:
+    0.502/0.343/0.321 at k=4/8/16 on this fixture's ADVERSARIAL
+    0.35 operating point (bulk-edge pairs straddle cells — finer
+    clustering is cheaper and blinder, the SemDeDup trade), vs
+    ≥0.9 on real planted near-dup geometry (cos ≈ 0.95).
+    See operators/dedup.semdedup_pairs for the 100 TB analysis
+    (bounded-sample fit, (N/k)² per-cluster cost, k scaling rule)."""
+    from vfs_spark.operators.dedup import semdedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    return semdedup_pairs(emb, cos_threshold=0.35, n_clusters=8)
