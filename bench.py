@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "dedup_clusters_semantic",
     "dedup_semdedup",
     "dedup_window_exact",
+    "text_strip_dup_spans",
     "text_perplexity_buckets",
     # streaming slugs (availableNow drains; stream_ingest_corpus is
     # excluded — its full-corpus drain belongs to CORRECTNESS and

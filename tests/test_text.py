@@ -303,3 +303,39 @@ def test_perplexity_buckets_match_global_ntile(spark, sf_dir):
     sizes = [sum(1 for v in got.values() if v[1] == b)
              for b in ("head", "middle", "tail")]
     assert sum(sizes) == n and max(sizes) - min(sizes) <= 1
+
+
+def test_strip_dup_spans_keep_first_semantics(spark, tmp_path):
+    """ExactSubstr removal: the canonical (first by (doc_id, pos))
+    occurrence of a duplicated span survives, every other occurrence
+    is stripped; an exact duplicate doc collapses to empty text;
+    untouched docs pass through verbatim."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2", "en", "web", 50),
+            (2, "head1 head2 " + shared, "en", "web", 50),
+            (3, shared, "en", "web", 40),  # exact span-only doc
+            (4, "completely unrelated words live here in this doc", "en", "web", 48),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    d = str(tmp_path / "docs_strip")
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["text_strip_dup_spans"](spark, d).collect()
+    }
+    # doc 1 holds the canonical occurrence (lowest doc_id, pos 1): intact
+    assert out[1]["cleaned_text"] == shared + " tail1 tail2"
+    assert out[1]["n_removed"] == 0
+    # doc 2's copy of the span is stripped, its own head survives
+    assert out[2]["cleaned_text"] == "head1 head2"
+    assert out[2]["n_removed"] == 8
+    # doc 3 is nothing but a duplicated span -> empty
+    assert out[3]["cleaned_text"] == "" and out[3]["n_removed"] == 8
+    # unique doc untouched
+    assert out[4]["n_removed"] == 0

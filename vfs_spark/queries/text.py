@@ -1768,3 +1768,117 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     return semdedup_pairs(emb, cos_threshold=0.35, n_clusters=8)
+
+
+_STRIP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+w AS (
+  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS k
+  FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS g(i)
+  WHERE len(toks) >= 8
+),
+r AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+  FROM w
+),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS i
+  FROM r WHERE rn >= 2
+),
+tok AS (
+  SELECT doc_id, i, toks[i] AS tk
+  FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)
+),
+kept AS (
+  SELECT tok.doc_id, tok.i, tok.tk
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+  WHERE cov.i IS NULL
+),
+agg AS (
+  SELECT doc_id,
+         array_to_string(list(tk ORDER BY i), ' ') AS cleaned_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(agg.cleaned_text, '') AS cleaned_text,
+       CAST(len(t.toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+"""
+
+
+@query("text_strip_dup_spans", oracle=_STRIP_ORACLE)
+def q_text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ Exact-substring REMOVAL — the second half of the Lee et al.
+    2022 ExactSubstr strategy (dedup_window_exact is the detection
+    half): for every 8-token window occurring ≥2 times in the corpus,
+    keep only the canonical first occurrence (minimum (doc_id, pos))
+    and strip every token covered by a non-canonical occurrence,
+    reassembling each doc's surviving tokens in order. Exact duplicate
+    docs collapse to empty text (every window is non-canonical);
+    partially-copied docs lose exactly the copied spans — the
+    span-level dedup that document-level drop decisions can't express.
+
+    100 TB shape: canonical selection is a map-side-combined
+    min(struct(doc_id,pos)) AGGREGATE per window key — deliberately
+    not a per-key row_number window, whose hot keys (ubiquitous
+    boilerplate spans occurring millions of times) would each pin one
+    reducer; with the agg, hot keys cost one combiner cell. Coverage
+    explodes spans→positions (≤8 rows per removed span), the kept-
+    token anti-join runs on (doc_id, position), and reassembly is a
+    per-doc sort_array over surviving tokens — each stage shuffles
+    ids+positions, never text beyond the final per-doc rebuild."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    wins = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 8 "
+                "THEN transform(sequence(1, size(toks) - 7), "
+                "i -> struct(i AS pos, array_join(slice(toks, i, 8), ' ') AS k)) "
+                "ELSE CAST(array() AS array<struct<pos:int,k:string>>) END"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.k").alias("k"))
+    canon = wins.groupBy("k").agg(
+        F.min(F.struct("doc_id", "pos")).alias("c0"),
+        F.count("*").alias("c"),
+    )
+    spans = (
+        wins.join(canon.where(F.col("c") >= 2), "k")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("c0.doc_id"))
+                & (F.col("pos") == F.col("c0.pos"))
+            )
+        )
+    )
+    cov = spans.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("i")
+    ).distinct()
+    tok = t.select(
+        "doc_id", F.posexplode("toks").alias("i0", "tk")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tk")
+    kept = tok.join(cov, ["doc_id", "i"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(i, tk))), "
+            "x -> x.tk), ' ')"
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        t.select("doc_id", F.size("toks").alias("n_toks"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            (F.col("n_toks") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
