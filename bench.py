@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "dedup_window_exact",
     "text_strip_dup_spans",
     "text_perplexity_buckets",
+    "multimodal_spectrogram",
+    "multimodal_audio_features",
     # streaming slugs (availableNow drains; stream_ingest_corpus is
     # excluded — its full-corpus drain belongs to CORRECTNESS and
     # STREAMCHECK, not a per-round latency suite)

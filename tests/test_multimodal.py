@@ -196,3 +196,70 @@ def test_decode_audio_wav_roundtrip_and_resample(spark):
     assert same == pytest.approx([s / 32768.0 for s in samples], abs=1e-6)
     half = mm.decode_audio(media, sample_rate=4000).first()["samples"]
     assert len(half) == len(samples) // 2
+
+
+def test_spectrogram_peak_and_frames(spark):
+    """A pure 1 kHz tone at 8 kHz must put the frame-0 spectral peak
+    in bin round(1000/31.25)=32 (n_fft=256), and a 800-sample clip
+    yields 1+(800-256)//128 = 5 frames of 129 magnitude bins."""
+    import numpy as np
+
+    from vfs_spark.operators import multimodal as mm
+
+    sr, n = 8000, 800
+    t = np.arange(n) / sr
+    samples = (0.5 * np.sin(2 * np.pi * 1000 * t) * 32767).astype(int)
+    media = mm.as_media(
+        spark.createDataFrame([(1, bytearray(_wav16(samples, sr=sr)))],
+                              "media_id long, payload binary"),
+        "media_id", F.col("payload"),
+    )
+    rows = mm.spectrogram(media, n_fft=256, hop=128, sample_rate=sr).collect()
+    assert len(rows) == 5
+    assert all(len(r["mag"]) == 129 for r in rows)
+    f0 = next(r for r in rows if r["frame_idx"] == 0)
+    assert int(np.argmax(f0["mag"])) == 32  # 1000 Hz / 31.25 Hz-per-bin
+    # matches the NumPy reference exactly (same kernel math)
+    x = samples / 32768.0
+    ref = np.abs(np.fft.rfft(x[:256] * np.hanning(256)))
+    assert np.allclose(f0["mag"], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_audio_features_tone_stats(spark):
+    """Known-signal checks: a half-scale 1 kHz tone has RMS ≈ 0.5/√2,
+    ZCR ≈ 2·f/sr = 0.25, centroid ≈ 1000 Hz, duration 100 ms."""
+    import numpy as np
+
+    from vfs_spark.operators import multimodal as mm
+
+    sr, n = 8000, 800
+    t = np.arange(n) / sr
+    samples = (0.5 * np.sin(2 * np.pi * 1000 * t) * 32767).astype(int)
+    media = mm.as_media(
+        spark.createDataFrame([(7, bytearray(_wav16(samples, sr=sr)))],
+                              "media_id long, payload binary"),
+        "media_id", F.col("payload"),
+    )
+    r = mm.audio_features(media, sample_rate=sr).first()
+    assert r["n_samples"] == n and r["duration_ms"] == 100
+    assert abs(r["rms_e6"] - round(1e6 * 0.5 / np.sqrt(2))) < 2000
+    assert abs(r["zcr_e6"] - 250_000) < 5000
+    assert abs(r["centroid_hz"] - 1000) < 30
+
+
+def test_audio_slugs_run_on_fixture(spark, sf_dir):
+    """The registered audio slugs (synth WAV -> real decode/STFT)
+    produce one summary row per clip with the tone's peak bin."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    spec = {r["media_id"]: r
+            for r in QUERIES["multimodal_spectrogram"](spark, sf_dir).collect()}
+    assert len(spec) == 64
+    # doc_id d -> tone 500+250*(d%8) Hz; bin width 8000/256 = 31.25 Hz
+    for d in (0, 3, 7):
+        want = round((500 + 250 * (d % 8)) / 31.25)
+        assert abs(spec[d]["peak_bin"] - want) <= 1
+    feats = QUERIES["multimodal_audio_features"](spark, sf_dir).collect()
+    assert len(feats) == 64
+    assert all(f["duration_ms"] == 100 for f in feats)

@@ -327,3 +327,135 @@ def frame_sample(media: DataFrame, every_k: int = 10) -> DataFrame:
             ).alias("frame_no"),
         )
     )
+
+
+def spectrogram(
+    media: DataFrame,
+    n_fft: int = 256,
+    hop: int = 128,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """STFT magnitude spectrogram over decoded PCM audio — REAL
+    (NumPy rfft + Hann window, no audio library needed): one output
+    row per frame, ``mag`` holding the n_fft/2+1 magnitude bins. The
+    feature-extraction stage an audio training pipeline runs between
+    ingest and embedding; compressed codecs hit decode_audio's
+    NotImplementedError boundary exactly as documented there.
+
+    100 TB shape: decode + FFT run inside one Arrow-batched
+    mapInPandas chain — samples never leave the executor between the
+    two kernels (narrow dependency, no shuffle); output is
+    (media_id, frame_idx, bins) rows, ~n_fft/2 floats per hop of
+    audio, partitioned exactly like the input media. Frames are
+    vectorized per batch (one strided-index rfft per clip, not a
+    Python loop per frame)."""
+    import numpy as np
+
+    samples_df = decode_audio(media, sample_rate=sample_rate)
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("mag", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    win = None  # built lazily so the closure ships only ints
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal win
+        import numpy as np
+
+        if win is None:
+            win = np.hanning(n_fft)
+        for pdf in batches:
+            ids: list[int] = []
+            frames: list[int] = []
+            mags: list[np.ndarray] = []
+            for mid, s in zip(pdf["media_id"], pdf["samples"]):
+                if s is None:
+                    continue
+                x = np.asarray(s, dtype=np.float64)
+                if len(x) < n_fft:
+                    x = np.pad(x, (0, n_fft - len(x)))
+                n_frames = 1 + (len(x) - n_fft) // hop
+                idx = (
+                    np.arange(n_fft)[None, :]
+                    + hop * np.arange(n_frames)[:, None]
+                )
+                spec = np.abs(np.fft.rfft(x[idx] * win, axis=1)).astype(
+                    np.float32
+                )
+                ids.extend([mid] * n_frames)
+                frames.extend(range(n_frames))
+                mags.extend(list(spec))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": frames, "mag": mags}
+            )
+
+    return samples_df.mapInPandas(kernel, schema=out_schema)
+
+
+def audio_features(
+    media: DataFrame, sample_rate: int = 16000
+) -> DataFrame:
+    """Per-clip audio summary features from decoded PCM: duration,
+    RMS level, zero-crossing rate, spectral centroid (Hz) — the
+    cheap quality/content signals an audio corpus pipeline filters
+    on (silence, clipping, speech-vs-tone) before any model runs.
+    Integer micro-unit outputs for engine-stable comparisons, same
+    convention as text quality scoring. Same Arrow chain shape as
+    spectrogram: decode and featurize fuse into one executor-local
+    pass, output is 5 scalars per clip."""
+    import numpy as np
+
+    samples_df = decode_audio(media, sample_rate=sample_rate)
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("rms_e6", T.LongType(), True),
+            T.StructField("zcr_e6", T.LongType(), True),
+            T.StructField("centroid_hz", T.LongType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, s in zip(pdf["media_id"], pdf["samples"]):
+                if s is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                x = np.asarray(s, dtype=np.float64)
+                n = len(x)
+                if n == 0:
+                    rows.append((mid, 0, 0, 0, 0, 0))
+                    continue
+                rms = float(np.sqrt(np.mean(x * x)))
+                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+                mag = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+                tot = float(mag.sum())
+                centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+                rows.append(
+                    (
+                        mid,
+                        n,
+                        round(1000 * n / sample_rate),
+                        round(1e6 * rms),
+                        round(1e6 * zcr),
+                        round(centroid),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "duration_ms",
+                    "rms_e6", "zcr_e6", "centroid_hz",
+                ],
+            )
+
+    return samples_df.mapInPandas(kernel, schema=out_schema)

@@ -9,6 +9,8 @@ tests/test_ann.py (SURVEY §5.2: assert recall, not hash equality).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -513,3 +515,78 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ops.pq_search_rerank(
         enc, emb, books, _query_vec(spark, sf_dir), k=10, shortlist=100
     )
+
+
+def _synth_wav_media(spark: SparkSession, sf_dir: str):
+    """Deterministic FAKE audio ingest for the audio slugs: each doc
+    becomes a 0.1 s 8 kHz 16-bit PCM WAV of a pure tone whose
+    frequency is a function of doc_id (500 + 250·(doc_id mod 8) Hz).
+    Clearly-marked synthesis — the container lacks audio fixtures and
+    codec libraries — but everything downstream of the payload column
+    (RIFF parse, PCM decode, resample, STFT) is the REAL kernel path,
+    so the slug exercises the production plumbing end to end."""
+    import io
+    import wave
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    sr, dur = 8000, 0.1
+
+    @pandas_udf("binary")
+    def _wav(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        t = np.arange(int(sr * dur)) / sr
+        for d in doc_ids:
+            f = 500.0 + 250.0 * (int(d) % 8)
+            x = (0.5 * np.sin(2 * np.pi * f * t) * 32767).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes(x.tobytes())
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("doc_id") < 64
+    )
+    return multimodal.as_media(docs, "doc_id", _wav(F.col("doc_id")))
+
+
+@query("multimodal_spectrogram")  # rows-only: FFT is outside SQL oracles
+def q_multimodal_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio STFT spectrogram over the multimodal binary-column
+    contract: synthesized WAV payloads (deterministic tones — see
+    _synth_wav_media) through the REAL RIFF/PCM decode + Hann-window
+    rfft kernel chain (operators/multimodal.spectrogram). Output is
+    one row per (clip, frame) with n_fft/2+1 magnitude bins; the
+    peak-bin-matches-tone-frequency property is asserted in
+    tests/test_multimodal.py. Summary projection keeps the driver
+    compare bounded: per clip, frame count + argmax bin of frame 0."""
+    media = _synth_wav_media(spark, sf_dir)
+    spec = multimodal.spectrogram(media, n_fft=256, hop=128, sample_rate=8000)
+    f0 = spec.where(F.col("frame_idx") == 0).select(
+        "media_id",
+        F.expr(
+            "array_position(mag, array_max(mag))"
+        ).cast("int").alias("peak_bin_1based"),
+    )
+    counts = spec.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_frames")
+    )
+    return counts.join(f0, "media_id").select(
+        "media_id", "n_frames", (F.col("peak_bin_1based") - 1).alias("peak_bin")
+    )
+
+
+@query("multimodal_audio_features")  # rows-only: decode+FFT outside SQL oracles
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio quality/content summary (duration, RMS,
+    zero-crossing rate, spectral centroid) over the same synthesized
+    WAV payloads — the silence/clipping/content gates an audio corpus
+    pipeline runs at ingest, in integer micro-units
+    (operators/multimodal.audio_features)."""
+    media = _synth_wav_media(spark, sf_dir)
+    return multimodal.audio_features(media, sample_rate=8000)
