@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "text_perplexity_buckets",
     "multimodal_spectrogram",
     "multimodal_audio_features",
+    "corpus_quality_report",
     # streaming slugs (availableNow drains; stream_ingest_corpus is
     # excluded — its full-corpus drain belongs to CORRECTNESS and
     # STREAMCHECK, not a per-round latency suite)

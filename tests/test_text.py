@@ -339,3 +339,33 @@ def test_strip_dup_spans_keep_first_semantics(spark, tmp_path):
     assert out[3]["cleaned_text"] == "" and out[3]["n_removed"] == 8
     # unique doc untouched
     assert out[4]["n_removed"] == 0
+
+
+def test_corpus_quality_report_planted_corruption(spark, tmp_path):
+    """The integrity report must surface planted corruption: a
+    double-loaded doc_id counts as one duplicate occurrence, blank
+    and whitespace-only text count as blank, and token stats cover
+    min/max/median exactly."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1", "en", 5),
+            (1, "a b c", "s1", "en", 5),      # double-loaded shard
+            (2, "   ", "s1", "en", 3),        # whitespace-only
+            (3, "w x y z", "s1", "en", 7),
+            (10, "k l m n o", "s2", "en", 9), # clean source
+        ],
+        "doc_id long, text string, source string, lang string, n_chars int",
+    )
+    d = str(tmp_path / "docs_q")
+    docs.write.parquet(f"{d}/documents.parquet")
+    out = {r["source"]: r
+           for r in QUERIES["corpus_quality_report"](spark, d).collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 4 and s1["n_dup_ids"] == 1 and s1["n_blank"] == 1
+    assert s1["min_tokens"] >= 1 and s1["max_tokens"] == 4
+    s2 = out["s2"]
+    assert (s2["n_docs"], s2["n_dup_ids"], s2["n_blank"]) == (1, 0, 0)
+    assert s2["median_tokens"] == 5.0

@@ -92,6 +92,31 @@ EXPECTED = {
     # scoring join — every exchange carries (token-pair, count) rows,
     # never text; both model joins broadcast at fixture scale:
     "text_bigram_logprob": {"many"},
+    # SemDeDup: the per-cluster exact-pairwise applyInPandas kernel
+    # IS the operator (bounded (N/k)² per cell, SCALE.md probe):
+    "dedup_semdedup": {"py"},
+    # audio chain: RIFF/PCM decode + rfft are Arrow mapInPandas
+    # kernels by design (math outside Catalyst's algebra), fused
+    # executor-local — no shuffle between decode and FFT:
+    "multimodal_spectrogram": {"py"},
+    "multimodal_audio_features": {"py"},
+    # tercile bucketing: the 1-row grand-total crossJoin plans as a
+    # BroadcastNestedLoopJoin with a single-row build side (same
+    # family as agg_idle_customers / corpus_mixture_stats):
+    "text_perplexity_buckets": {"bnlj"},
+    # ExactSubstr removal: 4 logical stages (canonical-window agg,
+    # coverage distinct, kept-token anti-join, per-doc reassembly) —
+    # each exchange carries ids/positions or window keys, the only
+    # text shuffle is the final per-doc rebuild:
+    "text_strip_dup_spans": {"many"},
+    # ExactSubstr detection: (key,doc) agg → key agg → rollup join →
+    # doc agg — all map-side combined, keys only (text stays in the
+    # scan stage):
+    "dedup_window_exact": {"many"},
+    # integrity report: dup-id agg ((source,doc_id) → source) beside
+    # the source rollup + a |sources|-row broadcast join — every
+    # exchange is ids or |sources| rows:
+    "corpus_quality_report": {"many"},
 }
 
 

@@ -1882,3 +1882,86 @@ def q_text_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_removed"),
         )
     )
+
+
+_QREPORT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, text, len({_TOKS}) AS n_tokens FROM documents
+),
+d AS (
+  SELECT source, doc_id, COUNT(*) AS c FROM t GROUP BY source, doc_id
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blank,
+       CAST((SELECT COALESCE(SUM(c - 1), 0) FROM d
+             WHERE d.source = t.source AND d.c > 1) AS BIGINT) AS n_dup_ids,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       quantile_cont(n_tokens, 0.5) AS median_tokens
+FROM t
+GROUP BY t.source
+"""
+
+
+@query("corpus_quality_report", oracle=_QREPORT_ORACLE)
+def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ Corpus integrity report — the validation pass every ingest
+    runs before anything downstream trusts the data: per source,
+    document counts, blank/null text, duplicate-id occurrences, and
+    the token-length distribution (total/min/max/median). Catches
+    the classic corruption modes (double-loaded shards → dup ids,
+    extraction failures → blank text, truncation → collapsed token
+    lengths) as one cheap aggregate.
+
+    Shape: token counting happens in the scan stage; everything else
+    is two map-side-combined aggregates ((source, doc_id) for dup
+    detection, source for the rollup). The exact median is the one
+    non-mergeable aggregate — fine per-source (group cardinality =
+    |sources|); at 100 TB swap it for percentile_approx and keep the
+    rest exact. Median interpolates midpoints of INTEGER token
+    counts, so the value is exact in double on both engines (NOTES
+    float-rounding rule: no ambiguous decimal boundary)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    t = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        token_count("text").alias("n_tokens"),
+    )
+    dups = (
+        t.groupBy("source", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .groupBy("source")
+        .agg(F.sum(F.col("c") - 1).alias("n_dup_ids"))
+    )
+    base = t.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.trim("text") == ""), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_blank"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.expr("percentile(n_tokens, 0.5)").alias("median_tokens"),
+    )
+    return (
+        base.join(dups, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_blank",
+            F.coalesce("n_dup_ids", F.lit(0)).cast("bigint").alias("n_dup_ids"),
+            "total_tokens",
+            "min_tokens",
+            "max_tokens",
+            "median_tokens",
+        )
+    )
