@@ -1,0 +1,63 @@
+"""PCA operator properties: exactness of the distributed-moment fit
+vs a NumPy reference, variance ordering, reconstruction monotonicity,
+deterministic sign, and the registered slug's contract."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vfs_spark.operators import pca
+
+
+@pytest.fixture(scope="module")
+def corr_df(spark):
+    rng = np.random.default_rng(3)
+    # anisotropic: a few strong directions + noise floor
+    basis = rng.standard_normal((8, 32))
+    z = rng.standard_normal((500, 8)) * np.array([8, 5, 3, 2, 1, 0.5, 0.3, 0.1])
+    x = z @ basis + 0.05 * rng.standard_normal((500, 32))
+    pdf = pd.DataFrame({"vec_id": range(500), "embedding": list(x)})
+    return spark.createDataFrame(pdf), x
+
+
+def test_fit_matches_numpy_reference(spark, corr_df):
+    df, x = corr_df
+    m = pca.fit_pca(df, n_components=8)
+    assert np.allclose(m.mean, x.mean(axis=0), atol=1e-9)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:8]
+    assert np.allclose(np.sort(m.explained)[::-1], evals, rtol=1e-8)
+    # orthonormal basis
+    assert np.allclose(m.components.T @ m.components, np.eye(8), atol=1e-9)
+    # repartitioning must not change the fit (exact moments, fixed sign)
+    m2 = pca.fit_pca(df.repartition(7), n_components=8)
+    assert np.allclose(m.components, m2.components, atol=1e-9)
+
+
+def test_projection_variance_and_reconstruction(spark, corr_df):
+    df, x = corr_df
+    m = pca.fit_pca(df, n_components=8)
+    out = pca.project_pca(df, m).orderBy("vec_id").collect()
+    y = np.stack([np.asarray(r["reduced"]) for r in out])
+    # component variances decrease and match the eigenvalues
+    v = y.var(axis=0)
+    assert np.all(np.diff(v) <= 1e-4)
+    assert np.allclose(v, m.explained, rtol=1e-4)
+    # reconstruction error shrinks as components are added
+    xc = x - x.mean(axis=0)
+    errs = []
+    for k in (2, 4, 8):
+        w = m.components[:, :k]
+        errs.append(float(((xc - (xc @ w) @ w.T) ** 2).sum()))
+    assert errs[0] > errs[1] > errs[2]
+    # 8 true directions -> 8 components capture nearly everything
+    assert m.explained.sum() / m.total_var > 0.99
+
+
+def test_pca_slug_bounded_norms(spark, sf_dir):
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    rows = QUERIES["embedding_pca_project"](spark, sf_dir).collect()
+    assert rows and all(r["k"] == 16 for r in rows)
+    assert all(r["sq_norm_e6"] >= 0 for r in rows)

@@ -1,0 +1,105 @@
+"""PCA dimensionality reduction for embedding columns — the
+compression step between embedding and ANN indexing (PQ quality and
+LSH contrast both improve in a decorrelated, truncated basis; the
+OPQ/PCA rotation of the FAISS lineage, built Spark-first).
+
+Scale design: the FIT is one distributed pass — per-Arrow-batch
+partial moments (count, Σx, ΣxᵀX) reduced driver-side, so the driver
+sees O(batches · dim²) floats and NEVER rows; the eigendecomposition
+runs on the dim×dim covariance (64×64 here — microseconds) no matter
+the corpus size. The PROJECT pass is one BLAS matmul per Arrow batch.
+No sampling anywhere: unlike the bounded-sample KMeans/PQ fits, exact
+moments are cheap at any scale, so the fit is exact by construction.
+
+Reference parity: the reference stores flat vectors and quantizes
+int8 (vector.rs:94-125); PCA is the ⊕ extension that makes its
+quantizers work at lower dim — cited as the natural pre-step to
+ann.fit_pq_codebooks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+class PCAModel(NamedTuple):
+    mean: np.ndarray        # (dim,)
+    components: np.ndarray  # (dim, k) orthonormal columns
+    explained: np.ndarray   # (k,) variance per kept component
+    total_var: float        # trace of the covariance
+
+
+def fit_pca(
+    df: DataFrame, vec_col: str = "embedding", n_components: int = 16
+) -> PCAModel:
+    """Exact PCA fit via distributed moment accumulation: each Arrow
+    batch emits (n, Σx, vec(ΣxxT)); the driver reduces |batches| such
+    rows and eigendecomposes the dim×dim covariance. Eigenvector sign
+    is fixed (largest-|component| coordinate made positive) so the
+    model is deterministic across runs and partitionings."""
+    dim = int(df.select(F.size(F.col(vec_col))).first()[0])
+
+    def _moments(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0)],
+                    "ss": [(x.T @ x).ravel()],
+                }
+            )
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(_moments, schema="n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in parts)
+    if n < 2:
+        raise ValueError("PCA fit needs at least 2 vectors")
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    ss = np.sum([np.asarray(r["ss"]) for r in parts], axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order]
+    # deterministic sign: make each column's largest-|x| coord positive
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])])
+    flip[flip == 0] = 1.0
+    comps = comps * flip
+    return PCAModel(
+        mean=mean,
+        components=comps,
+        explained=np.maximum(evals[order], 0.0),
+        total_var=float(np.trace(cov)),
+    )
+
+
+def project_pca(
+    df: DataFrame,
+    model: PCAModel,
+    vec_col: str = "embedding",
+    out_col: str = "reduced",
+) -> DataFrame:
+    """Project vectors onto the fitted basis: (x − mean) @ W. One BLAS
+    matmul per Arrow batch; the model ships as a closure constant
+    (dim·k + dim floats). Output replaces nothing — the reduced column
+    is appended so callers choose what to persist."""
+    mean, comps = model.mean, model.components
+
+    @pandas_udf("array<float>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        out = (x - mean) @ comps
+        return pd.Series(list(out.astype(np.float32)))
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

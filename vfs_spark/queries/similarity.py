@@ -590,3 +590,28 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.audio_features)."""
     media = _synth_wav_media(spark, sf_dir)
     return multimodal.audio_features(media, sample_rate=8000)
+
+
+@query("embedding_pca_project")  # rows-only: eigenbasis floats are engine-specific
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ PCA-reduce the embedding column to 16 dims (exact
+    distributed-moment fit, driver eig on the 64×64 covariance, BLAS
+    projection per Arrow batch — operators/pca.py). The compression
+    pre-step that improves PQ codebooks and LSH contrast; summary
+    output keeps the driver compare bounded: per vector, the reduced
+    dim and the squared norm of the projection in micro-units
+    (Parseval: ≤ the centered vector's squared norm, asserted with
+    variance-ordering + reconstruction properties in
+    tests/test_pca.py)."""
+    from vfs_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    model = pca.fit_pca(emb, n_components=16)
+    proj = pca.project_pca(emb, model)
+    return proj.select(
+        "vec_id",
+        F.size("reduced").alias("k"),
+        F.expr(
+            "cast(round(1e6 * aggregate(reduced, 0.0D, (a, x) -> a + x * x)) as bigint)"
+        ).alias("sq_norm_e6"),
+    )
