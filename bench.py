@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "multimodal_audio_features",
     "corpus_quality_report",
     "embedding_pca_project",
+    "bpe_train_merges",
     # streaming slugs (availableNow drains; stream_ingest_corpus is
     # excluded — its full-corpus drain belongs to CORRECTNESS and
     # STREAMCHECK, not a per-round latency suite)

@@ -1965,3 +1965,24 @@ def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_tokens",
         )
     )
+
+
+@query("bpe_train_merges")  # rows-only: iterative argmax chain is outside SQL oracles
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ BPE vocabulary TRAINING on the corpus (operators/bpe.py):
+    learn the first 30 merge rules from character level, emitted as
+    (rank, left, right, pair_count). Deterministic (ties break on
+    count DESC, left, right) and pinned against a pure-Python
+    reference implementation in tests/test_bpe.py — the correctness
+    gate SQL oracles can't express (each round's input depends on the
+    previous argmax). The 100 TB story is in the module docstring:
+    training runs on the word-TYPE table, so the corpus is touched
+    exactly once."""
+    from vfs_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    merges = bpe_train(docs, n_merges=30)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count bigint",
+    )
