@@ -32,6 +32,11 @@ ROWS_ONLY_ALLOWED = {
     "dedup_embedding_banded",  # LSH candidate set; recall+precision gated in test_dedup.py
     "dedup_embedding_simhash",  # banded candidate set; planted + fixture gates in test_dedup.py
     "dedup_clusters_semantic",  # clusters over banded candidate edges; gated in test_dedup.py
+    "dedup_semdedup",  # KMeans-cell candidates; recall+precision gated in test_dedup.py
+    "multimodal_spectrogram",  # FFT outputs; known-signal gated in test_multimodal.py
+    "multimodal_audio_features",  # decode+FFT stats; known-signal gated in test_multimodal.py
+    "embedding_pca_project",  # eigenbasis floats; property-gated vs NumPy in test_pca.py
+    "bpe_train_merges",  # iterative argmax chain; pinned to reference impl in test_bpe.py
 }
 
 TABLES = (

