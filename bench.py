@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "corpus_quality_report",
     "embedding_pca_project",
     "bpe_train_merges",
+    "text_trigram_logprob",
+    "export_training_shards",
     # streaming slugs (availableNow drains; stream_ingest_corpus is
     # excluded — its full-corpus drain belongs to CORRECTNESS and
     # STREAMCHECK, not a per-round latency suite)

@@ -2028,3 +2028,134 @@ def q_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_rid").cast("bigint").alias("first_rid"),
         F.max("_rid").cast("bigint").alias("last_rid"),
     )
+
+
+_TRIGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+tg AS (
+  SELECT doc_id, unnest([struct_pack(w1 := toks[i], w2 := toks[i+1], w3 := toks[i+2])
+                         for i in range(1, len(toks) - 1)]) AS g
+  FROM t WHERE len(toks) >= 3
+),
+d AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tg),
+uni AS (
+  SELECT w, COUNT(*) AS c1 FROM (
+    SELECT unnest({_TOKS}) AS w FROM documents
+  ) GROUP BY w
+),
+n_tot AS (SELECT SUM(c1) AS n FROM uni),
+bg AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM (
+    SELECT doc_id, unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+                           for i in range(1, len(toks))]) AS g
+    FROM t WHERE len(toks) >= 2
+  ) x, LATERAL (SELECT x.g.w1 AS w1, x.g.w2 AS w2) y
+  GROUP BY y.w1, y.w2
+),
+tgc AS (
+  SELECT w1, w2, w3, COUNT(*) AS c3 FROM d GROUP BY w1, w2, w3
+)
+SELECT d.doc_id,
+       ROUND(AVG(LN(
+         0.6 * (CAST(tgc.c3 AS DOUBLE) / b12.c2)
+         + 0.3 * (CAST(b23.c2 AS DOUBLE) / u2.c1)
+         + 0.1 * (CAST(u3.c1 AS DOUBLE) / n_tot.n)
+       )), 6) AS avg_logprob,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams
+FROM d
+JOIN tgc ON d.w1 = tgc.w1 AND d.w2 = tgc.w2 AND d.w3 = tgc.w3
+JOIN bg b12 ON d.w1 = b12.w1 AND d.w2 = b12.w2
+JOIN bg b23 ON d.w2 = b23.w1 AND d.w3 = b23.w2
+JOIN uni u2 ON d.w2 = u2.w
+JOIN uni u3 ON d.w3 = u3.w
+CROSS JOIN n_tot
+GROUP BY d.doc_id
+"""
+
+
+@query("text_trigram_logprob", oracle=_TRIGRAM_ORACLE)
+def q_text_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ Interpolated trigram LM scoring — the next LM order above
+    text_bigram_logprob, with the standard fixed-weight interpolation
+    (0.6·P(w3|w1w2) + 0.3·P(w3|w2) + 0.1·P(w3)) so unseen-context
+    backoff is built into the score rather than crashing on zero
+    counts (every component IS observed here since the model trains
+    on the scored corpus, but the interpolation is what makes the
+    score transfer to held-out text). Per-doc average log-prob —
+    the CCNet-style ranking signal at one order deeper.
+
+    Shape: identical to the bigram slug one order up — n-gram counts
+    are map-side-combined aggregates shuffling (gram, count) rows;
+    scoring joins the doc trigram stream to five count tables on
+    their gram keys; text never shuffles. At 100 TB: same trade as
+    the bigram slug (co-partition on gram keys or cap to top-V with
+    <unk> backoff and broadcast). Single-division doubles, LN, AVG,
+    ROUND(6) — the float discipline the bigram oracle already proved
+    cross-engine-stable at all three fixture scales."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    d = (
+        t.where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2), i -> struct("
+                    "element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2, "
+                    "element_at(toks, i + 2) AS w3))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2", "g.w3")
+    )
+    uni = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    n_tot = uni.groupBy().agg(F.sum("c1").alias("n"))
+    bg = (
+        t.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> struct("
+                    "element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    tgc = d.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    b12 = bg.select(
+        F.col("w1").alias("b12_w1"), F.col("w2").alias("b12_w2"),
+        F.col("c2").alias("c12"),
+    )
+    b23 = bg.select(
+        F.col("w1").alias("b23_w1"), F.col("w2").alias("b23_w2"),
+        F.col("c2").alias("c23"),
+    )
+    u2 = uni.select(F.col("w").alias("u2_w"), F.col("c1").alias("c_w2"))
+    u3 = uni.select(F.col("w").alias("u3_w"), F.col("c1").alias("c_w3"))
+    scored = (
+        d.join(tgc, ["w1", "w2", "w3"])
+        .join(b12, (F.col("w1") == F.col("b12_w1")) & (F.col("w2") == F.col("b12_w2")))
+        .join(b23, (F.col("w2") == F.col("b23_w1")) & (F.col("w3") == F.col("b23_w2")))
+        .join(u2, F.col("w2") == F.col("u2_w"))
+        .join(u3, F.col("w3") == F.col("u3_w"))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    p = (
+        0.6 * (F.col("c3").cast("double") / F.col("c12"))
+        + 0.3 * (F.col("c23").cast("double") / F.col("c_w2"))
+        + 0.1 * (F.col("c_w3").cast("double") / F.col("n"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+        F.count("*").cast("bigint").alias("n_trigrams"),
+    )
