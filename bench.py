@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "text_trigram_logprob",
     "export_training_shards",
+    "text_quality_classifier",
     # streaming slugs (availableNow drains; stream_ingest_corpus is
     # excluded — its full-corpus drain belongs to CORRECTNESS and
     # STREAMCHECK, not a per-round latency suite)

@@ -369,3 +369,30 @@ def test_corpus_quality_report_planted_corruption(spark, tmp_path):
     s2 = out["s2"]
     assert (s2["n_docs"], s2["n_dup_ids"], s2["n_blank"]) == (1, 0, 0)
     assert s2["median_tokens"] == 5.0
+
+
+def test_quality_classifier_separates_weak_labels(spark, sf_dir):
+    """The learned filter must rank good-tercile docs above
+    bad-tercile docs (AUC >= 0.9 vs its weak labels) and emit a
+    calibrated probability for every doc."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.functions.text import quality_score_e6
+    from vfs_spark.sources.parquet import load_table
+
+    out = {r["doc_id"]: r["p_good"]
+           for r in QUERIES["text_quality_classifier"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    q = {r["doc_id"]: r["q"] for r in docs.select(
+        "doc_id", quality_score_e6("text", "n_chars").alias("q")).collect()}
+    assert set(out) == set(q)  # every doc scored
+    qs = sorted(q.values())
+    lo, hi = qs[len(qs) // 3], qs[2 * len(qs) // 3]
+    pos = [out[d] for d, v in q.items() if v >= hi]
+    neg = [out[d] for d, v in q.items() if v <= lo]
+    # AUC by direct comparison (small n)
+    wins = sum(1 for p in pos for m in neg if p > m)
+    ties = sum(1 for p in pos for m in neg if p == m)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert auc >= 0.9
+    assert all(0.0 <= v <= 1.0 for v in out.values())

@@ -2159,3 +2159,56 @@ def q_text_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
         F.count("*").cast("bigint").alias("n_trigrams"),
     )
+
+
+@query("text_quality_classifier")  # rows-only: LR weights are solver floats
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ Learned quality classifier, fasttext-style (the CCNet /
+    GPT-3-era pipeline pattern): weak labels from the heuristic
+    score's terciles (top third = good, bottom third = bad, middle
+    left unlabeled), bag-of-words HashingTF features, MLlib logistic
+    regression — then score EVERY doc with P(good). This is the
+    standard bootstrap from a hand heuristic to a learned filter
+    that generalizes beyond it; gated in tests/test_text.py by AUC
+    vs the weak labels (not hash equality — solver floats are
+    seed/partitioning-sensitive in the last ulps).
+
+    100 TB shape: featurization is a scan-stage projection (hashing
+    trick — no vocabulary shuffle at all); LR training is MLlib's
+    treeAggregate over (numFeatures)-sized gradients — constant-size
+    driver traffic per iteration; scoring is one projection. The
+    label join rides the tercile boundaries computed as two scalars
+    (exact percentile over the e6 integers, driver-side)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    from vfs_spark.functions.text import quality_score_e6
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    base = docs.select(
+        "doc_id",
+        tokens("text").alias("toks"),
+        quality_score_e6("text", "n_chars").alias("q"),
+    )
+    lo, hi = base.select(
+        F.expr("percentile(q, 1.0/3)"), F.expr("percentile(q, 2.0/3)")
+    ).first()
+    labeled = base.withColumn(
+        "label",
+        F.when(F.col("q") >= hi, F.lit(1.0))
+        .when(F.col("q") <= lo, F.lit(0.0)),
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 12)
+    feats = tf.transform(labeled)
+    train = feats.where(F.col("label").isNotNull())
+    lr = LogisticRegression(
+        maxIter=50, regParam=0.01, featuresCol="features", labelCol="label"
+    )
+    model = lr.fit(train)
+    scored = model.transform(feats)
+    return scored.select(
+        "doc_id",
+        F.round(vector_to_array("probability")[1], 4).alias("p_good"),
+        F.col("prediction").cast("int").alias("pred"),
+    )
