@@ -117,6 +117,13 @@ EXPECTED = {
     # the source rollup + a |sources|-row broadcast join — every
     # exchange is ids or |sources| rows:
     "corpus_quality_report": {"many"},
+    # PCA: moment-accumulation mapInPandas + BLAS projection kernel
+    # ARE the operator (exact distributed fit, operators/pca.py):
+    "embedding_pca_project": {"py"},
+    # trigram LM: five (gram, count) join exchanges one order above
+    # the allowlisted bigram shape, plus the 1-row total-token
+    # crossJoin that plans as a single-row BroadcastNestedLoopJoin:
+    "text_trigram_logprob": {"bnlj", "many"},
 }
 
 
