@@ -1,0 +1,134 @@
+"""Scale points for the round-5 late-session operators: ExactSubstr
+window dedup, span stripping, PCA moments, and the shard sink.
+
+    python tools/newop_stress.py [n_docs] [n_vecs]
+
+Synthesizes a corpus of n_docs ~30-token docs (1% exact-duplicate
+pairs so the window ops have real work) and n_vecs dim-64 vectors,
+persists both to parquet, and times each operator end-to-end. Same
+discipline as tools/stress.py: distributed synthesis, one idle-host
+session, wall times to stdout for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+
+    from vfs_spark.session import get_spark
+
+    spark = get_spark("newop-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".newop_stress_tmp",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 2)
+        print(f"{name:28s} {times[name]:8.2f}s  -> {out}")
+        return out
+
+    try:
+        # ---- synthesize docs: 30 tokens from a 1k vocab; ids in the
+        # top 1% copy the text of (id - n/100) → planted exact dups
+        # sharing every window ----
+        cut = int(n_docs * 0.99)
+        docs = (
+            spark.range(n_docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.expr(
+                    f"CASE WHEN id >= {cut} THEN id - {cut} ELSE id END"
+                ).alias("eff"),
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    "array_join(transform(sequence(1, 30), i -> "
+                    "concat('w', cast(abs(xxhash64(eff * 31 + i)) % 1000 "
+                    "as string))), ' ')"
+                ).alias("text"),
+            )
+            .withColumn("source", F.lit("s"))
+            .withColumn("lang", F.lit("en"))
+            .withColumn("n_chars", F.length("text"))
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+        vecs = spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.randn(seed=j) for j in range(64)])
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+        vecs.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+
+        import vfs_spark.queries  # noqa: F401
+        from vfs_spark.queries.registry import QUERIES
+
+        timed(
+            f"dedup_window_exact {n_docs//1000}k",
+            lambda: QUERIES["dedup_window_exact"](spark, tmp).count(),
+        )
+        timed(
+            f"text_strip_dup_spans {n_docs//1000}k",
+            lambda: QUERIES["text_strip_dup_spans"](spark, tmp).count(),
+        )
+        timed(
+            f"corpus_quality_report {n_docs//1000}k",
+            lambda: QUERIES["corpus_quality_report"](spark, tmp).count(),
+        )
+        from vfs_spark.operators.pca import fit_pca, project_pca
+
+        emb = spark.read.parquet(f"{tmp}/embeddings.parquet")
+        t0 = time.time()
+        model = fit_pca(emb, n_components=16)
+        times[f"pca_fit {n_vecs//1000}k"] = round(time.time() - t0, 2)
+        print(f"pca_fit {n_vecs//1000}k            "
+              f"{times[f'pca_fit {n_vecs//1000}k']:8.2f}s")
+        timed(
+            f"pca_project {n_vecs//1000}k",
+            lambda: project_pca(emb, model)
+            .select(F.sum(F.element_at("reduced", 1)))
+            .first()[0],
+        )
+        from vfs_spark.sources.parquet import (
+            read_training_shards,
+            write_training_shards,
+        )
+
+        d = docs.select("doc_id", "text")
+        timed(
+            f"export_shards {n_docs//1000}k",
+            lambda: write_training_shards(
+                d, f"{tmp}/shards", order_col="doc_id",
+                rows_per_shard=50_000,
+            )["n_shards"],
+        )
+        timed(
+            f"verify_shards {n_docs//1000}k",
+            lambda: read_training_shards(spark, f"{tmp}/shards").count(),
+        )
+        print({"n_docs": n_docs, "n_vecs": n_vecs, "times": times})
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
