@@ -152,3 +152,55 @@ def test_interval_join_matches_bruteforce(spark, lts, rts, window):
         if ls - window <= rs <= ls
     }
     assert got == want
+
+
+def test_shard_export_deterministic(spark, tmp_path):
+    """Exporting the same data twice (different partitionings) must
+    produce byte-identical manifests — shard boundaries and checksums
+    are functions of content and key order only."""
+    from pyspark.sql import functions as F
+
+    from vfs_spark.sources.parquet import write_training_shards
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13).alias("v")
+    )
+    m1 = write_training_shards(
+        df.repartition(4), str(tmp_path / "a"), "doc_id", rows_per_shard=700
+    )
+    m2 = write_training_shards(
+        df.repartition(11), str(tmp_path / "b"), "doc_id", rows_per_shard=700
+    )
+    assert m1 == m2
+
+
+def test_strip_dup_spans_second_pass_shrinks(spark, tmp_path):
+    """Span stripping converges: stripping the stripped corpus removes
+    (far) fewer tokens than the first pass — new duplicated windows
+    can appear where removed spans spliced neighbors together, but the
+    volume collapses."""
+    import vfs_spark.queries  # noqa: F401
+    from pyspark.sql import functions as F
+    from vfs_spark.queries.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    first = QUERIES["text_strip_dup_spans"](spark, sf)
+    removed1 = first.agg(F.sum("n_removed")).first()[0]
+    assert removed1 > 0  # the fixture has planted duplicates
+    d = str(tmp_path / "stripped")
+    (
+        first.select(
+            "doc_id",
+            F.col("cleaned_text").alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("s").alias("source"),
+            F.length("cleaned_text").alias("n_chars"),
+        )
+        .write.parquet(f"{d}/documents.parquet")
+    )
+    removed2 = (
+        QUERIES["text_strip_dup_spans"](spark, d)
+        .agg(F.sum("n_removed"))
+        .first()[0]
+    )
+    assert removed2 < removed1 / 2
