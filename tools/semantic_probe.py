@@ -115,33 +115,35 @@ def main() -> None:
             f"recall_vs_planted={rec:.3f}"
         )
 
-    import math
-
-    if "simhash" in strategies:
-        r = min(30, max(14, math.ceil(math.log2(max(2, 48 * n * n // (10 * n))))))
-        run(
-            f"simhash {r}x48",
-            lambda: D.embedding_simhash_pairs(
-                corpus, cos_threshold=THRESH, n_bands=48, band_bits=r
-            ),
-        )
-    if "semdedup" in strategies:
-        k = max(16, (n + p) // 4000)
-        run(
-            f"semdedup k={k}",
-            lambda: D.semdedup_pairs(
-                corpus, cos_threshold=THRESH, n_clusters=k
-            ),
-        )
-    if "brp" in strategies:
-        run(
-            "brp 8x0.75",
-            lambda: D.embedding_banded_pairs(
-                corpus, cos_threshold=THRESH, num_hash_tables=8,
-                bucket_length=0.75,
-            ),
-        )
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        if "simhash" in strategies:
+            # band_bits='auto' = the operator's own sizing rule, so the
+            # probe always measures the production configuration
+            run(
+                "simhash auto x48",
+                lambda: D.embedding_simhash_pairs(
+                    corpus, cos_threshold=THRESH, n_bands=48,
+                    band_bits="auto",
+                ),
+            )
+        if "semdedup" in strategies:
+            k = max(16, (n + p) // 4000)
+            run(
+                f"semdedup k={k}",
+                lambda: D.semdedup_pairs(
+                    corpus, cos_threshold=THRESH, n_clusters=k
+                ),
+            )
+        if "brp" in strategies:
+            run(
+                "brp 8x0.75",
+                lambda: D.embedding_banded_pairs(
+                    corpus, cos_threshold=THRESH, num_hash_tables=8,
+                    bucket_length=0.75,
+                ),
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

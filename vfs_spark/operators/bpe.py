@@ -46,8 +46,14 @@ def word_type_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _merge_expr(a: str, b: str) -> str:
     """Left-to-right non-overlapping merge of adjacent (a, b) into
-    a||b via a fold — 'aaa' + (a,a) yields [aa, a], never [aa, aa]."""
-    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    a||b via a fold — 'aaa' + (a,a) yields [aa, a], never [aa, aa].
+    Symbols are corpus-derived, so backslashes must be escaped BEFORE
+    quotes or a trailing '\\' escapes the literal's closing quote."""
+
+    def _q(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    qa, qb = _q(a), _q(b)
     return (
         "aggregate(syms, cast(array() as array<string>), (acc, s) -> "
         f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{qa}' "
@@ -142,7 +148,11 @@ def bpe_encode(
         out = []
         for t in texts:
             toks: list[str] = []
-            for w in (t or "").lower().strip().split(" "):
+            # match word_type_table's tokenizer exactly: Spark trim()
+            # strips SPACES only, so Python must use .strip(' ') — a
+            # bare .strip() would drop '\n' etc. and desync encode
+            # from the trained word-type statistics
+            for w in (t or "").lower().strip(" ").split(" "):
                 if not w:
                     continue
                 if w not in memo:

@@ -2030,6 +2030,7 @@ def q_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges); the checksum column is Spark-hash-specific and verified
     structurally by the read-back (a tampered manifest raises —
     tests/test_storage.py)."""
+    import shutil
     import tempfile
 
     from vfs_spark.sources.parquet import (
@@ -2039,12 +2040,25 @@ def q_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     out = tempfile.mkdtemp(prefix="vfs_shards_")
-    write_training_shards(docs, out, order_col="doc_id", rows_per_shard=200)
-    back = read_training_shards(spark, out, verify=True)
-    return back.groupBy("shard_id").agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.min("_rid").cast("bigint").alias("first_rid"),
-        F.max("_rid").cast("bigint").alias("last_rid"),
+    try:
+        write_training_shards(docs, out, order_col="doc_id", rows_per_shard=200)
+        back = read_training_shards(spark, out, verify=True)
+        # materialize the summary BEFORE deleting the scratch store —
+        # the grouped DataFrame reads the parquet lazily, and leaking
+        # a corpus copy per bench/selfcheck run fills /tmp
+        rows = (
+            back.groupBy("shard_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.min("_rid").cast("bigint").alias("first_rid"),
+                F.max("_rid").cast("bigint").alias("last_rid"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "shard_id int, n_rows bigint, first_rid bigint, last_rid bigint"
     )
 
 

@@ -232,6 +232,13 @@ def write_training_shards(
 
     from vfs_spark.operators.ids import assign_dense_ids_ranged
 
+    clash = {"_rid", "shard_id"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with shard-export "
+            "bookkeeping columns — rename them first (a re-export of a "
+            "previous shard store must drop shard_id/_rid)"
+        )
     ranked = assign_dense_ids_ranged(df, order_col, id_name="_rid")
     sharded = ranked.withColumn(
         "shard_id", F.expr(f"(_rid - 1) div {int(rows_per_shard)}").cast("int")
@@ -269,13 +276,10 @@ def write_training_shards(
         ],
     }
     if manifest:
-        spark = df.sparkSession
-        sc = spark.sparkContext
-        # write through the JVM-side filesystem only for real deploys;
-        # local paths write directly
+        # local-filesystem write; an HDFS/S3 deploy must swap this for
+        # the Hadoop FileSystem API (open() cannot address those URIs)
         with open(f"{path}/_MANIFEST.json", "w") as fh:
             json.dump(man, fh, indent=1, sort_keys=True)
-        _ = sc  # local-mode direct write; HDFS/S3 deploys use the driver FS API
     return man
 
 
@@ -304,6 +308,13 @@ def read_training_shards(
             )
             .collect()
         }
+        listed = {s["shard_id"] for s in man["shards"]}
+        extra = set(got) - listed
+        if extra:
+            raise ValueError(
+                f"shards {sorted(extra)} exist in the store but not in "
+                "the manifest — stale or partially-written export"
+            )
         for s in man["shards"]:
             if got.get(s["shard_id"]) != (s["n_rows"], s["checksum"]):
                 raise ValueError(
@@ -312,4 +323,10 @@ def read_training_shards(
                     f"({s['n_rows']}, {s['checksum']}), got "
                     f"{got.get(s['shard_id'])}"
                 )
+        total = sum(r[0] for r in got.values())
+        if total != man["total_rows"]:
+            raise ValueError(
+                f"store holds {total} rows but manifest records "
+                f"{man['total_rows']}"
+            )
     return df
