@@ -187,3 +187,33 @@ def test_training_shards_roundtrip_and_verification(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="failed manifest verification"):
         read_training_shards(spark, d, verify=True)
+
+
+def test_training_shards_rejects_stale_and_collisions(spark, tmp_path):
+    """Hardened verification: a shard directory the manifest doesn't
+    list fails verification (stale/partial exports must not feed a
+    training job), and the writer refuses inputs whose columns collide
+    with its bookkeeping names."""
+    import pytest as _pytest
+
+    from vfs_spark.sources.parquet import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("v")
+    )
+    d = str(tmp_path / "shards2")
+    write_training_shards(df, d, order_col="doc_id", rows_per_shard=500)
+    # plant a stray shard directory with plausible rows
+    stray = df.limit(10).withColumn("_rid", F.col("doc_id") + 10_000)
+    stray.write.parquet(f"{d}/shard_id=99")
+    with _pytest.raises(ValueError, match="not in"):
+        read_training_shards(spark, d, verify=True)
+    # column collision refused at write time
+    with _pytest.raises(ValueError, match="collide"):
+        write_training_shards(
+            df.withColumn("shard_id", F.lit(1)), str(tmp_path / "x"),
+            order_col="doc_id",
+        )
