@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "text_trigram_logprob",
     "export_training_shards",
     "text_quality_classifier",
+    "pipeline_semantic_corpus",
     # streaming slugs (availableNow drains; stream_ingest_corpus is
     # excluded — its full-corpus drain belongs to CORRECTNESS and
     # STREAMCHECK, not a per-round latency suite)

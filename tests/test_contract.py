@@ -38,6 +38,7 @@ ROWS_ONLY_ALLOWED = {
     "embedding_pca_project",  # eigenbasis floats; property-gated vs NumPy in test_pca.py
     "bpe_train_merges",  # iterative argmax chain; pinned to reference impl in test_bpe.py
     "text_quality_classifier",  # LR solver floats; AUC-gated vs weak labels in test_text.py
+    "pipeline_semantic_corpus",  # banded candidate edges; manifest invariants gated in test_text.py
 }
 
 TABLES = (

@@ -396,3 +396,24 @@ def test_quality_classifier_separates_weak_labels(spark, sf_dir):
     auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
     assert auc >= 0.9
     assert all(0.0 <= v <= 1.0 for v in out.values())
+
+
+def test_pipeline_semantic_corpus_manifest_invariants(spark, sf_dir):
+    """The semantic keep/drop manifest must cover the whole collection
+    with exactly one keeper per cluster, the keeper being the
+    cluster's min vec_id, and every dropped row pointing at a kept
+    cluster label."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.sources.parquet import load_table
+
+    rows = QUERIES["pipeline_semantic_corpus"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n  # whole collection, keepers and dropped
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1
+        assert keepers[0]["vec_id"] == cid == min(m["vec_id"] for m in members)

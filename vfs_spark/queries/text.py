@@ -2244,3 +2244,49 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vector_to_array("probability")[1], 4).alias("p_good"),
         F.col("prediction").cast("int").alias("pred"),
     )
+
+
+@query("pipeline_semantic_corpus")  # rows-only: banded candidate edges are hash-family-specific
+def q_pipeline_semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ The embedding-side pipeline composed end-to-end, the vector
+    analogue of pipeline_pretraining_corpus: SimHash-banded semantic
+    near-dup edges → exact-cosine verify → connected components →
+    a KEEP/DROP manifest (keep = each cluster's min vec_id, the same
+    canonical rule every dedup family here uses), emitted for the
+    WHOLE collection — singletons keep themselves. Downstream, the
+    kept set is what feeds PQ/IVF index builds and training-shard
+    export, so this manifest is the handoff between semantic dedup
+    and everything after it.
+
+    100 TB shape: inherits dedup_clusters_semantic's bounds (banding
+    candidates only, label propagation over the edge-touched subgraph,
+    vectors never shuffle) plus one broadcast join of the cluster
+    labels back onto the id column. Gated in tests/test_text.py:
+    exactly one keeper per cluster, keep ∪ drop = collection."""
+    from vfs_spark.operators.dedup import (
+        connected_components,
+        embedding_simhash_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    edges = embedding_simhash_pairs(
+        emb, cos_threshold=0.35, n_bands=24, band_bits=4
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    edges = edges.localCheckpoint(eager=True)  # banding runs once
+    touched = (
+        edges.select(F.col("src").alias("vec_id"))
+        .union(edges.select(F.col("dst").alias("vec_id")))
+        .distinct()
+    )
+    cc = connected_components(touched, edges, id_col="vec_id")
+    labels = emb.select("vec_id").join(
+        F.broadcast(cc), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce("cluster_id", F.col("vec_id")).cast("bigint").alias("cluster_id"),
+    )
+    return labels.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
+    )
