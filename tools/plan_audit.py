@@ -124,6 +124,10 @@ EXPECTED = {
     # the allowlisted bigram shape, plus the 1-row total-token
     # crossJoin that plans as a single-row BroadcastNestedLoopJoin:
     "text_trigram_logprob": {"bnlj", "many"},
+    # composed semantic manifest: dedup_clusters_semantic's exact
+    # shape (Arrow banding kernel + per-round component joins) plus
+    # one broadcast label join back onto the id column:
+    "pipeline_semantic_corpus": {"py", "many"},
 }
 
 
