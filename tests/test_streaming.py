@@ -455,3 +455,81 @@ def test_stream_corpus_ingest_tombstones_decontaminated_fp(spark, tmp_path):
     # B escaped decontamination (different shingles) but shares A's
     # fp — the tombstone must keep it out, matching batch semantics
     assert store_count(dest) == 0
+
+
+def test_stream_export_shards_continues_and_verifies(spark, tmp_path):
+    """Streaming shard sink: two sequential availableNow drains (a
+    restart between arrivals) build ONE store whose shard numbering
+    and rank ranges continue across batches, read_training_shards
+    verifies it exactly like a batch export, and a replayed drain with
+    no new files changes nothing (idempotent manifest)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from vfs_spark.sources.parquet import read_training_shards
+
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    docs1 = spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 10) for i in range(500)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs2 = spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 10) for i in range(500, 800)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+
+    def _stage(df, name):
+        staged = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(staged)
+        import os, shutil
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        os.makedirs(src, exist_ok=True)
+        shutil.move(os.path.join(staged, part), str(src / name))
+
+    _stage(docs1, "a.parquet")
+    stream = (
+        spark.readStream.schema(docs1.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    ingest.stream_export_shards(
+        stream, store, ckpt, rows_per_shard=200
+    ).awaitTermination()
+    _stage(docs2, "b.parquet")
+    ingest.stream_export_shards(
+        (
+            spark.readStream.schema(docs1.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src))
+        ),
+        store, ckpt, rows_per_shard=200,
+    ).awaitTermination()
+
+    back = read_training_shards(spark, store, verify=True)  # must not raise
+    assert back.count() == 800
+    with open(f"{store}/_MANIFEST.json") as fh:
+        man = json.load(fh)
+    assert man["total_rows"] == 800
+    ids = [s["shard_id"] for s in man["shards"]]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    # rank ranges tile [1, 800] without gaps across the two batches
+    spans = sorted((s["first_rid"], s["last_rid"]) for s in man["shards"])
+    assert spans[0][0] == 1 and spans[-1][1] == 800
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert c == b + 1
+    # batch sizes: 500 -> 200+200+100, then 300 -> 200+100
+    assert [s["n_rows"] for s in man["shards"]] == [200, 200, 100, 200, 100]
+    # third drain, no new files: manifest unchanged
+    ingest.stream_export_shards(
+        (
+            spark.readStream.schema(docs1.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src))
+        ),
+        store, ckpt, rows_per_shard=200,
+    ).awaitTermination()
+    with open(f"{store}/_MANIFEST.json") as fh:
+        assert json.load(fh) == man

@@ -463,3 +463,110 @@ def stream_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_export_shards(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    rows_per_shard: int = 200,
+    order_col: str = "doc_id",
+):
+    """Streaming twin of sources/parquet.write_training_shards: each
+    micro-batch appends NEW shards continuing the store's global shard
+    numbering and rank range, and extends _MANIFEST.json with the same
+    per-shard (count, order-insensitive checksum) entries — so
+    read_training_shards verifies a streaming-built store exactly like
+    a batch export. Shard sizes are fixed except each batch's tail
+    shard (a streaming writer rotates on size; the tail is whatever
+    the batch had left — compacting tails is a rewrite job, the
+    compact_ivf_store analogue).
+
+    Delivery semantics: foreachBatch is at-least-once, so the manifest
+    records the last applied batch_id and a replayed batch is skipped
+    (same idempotence idiom as stream_corpus_ingest). The crash window
+    between data append and manifest write leaves UNLISTED shard
+    directories — read_training_shards(verify=True) then fails loudly
+    (stale-shard check) rather than serving rows the manifest never
+    acknowledged; remediation is deleting the unlisted directories and
+    replaying the batch.
+
+    100 TB shape: per batch, the ranged-id pass and one shard_id
+    shuffle — identical to the batch writer; the manifest read/write
+    is O(shards) driver-side JSON."""
+    import json
+    import os
+
+    from vfs_spark.operators.ids import assign_dense_ids_ranged
+
+    def _flush(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        man_path = os.path.join(store_path, "_MANIFEST.json")
+        if os.path.exists(man_path):
+            with open(man_path) as fh:
+                man = json.load(fh)
+        else:
+            man = {
+                "rows_per_shard": rows_per_shard,
+                "n_shards": 0,
+                "total_rows": 0,
+                "shards": [],
+                "last_batch_id": -1,
+            }
+        if batch_id <= man.get("last_batch_id", -1):
+            return  # at-least-once replay of an applied batch
+        next_shard = (
+            max((s["shard_id"] for s in man["shards"]), default=-1) + 1
+        )
+        rank_base = man["total_rows"]
+        data_cols = list(batch_df.columns)
+        ranked = assign_dense_ids_ranged(batch_df, order_col, id_name="_b")
+        sharded = ranked.select(
+            *data_cols,
+            (F.col("_b") + rank_base).alias("_rid"),
+            (F.lit(next_shard) + F.expr(f"(_b - 1) div {int(rows_per_shard)}"))
+            .cast("int")
+            .alias("shard_id"),
+        )
+        (
+            sharded.repartition("shard_id")
+            .write.mode("append")
+            .partitionBy("shard_id")
+            .parquet(store_path)
+        )
+        stats = (
+            sharded.groupBy("shard_id")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("_rid").alias("first_rid"),
+                F.max("_rid").alias("last_rid"),
+                F.bit_xor(F.xxhash64(*data_cols)).alias("checksum"),
+            )
+            .orderBy("shard_id")
+            .collect()
+        )
+        man["shards"].extend(
+            {
+                "shard_id": r["shard_id"],
+                "n_rows": r["n_rows"],
+                "first_rid": r["first_rid"],
+                "last_rid": r["last_rid"],
+                "checksum": int(r["checksum"]),
+            }
+            for r in stats
+        )
+        man["n_shards"] = len(man["shards"])
+        man["total_rows"] += sum(r["n_rows"] for r in stats)
+        man["last_batch_id"] = batch_id
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh, indent=1, sort_keys=True)
+        os.replace(tmp, man_path)  # atomic manifest commit
+
+    return (
+        docs_stream.writeStream.foreachBatch(_flush)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
