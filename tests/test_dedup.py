@@ -480,3 +480,82 @@ def test_semdedup_planted_near_dups(spark):
     assert found >= 0.9
     # nothing below threshold sneaks out
     assert all(r["cos_sim"] >= 0.8 for r in pairs)
+
+
+def test_semdedup_megacluster_fallback(spark):
+    """VERDICT r5 #6: a planted megacluster (75% of the corpus in one
+    tight cone) must NOT hit the |cell|² applyInPandas path — cells
+    over max_cluster_rows divert to in-cell SimHash banding — while
+    recall on planted near-dups holds and precision stays exact.
+    The banded and exact forms are compared on the SAME data: the
+    fallback may only MISS pairs (banding recall), never invent them."""
+    import numpy as np
+    import pandas as pd
+
+    n, dim = 2000, 64
+    rng = np.random.default_rng(23)
+    axis = rng.standard_normal(dim)
+    axis /= np.linalg.norm(axis)
+    n_cone = (3 * n) // 4
+    cone = axis[None, :] + 0.15 * rng.standard_normal((n_cone, dim))
+    rest = rng.standard_normal((n - n_cone, dim))
+    base = np.vstack([cone, rest])
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    p = 20
+    src = rng.choice(n_cone, size=p, replace=False)  # dups INSIDE the cone
+    dups = base[src] + 0.03 * rng.standard_normal((p, dim))
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(n)) + [n + i for i in range(p)],
+            "embedding": list(np.vstack([base, dups])),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    # cap far below the cone's cell size -> the megacluster MUST take
+    # the banded path (an all-pairs pandas group of 1500 rows would
+    # be the failure mode this guards against)
+    capped = dedup_ops.semdedup_pairs(
+        df, cos_threshold=0.9, n_clusters=4, max_cluster_rows=400
+    ).collect()
+    uncapped = dedup_ops.semdedup_pairs(
+        df, cos_threshold=0.9, n_clusters=4, max_cluster_rows=10**9
+    ).collect()
+    got_c = {(r["vec_a"], r["vec_b"]) for r in capped}
+    got_u = {(r["vec_a"], r["vec_b"]) for r in uncapped}
+    planted = {(int(s), n + i) for i, s in enumerate(src)}
+    # recall held through the fallback
+    assert len(got_c & planted) / len(planted) >= 0.9
+    # fallback only misses, never invents (both paths verify exactly)
+    assert got_c <= got_u
+    # precision: nothing below threshold
+    assert all(r["cos_sim"] >= 0.9 for r in capped)
+
+
+def test_semdedup_zero_norm_excluded(spark):
+    """ADVICE r5: zero-norm vectors are dropped BEFORE pair formation,
+    so they match nothing even at a non-positive threshold (previously
+    they were zeroed into the similarity matrix at cos 0)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4, 5],
+            "embedding": [
+                [1.0, 0.0],
+                [0.9, 0.1],
+                [0.0, 0.0],  # zero-norm
+                [-1.0, 0.0],
+                [0.0, 1.0],
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    pairs = dedup_ops.semdedup_pairs(
+        df, cos_threshold=-1.0, n_clusters=2, fit_sample_rows=None
+    ).collect()
+    # threshold -1 emits every within-cluster pair among NONZERO
+    # vectors; some cluster holds >=2 of the 4 nonzero rows
+    assert pairs
+    touched = {r["vec_a"] for r in pairs} | {r["vec_b"] for r in pairs}
+    assert 3 not in touched

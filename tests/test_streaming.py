@@ -533,3 +533,30 @@ def test_stream_export_shards_continues_and_verifies(spark, tmp_path):
     ).awaitTermination()
     with open(f"{store}/_MANIFEST.json") as fh:
         assert json.load(fh) == man
+
+
+def test_stream_export_shards_rejects_bookkeeping_collision(spark, tmp_path):
+    """ADVICE r5: the streaming shard sink mirrors the batch writer's
+    clash check — a stream whose schema already carries shard_id /
+    _rid / _b (e.g. re-exporting a previous shard store) fails with a
+    clear ValueError at the first batch instead of an opaque parquet
+    duplicate-column error mid-stream."""
+    import pytest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "t", 0)], "doc_id long, text string, shard_id int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, shard_id int")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    with pytest.raises(Exception, match="collide"):
+        ingest.stream_export_shards(
+            stream,
+            str(tmp_path / "store"),
+            str(tmp_path / "ckpt"),
+            rows_per_shard=10,
+        ).awaitTermination()

@@ -417,3 +417,37 @@ def test_pipeline_semantic_corpus_manifest_invariants(spark, sf_dir):
         keepers = [m for m in members if m["keep"]]
         assert len(keepers) == 1
         assert keepers[0]["vec_id"] == cid == min(m["vec_id"] for m in members)
+
+
+def test_quality_classifier_degenerate_terciles(spark, tmp_path):
+    """ADVICE r5: when the quality-score terciles collapse (lo == hi),
+    the classifier falls back to min/max strict labeling instead of
+    fitting single-class LR; a fully constant score distribution
+    raises a clear ValueError instead of a solver traceback."""
+    import pytest
+
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    # 9 identical low-quality docs + 1 high-quality doc: terciles both
+    # land on the dominant score (lo == hi) but min < max -> fallback
+    rows = [
+        (i, "aaa!!!", "en", "s", 6) for i in range(9)
+    ] + [(9, "the quick brown fox jumps over the lazy dog again", "en", "s", 49)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    d1 = str(tmp_path / "skew")
+    docs.write.parquet(f"{d1}/documents.parquet")
+    out = QUERIES["text_quality_classifier"](spark, d1).collect()
+    assert len(out) == 10  # trained and scored despite collapsed terciles
+
+    # constant distribution: no two-class labeling possible
+    const = spark.createDataFrame(
+        [(i, "same text here", "en", "s", 14) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    d2 = str(tmp_path / "const")
+    const.write.parquet(f"{d2}/documents.parquet")
+    with pytest.raises(ValueError, match="constant"):
+        QUERIES["text_quality_classifier"](spark, d2)

@@ -574,20 +574,20 @@ def embedding_banded_pairs(
     pairs = model.approxSimilarityJoin(vdf, vdf, radius, distCol="_dist")
     a_id = F.col(f"datasetA.{id_col}")
     b_id = F.col(f"datasetB.{id_col}")
-    sim = F.round(
-        dot(F.col(f"datasetA.{vec_col}"), F.col(f"datasetB.{vec_col}"))
-        / (
-            l2_norm(F.col(f"datasetA.{vec_col}"))
-            * l2_norm(F.col(f"datasetB.{vec_col}"))
-        ),
-        6,
+    sim = dot(
+        F.col(f"datasetA.{vec_col}"), F.col(f"datasetB.{vec_col}")
+    ) / (
+        l2_norm(F.col(f"datasetA.{vec_col}"))
+        * l2_norm(F.col(f"datasetB.{vec_col}"))
     )
+    # Threshold on the unrounded similarity; round only the emitted value.
     return (
         pairs.where(a_id < b_id)  # each unordered pair once, no self-pairs
         .select(
-            a_id.alias("vec_a"), b_id.alias("vec_b"), sim.alias("cos_sim")
+            a_id.alias("vec_a"), b_id.alias("vec_b"), sim.alias("_raw")
         )
-        .where(F.col("cos_sim") >= cos_threshold)
+        .where(F.col("_raw") >= cos_threshold)
+        .select("vec_a", "vec_b", F.round("_raw", 6).alias("cos_sim"))
     )
 
 
@@ -600,6 +600,7 @@ def embedding_simhash_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     candidates_per_row: int = 10,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Semantic near-dup via random-hyperplane SimHash banding — the
     AND-composed scale path that embedding_banded_pairs (MLlib BRP)
@@ -621,7 +622,12 @@ def embedding_simhash_pairs(
     scan is pruned by candidate id bounds + broadcast semi-join and
     computes the exact cosine, so emitted pairs are never false
     positives. Zero vectors project to all-zero bits but die in
-    verify (cos undefined → excluded by the threshold)."""
+    verify (cos undefined → excluded by the threshold).
+
+    ``block_col``: optional extra blocking key — candidate pairs must
+    agree on it in addition to the band value. Used by semdedup_pairs
+    to band WITHIN oversized KMeans cells (the megacluster fallback)
+    without emitting cross-cell pairs."""
     import math
 
     import numpy as np
@@ -652,20 +658,30 @@ def embedding_simhash_pairs(
         packed = bits.reshape(len(x), n_bands, band_bits) @ weights
         return pd.Series(list(packed))
 
+    keep_cols = [F.col(id_col)] + (
+        [F.col(block_col)] if block_col else []
+    )
     sig = (
-        df.select(F.col(id_col), _band_vals(F.col(vec_col)).alias("_bv"))
+        df.select(*keep_cols, _band_vals(F.col(vec_col)).alias("_bv"))
         .select(
-            F.col(id_col),
+            *keep_cols,
             F.posexplode("_bv").alias("band_idx", "band_val"),
         )
     )
     a, b = sig.alias("a"), sig.alias("b")
+    join_cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if block_col:
+        join_cond = join_cond & (
+            F.col(f"a.{block_col}") == F.col(f"b.{block_col}")
+        )
     cand = (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            join_cond,
         )
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
@@ -706,15 +722,20 @@ def embedding_simhash_pairs(
         den = np.linalg.norm(xa, axis=1) * np.linalg.norm(xb, axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
             out = np.where(den > 0, num / den, np.nan)
-        return pd.Series(np.round(out, 6))
+        return pd.Series(out)
 
+    # Threshold on the UNROUNDED similarity (rounding first could admit
+    # pairs up to 5e-7 below the contract); round only the emitted value.
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
-            "vec_a", "vec_b", _cos_kernel("_va", "_vb").alias("cos_sim")
+            "vec_a", "vec_b", _cos_kernel("_va", "_vb").alias("_raw")
         )
-        .where(F.col("cos_sim") >= cos_threshold)
+        .where(F.col("_raw") >= cos_threshold)
+        .select(
+            "vec_a", "vec_b", F.round("_raw", 6).alias("cos_sim")
+        )
     )
 
 
@@ -725,6 +746,7 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_sample_rows: int | None = 200_000,
+    max_cluster_rows: int = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with KMeans, then find semantic near-duplicates
@@ -743,9 +765,14 @@ def semdedup_pairs(
     per-cluster cost (N/k)²·dim — pick k ~ N/target so clusters stay
     at 10⁴-10⁵ rows (the SemDeDup paper uses k=50k–110k for LAION-
     scale corpora) and the quadratic never sees N. A skewed megacluster
-    is the failure mode: cap it by re-clustering or falling back to a
-    banded form within oversized clusters. Zero-norm vectors match
-    nothing (cosine undefined → excluded).
+    is the failure mode, and it is HANDLED, not just documented: any
+    cell over ``max_cluster_rows`` is diverted to in-cell SimHash
+    banding (embedding_simhash_pairs with block_col=cluster_id), so
+    its cost is banded-candidate-bounded instead of |cell|² and the
+    oversized pandas group never materializes in a Python worker.
+    Emitted pairs stay cluster-scoped either way. Zero-norm vectors
+    are dropped before pair formation (cosine undefined → they match
+    nothing at any threshold, including non-positive ones).
 
     Reference parity: reuses the same coarse quantizer as the IVF
     index (ann.rs:432-509 is the reference's single approx family;
@@ -763,22 +790,42 @@ def semdedup_pairs(
     narrow = assigned.select("cluster_id", F.col(id_col), F.col(vec_col))
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
-        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(x, axis=1)
-        ok = norms > 0
-        xn = np.zeros_like(x)
-        xn[ok] = x[ok] / norms[ok, None]
+        x_all = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms_all = np.linalg.norm(x_all, axis=1)
+        ok = norms_all > 0  # zero-norm: cosine undefined, matches nothing
+        ids = pdf[id_col].to_numpy()[ok]
+        xn = x_all[ok] / norms_all[ok, None]
         sims = xn @ xn.T
         ia, ib = np.triu_indices(len(ids), k=1)
-        sim = np.round(sims[ia, ib], 6)
-        keep = sim >= cos_threshold
+        sim = sims[ia, ib]
+        keep = sim >= cos_threshold  # threshold UNROUNDED; round on emit
         a, b = ids[ia[keep]], ids[ib[keep]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame(
-            {"vec_a": lo, "vec_b": hi, "cos_sim": sim[keep]}
+            {"vec_a": lo, "vec_b": hi, "cos_sim": np.round(sim[keep], 6)}
         )
 
-    return narrow.groupBy("cluster_id").applyInPandas(
+    sizes = narrow.groupBy("cluster_id").agg(F.count("*").alias("_n"))
+    big = [
+        r["cluster_id"]
+        for r in sizes.where(F.col("_n") > max_cluster_rows).collect()
+    ]  # bounded by n_clusters rows driver-side
+    exact_src = narrow
+    banded_part = None
+    if big:
+        exact_src = narrow.where(~F.col("cluster_id").isin(big))
+        banded_part = embedding_simhash_pairs(
+            narrow.where(F.col("cluster_id").isin(big)),
+            cos_threshold=cos_threshold,
+            band_bits="auto",
+            id_col=id_col,
+            vec_col=vec_col,
+            block_col="cluster_id",
+        )
+
+    exact_part = exact_src.groupBy("cluster_id").applyInPandas(
         _pairs, schema="vec_a long, vec_b long, cos_sim double"
     )
+    if banded_part is None:
+        return exact_part
+    return exact_part.unionByName(banded_part)

@@ -19,26 +19,31 @@ import vfs_spark.queries.streaming_queries  # noqa: F401,E402
 
 def _rotate_for_driver_coverage() -> None:
     """Reorder the registry so slugs without a driver-recorded pass come
-    first (oracle-backed before rows-only, registration order preserved
-    within each group).
+    first (oracle-backed before rows-only), and previously-passed slugs
+    follow ordered by pass AGE — oldest green round first — so stale
+    checks get re-confirmed against subsequent code churn instead of
+    being pushed to the back forever.
 
     The driver's per-round CORRECTNESS artifact samples a bounded window
     of ``queries()`` in dict-insertion order; without rotation the same
     window is re-checked every round while the rest of the surface only
     ever sees self-reported checks. Reading the committed
-    ``CORRECTNESS_r*.json`` files makes the rotation automatic: anything
-    already green moves to the back, so cumulative driver coverage grows
-    monotonically round over round.
+    ``CORRECTNESS_r*.json`` files makes the rotation automatic: cumulative
+    driver coverage grows monotonically round over round, then cycles
+    through the surface re-validating the longest-unchecked slugs.
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    passed: set[str] = set()
+    latest_pass: dict[str, int] = {}  # slug -> most recent round with a green row
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -48,10 +53,15 @@ def _rotate_for_driver_coverage() -> None:
             continue
         for slug, rec in data.items():
             if isinstance(rec, dict) and rec.get("rows_match"):
-                passed.add(slug)
+                latest_pass[slug] = max(latest_pass.get(slug, 0), rnd)
     order = sorted(
-        QUERIES, key=lambda k: (k in passed, k not in ORACLES)
-    )  # stable sort: both groups keep registration order internally
+        QUERIES,
+        key=lambda k: (
+            k in latest_pass,          # never-passed first
+            k not in ORACLES,          # oracle-backed before rows-only
+            latest_pass.get(k, 0),     # then stalest green first
+        ),
+    )  # stable sort: ties keep registration order
     for registry in (QUERIES, ORACLES):
         snapshot = {k: registry[k] for k in order if k in registry}
         registry.clear()

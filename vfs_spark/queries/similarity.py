@@ -567,17 +567,20 @@ def q_multimodal_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare bounded: per clip, frame count + argmax bin of frame 0."""
     media = _synth_wav_media(spark, sf_dir)
     spec = multimodal.spectrogram(media, n_fft=256, hop=128, sample_rate=8000)
-    f0 = spec.where(F.col("frame_idx") == 0).select(
+    # Single pass over the decode+STFT chain: both aggregates (frame
+    # count, frame-0 peak bin) come from ONE groupBy over frame rows —
+    # a two-branch plan would execute the WAV synthesis + RIFF decode +
+    # mapInPandas FFT twice (ADVICE r5).
+    per_frame = spec.select(
         "media_id",
-        F.expr(
-            "array_position(mag, array_max(mag))"
-        ).cast("int").alias("peak_bin_1based"),
+        "frame_idx",
+        F.expr("array_position(mag, array_max(mag))")
+        .cast("int")
+        .alias("_pb1"),
     )
-    counts = spec.groupBy("media_id").agg(
-        F.count("*").cast("bigint").alias("n_frames")
-    )
-    return counts.join(f0, "media_id").select(
-        "media_id", "n_frames", (F.col("peak_bin_1based") - 1).alias("peak_bin")
+    return per_frame.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        (F.min_by("_pb1", "frame_idx") - 1).alias("peak_bin"),
     )
 
 

@@ -2226,6 +2226,19 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = base.select(
         F.expr("percentile(q, 1.0/3)"), F.expr("percentile(q, 2.0/3)")
     ).first()
+    if not (lo < hi):
+        # Degenerate score distribution (terciles collapse): the weak
+        # labels would be single-class and LR.fit would fail at runtime.
+        # Fall back to strict min/max labeling; if even that collapses
+        # (constant scores), fail with a clear error instead of a solver
+        # traceback.
+        mn, mx = base.select(F.min("q"), F.max("q")).first()
+        if not (mn < mx):
+            raise ValueError(
+                "text_quality_classifier: quality-score distribution is "
+                "constant — cannot derive two-class weak labels"
+            )
+        lo, hi = mn, mx
     labeled = base.withColumn(
         "label",
         F.when(F.col("q") >= hi, F.lit(1.0))

@@ -502,6 +502,13 @@ def stream_export_shards(
     def _flush(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        clash = {"_rid", "shard_id", "_b"} & set(batch_df.columns)
+        if clash:
+            raise ValueError(
+                f"input columns {sorted(clash)} collide with shard-export "
+                "bookkeeping columns (re-exporting a previous shard store "
+                "must drop shard_id/_rid first)"
+            )
         man_path = os.path.join(store_path, "_MANIFEST.json")
         if os.path.exists(man_path):
             with open(man_path) as fh:
