@@ -268,6 +268,7 @@ def test_embedding_banded_recall_and_precision(spark):
             cos_threshold=0.35,
             num_hash_tables=8,
             bucket_length=0.75,
+            fallback_band_bits=4,  # slug's fixture geometry (θ≈69°)
         ).collect()
     }
     assert got  # non-degenerate at the operating point
@@ -277,6 +278,72 @@ def test_embedding_banded_recall_and_precision(spark):
         assert abs(v - truth[k]) < 1e-9
     # recall gate (banding may miss; 0.996 measured at these params)
     assert len(got) / len(truth) >= 0.9
+
+
+def test_embedding_banded_candidate_guard(spark):
+    """VERDICT r5 #3: at the adversarial isotropic operating point the
+    BRP bucket histogram must detect candidate degradation and divert
+    to the AND-banded SimHash path (same output contract — exact
+    verify), while max_candidate_ratio=None preserves the raw BRP
+    measured-twin behavior. On planted near-dup geometry the guarded
+    call must still surface the dups (via whichever path fires: for
+    unit vectors, BRP projections are N(0,1), so any bucketLength
+    wide enough for the join radius admits ~1/3 of ALL pairs per
+    table — the OR of 8 tables is near-total, which is exactly why
+    the guard exists)."""
+    import warnings as _warnings
+
+    import numpy as np
+    import pandas as pd
+
+    from vfs_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        out = dedup_ops.embedding_banded_pairs(
+            emb,
+            cos_threshold=0.35,
+            num_hash_tables=8,
+            bucket_length=0.75,
+            fallback_band_bits=4,
+        ).collect()
+    assert any("falling back" in str(w.message) for w in caught)
+    assert out and all(r["cos_sim"] >= 0.35 for r in out)
+    # raw twin path still available for the SCALE.md probes
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        dedup_ops.embedding_banded_pairs(
+            emb,
+            cos_threshold=0.35,
+            num_hash_tables=8,
+            bucket_length=0.75,
+            max_candidate_ratio=None,
+        )
+    assert not any("falling back" in str(w.message) for w in caught)
+    # selective geometry: planted tight dups at cos>=0.9, bulk isotropic
+    n, dim = 1000, 64
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    src = rng.choice(n, size=10, replace=False)
+    dups = base[src] + 0.04 * rng.standard_normal((10, dim))
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(n)) + [n + i for i in range(10)],
+            "embedding": list(np.vstack([base, dups])),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sel = dedup_ops.embedding_banded_pairs(
+        df, cos_threshold=0.9, num_hash_tables=8, bucket_length=2.0
+    ).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in sel}
+    planted = {(int(s), n + i) for i, s in enumerate(src)}
+    assert len(got & planted) / len(planted) >= 0.9
+    assert all(r["cos_sim"] >= 0.9 for r in sel)
 
 
 def test_embedding_simhash_planted_near_dups(spark):

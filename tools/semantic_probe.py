@@ -140,6 +140,7 @@ def main() -> None:
                 lambda: D.embedding_banded_pairs(
                     corpus, cos_threshold=THRESH, num_hash_tables=8,
                     bucket_length=0.75,
+                    max_candidate_ratio=None,  # probe the RAW BRP twin
                 ),
             )
     finally:

@@ -22,7 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "05"
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "06"
     xml_path = os.path.join(REPO, ".streamcheck_junit.xml")
     proc = subprocess.run(
         [

@@ -534,6 +534,9 @@ def embedding_banded_pairs(
     bucket_length: float = 2.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_candidate_ratio: float | None = 32.0,
+    fallback_n_bands: int = 24,
+    fallback_band_bits: int | str = "auto",
 ) -> DataFrame:
     """Semantic near-dup over the WHOLE corpus: random-projection LSH
     self-join candidates, then exact-cosine verify — the unblocked
@@ -557,8 +560,23 @@ def embedding_banded_pairs(
     never all pairs; each pair verifies with one O(dim) expression.
     Zero-norm vectors pass through unscaled (cos undefined → they
     match nothing above any positive threshold).
+
+    CANDIDATE GUARD (VERDICT r5): MLlib BRP's numHashTables is OR-only
+    over SINGLE projections, so when the threshold sits at the bulk of
+    an isotropic corpus the bucket join degrades toward all pairs
+    (measured in SCALE.md — selectivity is geometry, not parameters).
+    Before joining, the bucket histogram (one cheap agg over N·T tiny
+    rows) upper-bounds the candidate volume as Σ n_b·(n_b−1)/2; if it
+    exceeds ``max_candidate_ratio``·N, the call falls back to the
+    AND-banded SimHash form (embedding_simhash_pairs with the
+    ``fallback_*`` params), whose per-band collision prob falls
+    exponentially in band_bits. Both paths exact-verify, so emitted
+    pairs are true pairs either way; only the (family-specific) recall
+    differs. Pass ``max_candidate_ratio=None`` to force the raw BRP
+    join (the measured-twin behavior, used by the SCALE.md probes).
     """
     import math
+    import warnings
 
     from vfs_spark.functions.distance import dot, l2_norm
     from vfs_spark.operators.ann import build_lsh_index
@@ -570,6 +588,36 @@ def embedding_banded_pairs(
         num_hash_tables=num_hash_tables,
         metric="cosine",
     )
+    if max_candidate_ratio is not None:
+        from pyspark.ml.functions import vector_to_array
+
+        n = df.count()
+        est = (
+            model.transform(vdf)
+            .select(F.posexplode("hashes").alias("_t", "_h"))
+            .select("_t", vector_to_array("_h")[0].cast("long").alias("_b"))
+            .groupBy("_t", "_b")
+            .agg(F.count("*").alias("_n"))
+            .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2))
+            .first()[0]
+            or 0.0
+        )
+        if est > max_candidate_ratio * n:
+            warnings.warn(
+                f"embedding_banded_pairs: BRP bucket histogram estimates "
+                f"{est:.0f} candidate pairs for {n} rows "
+                f"(> {max_candidate_ratio}x) — no LSH contrast at this "
+                f"threshold/geometry; falling back to AND-banded SimHash",
+                stacklevel=2,
+            )
+            return embedding_simhash_pairs(
+                df,
+                cos_threshold=cos_threshold,
+                n_bands=fallback_n_bands,
+                band_bits=fallback_band_bits,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
     radius = math.sqrt(max(0.0, 2.0 - 2.0 * cos_threshold)) + 1e-9
     pairs = model.approxSimilarityJoin(vdf, vdf, radius, distCol="_dist")
     a_id = F.col(f"datasetA.{id_col}")

@@ -31,6 +31,20 @@ def _fresh_dir() -> str:
     return tempfile.mkdtemp(prefix="vfs_stream_")
 
 
+def _session_dir() -> str:
+    """Scratch dir that OUTLIVES the slug call (cleaned at interpreter
+    exit), so a slug can return a distributed read over its landed
+    store instead of collect-and-recreate — the returned DataFrame
+    stays lazy/partitioned and the driver (or any caller) evaluates it
+    whenever it likes (VERDICT r5 #7: no full-result collect() in any
+    registered slug)."""
+    import atexit
+
+    d = tempfile.mkdtemp(prefix="vfs_stream_keep_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _stage_single_file(df: DataFrame, dest_path: str) -> None:
     """Write ``df`` as ONE parquet FILE at ``dest_path`` (the fixture
     layout read_document_stream's pathGlobFilter expects — a plain
@@ -116,29 +130,25 @@ def q_stream_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_corpus_ingest,
     )
 
-    work = _fresh_dir()
-    try:
-        src = os.path.join(work, "in")
-        docs = load_table(spark, sf_dir, "documents")
-        _stage_single_file(
-            docs.where(F.col("doc_id") >= 10),
-            os.path.join(src, "documents.parquet"),
-        )
-        dest = os.path.join(work, "corpus")
-        q = stream_corpus_ingest(
-            read_document_stream(spark, src),
-            dest,
-            os.path.join(work, "ckpt"),
-            eval_docs=docs.where(F.col("doc_id") < 10),
-        )
-        q.awaitTermination()
-        out = spark.read.parquet(dest).select(
-            "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
-        )
-        # materialize before the tmp store is deleted
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    work = _session_dir()
+    src = os.path.join(work, "in")
+    docs = load_table(spark, sf_dir, "documents")
+    _stage_single_file(
+        docs.where(F.col("doc_id") >= 10),
+        os.path.join(src, "documents.parquet"),
+    )
+    dest = os.path.join(work, "corpus")
+    q = stream_corpus_ingest(
+        read_document_stream(spark, src),
+        dest,
+        os.path.join(work, "ckpt"),
+        eval_docs=docs.where(F.col("doc_id") < 10),
+    )
+    q.awaitTermination()
+    # distributed read over the landed store — no driver materialization
+    return spark.read.parquet(dest).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
 
 
 @query(
@@ -173,24 +183,21 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") + 100).cast("int").alias("label"),
         F.size("embedding").cast("int").alias("dim"),
     )
-    work = _fresh_dir()
-    try:
-        store = os.path.join(work, "store")
-        base.write.parquet(os.path.join(store, "v_base"))
-        with open(os.path.join(store, "_CURRENT"), "w") as fh:
-            fh.write("v_base")
-        upd_src = os.path.join(work, "updates")
-        _stage_single_file(updates, os.path.join(upd_src, "batch.parquet"))
-        stream = (
-            spark.readStream.schema("vec_id bigint, label int, dim int")
-            .option("pathGlobFilter", "batch.parquet")
-            .parquet(upd_src)
-        )
-        q = stream_apply_cdc(
-            stream, store, os.path.join(work, "ckpt"), id_col="vec_id"
-        )
-        q.awaitTermination()
-        out = read_cdc_store(spark, store)
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    work = _session_dir()
+    store = os.path.join(work, "store")
+    base.write.parquet(os.path.join(store, "v_base"))
+    with open(os.path.join(store, "_CURRENT"), "w") as fh:
+        fh.write("v_base")
+    upd_src = os.path.join(work, "updates")
+    _stage_single_file(updates, os.path.join(upd_src, "batch.parquet"))
+    stream = (
+        spark.readStream.schema("vec_id bigint, label int, dim int")
+        .option("pathGlobFilter", "batch.parquet")
+        .parquet(upd_src)
+    )
+    q = stream_apply_cdc(
+        stream, store, os.path.join(work, "ckpt"), id_col="vec_id"
+    )
+    q.awaitTermination()
+    # distributed read of the committed version — no driver collect
+    return read_cdc_store(spark, store)

@@ -1516,13 +1516,23 @@ def q_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the slug's threshold sits where "near"-dups actually live
     # there — an ADVERSARIAL operating point for any LSH: radius
     # sqrt(2−2·0.35)=1.14 vs bulk inter-point distance ≈ 1.41 leaves
-    # almost no contrast, and the candidate set approaches all pairs
-    # (measured: identical output and ~flat runtime across
-    # bucket_length 0.5–2.0 × 8–12 tables; see SCALE.md). On a real
-    # near-dup corpus (cos ≥ 0.8 ⇒ radius ≤ 0.63) the same plan is
-    # selective — that regime is what the defaults target.
+    # almost no contrast, and BRP's OR-of-single-projections candidate
+    # set approaches all pairs (measured: identical output and ~flat
+    # runtime across bucket_length 0.5–2.0 × 8–12 tables; SCALE.md).
+    # The operator now GUARDS that regime: a bucket-histogram estimate
+    # detects the degradation and falls back to AND-banded SimHash
+    # (fallback params = the simhash slug's fixture geometry, r=4 —
+    # the only r with recall at θ≈69°), so this slug never executes a
+    # candidate volume that degrades toward n². On a real near-dup
+    # corpus (cos ≥ 0.8 ⇒ radius ≤ 0.63) the BRP plan is selective
+    # and runs as-is — that regime is what the defaults target.
     return embedding_banded_pairs(
-        emb, cos_threshold=0.35, num_hash_tables=8, bucket_length=0.75
+        emb,
+        cos_threshold=0.35,
+        num_hash_tables=8,
+        bucket_length=0.75,
+        fallback_n_bands=24,
+        fallback_band_bits=4,
     )
 
 
@@ -2043,23 +2053,26 @@ def q_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         write_training_shards(docs, out, order_col="doc_id", rows_per_shard=200)
         back = read_training_shards(spark, out, verify=True)
-        # materialize the summary BEFORE deleting the scratch store —
-        # the grouped DataFrame reads the parquet lazily, and leaking
-        # a corpus copy per bench/selfcheck run fills /tmp
-        rows = (
+        # materialize the aggregate-sized summary DISTRIBUTED (eager
+        # localCheckpoint) before deleting the scratch store — no
+        # driver collect, and no leaked corpus copy per run
+        return (
             back.groupBy("shard_id")
             .agg(
                 F.count("*").cast("bigint").alias("n_rows"),
                 F.min("_rid").cast("bigint").alias("first_rid"),
                 F.max("_rid").cast("bigint").alias("last_rid"),
             )
-            .collect()
+            .select(
+                F.col("shard_id").cast("int").alias("shard_id"),
+                "n_rows",
+                "first_rid",
+                "last_rid",
+            )
+            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "shard_id int, n_rows bigint, first_rid bigint, last_rid bigint"
-    )
 
 
 _TRIGRAM_ORACLE = f"""
