@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Per-round recall artifact (VERDICT r5 #5): measure every approximate
+operator family against its exact ground truth and write
+RECALL_r{N}.json — machine-readable, diffable round over round, like
+CORRECTNESS. Previously these gates lived only inside pytest asserts
+and SCALE.md prose.
+
+Usage:  python tools/recallcheck.py [round] [ann_sf_dir] [dedup_sf_dir]
+Defaults: round=06, ANN at /root/testdata/sf0.1 (2k vectors),
+dedup truth at /root/testdata/sf0.01 (all-pairs truth is O(N²) — the
+larger fixture would dominate the tool's runtime for no extra signal).
+
+Every entry records the op, dataset, operating-point params, truth
+size, and measured recall; precision is structural (exact verify) for
+every dedup family and noted as such.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "06"
+    ann_sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    dedup_sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import vfs_spark.queries  # noqa: F401  (registers slugs)
+    from vfs_spark.functions.distance import dot, l2_norm
+    from vfs_spark.operators import ann as A
+    from vfs_spark.operators import dedup as D
+    from vfs_spark.operators.knn import exact_knn
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.session import get_spark
+
+    warnings.simplefilter("ignore")
+    spark = get_spark()
+    entries: list[dict] = []
+
+    def add(op, dataset, params, n_truth, recall, wall, note=None):
+        e = {
+            "op": op,
+            "dataset": dataset,
+            "params": params,
+            "n_truth": int(n_truth),
+            "recall": round(float(recall), 4),
+            "wall_s": round(wall, 2),
+        }
+        if note:
+            e["note"] = note
+        entries.append(e)
+        print(f"{op:34s} {dataset:18s} recall={recall:.4f} "
+              f"truth={n_truth} ({wall:.1f}s)")
+
+    emb = spark.read.parquet(f"{ann_sf}/embeddings.parquet").cache()
+    emb.count()
+    qrows = emb.where(F.col("vec_id") < 8).collect()
+    exacts = {r["vec_id"]: exact_knn(emb, r["embedding"], k=10)
+              for r in qrows}
+
+    # ---- LSH single-probe ----
+    t = time.time()
+    model, vdf = A.build_lsh_index(emb, num_hash_tables=5, bucket_length=2.0)
+    rec = [A.recall_at_k(A.approx_knn(model, vdf, r["embedding"], k=10),
+                         exacts[r["vec_id"]]) for r in qrows]
+    add("approx_knn (lsh)", os.path.basename(ann_sf),
+        {"k": 10, "num_hash_tables": 5, "bucket_length": 2.0,
+         "n_queries": len(qrows)},
+        10 * len(qrows), sum(rec) / len(rec), time.time() - t)
+
+    # ---- LSH multiprobe sweep ----
+    for w in (1, 2, 4):
+        t = time.time()
+        rec = [A.recall_at_k(
+            A.approx_knn_multiprobe(model, vdf, r["embedding"], k=10,
+                                    probe_width=w),
+            exacts[r["vec_id"]]) for r in qrows]
+        add("approx_knn_multiprobe", os.path.basename(ann_sf),
+            {"k": 10, "probe_width": w, "num_hash_tables": 5,
+             "n_queries": len(qrows)},
+            10 * len(qrows), sum(rec) / len(rec), time.time() - t)
+
+    # ---- IVF nprobe sweep ----
+    km, assigned = A.build_ivf_index(emb, n_clusters=8)
+    assigned = assigned.cache()
+    assigned.count()
+    for nprobe in (2, 4):
+        t = time.time()
+        rec = [A.recall_at_k(
+            A.ivf_search(km, assigned, r["embedding"], k=10, nprobe=nprobe),
+            exacts[r["vec_id"]]) for r in qrows]
+        add("ann_ivf", os.path.basename(ann_sf),
+            {"k": 10, "n_clusters": 8, "nprobe": nprobe,
+             "n_queries": len(qrows)},
+            10 * len(qrows), sum(rec) / len(rec), time.time() - t)
+
+    # ---- PQ rerank ----
+    t = time.time()
+    books = A.fit_pq_codebooks(emb, m=16, k=16, seed=42)
+    enc = A.encode_pq(emb, books).cache()
+    enc.count()
+    rec = [A.recall_at_k(
+        A.pq_search_rerank(enc, emb, books, r["embedding"], k=10,
+                           shortlist=100),
+        exacts[r["vec_id"]]) for r in qrows[:4]]
+    add("pq_search_rerank", os.path.basename(ann_sf),
+        {"k": 10, "m": 16, "codebook_k": 16, "shortlist": 100,
+         "n_queries": 4},
+        40, sum(rec) / len(rec), time.time() - t)
+
+    # ---- IVFPQ ----
+    t = time.time()
+    assigned_enc = assigned.select("vec_id", "cluster_id").join(enc, "vec_id")
+    rec = [A.recall_at_k(
+        A.ivfpq_search(km, assigned_enc, emb, books, r["embedding"], k=10,
+                       nprobe=4, shortlist=100),
+        exacts[r["vec_id"]]) for r in qrows[:4]]
+    add("ann_ivfpq", os.path.basename(ann_sf),
+        {"k": 10, "n_clusters": 8, "nprobe": 4, "shortlist": 100,
+         "n_queries": 4},
+        40, sum(rec) / len(rec), time.time() - t)
+    enc.unpersist()
+    assigned.unpersist()
+    emb.unpersist()
+
+    # ---- MinHash (native banded) vs exact n-gram jaccard ----
+    t = time.time()
+    truth = {(r["doc_a"], r["doc_b"])
+             for r in QUERIES["dedup_ngram_jaccard"](spark, dedup_sf).collect()}
+    got = {(r["doc_a"], r["doc_b"])
+           for r in QUERIES["dedup_minhash"](spark, dedup_sf).collect()}
+    add("dedup_minhash", os.path.basename(dedup_sf),
+        {"jaccard_threshold": 0.3, "n_hashes": 5},
+        len(truth), (sum(1 for p in truth if p in got) / len(truth))
+        if truth else 1.0, time.time() - t,
+        note="precision structural (exact verify); truth is lang-blocked, "
+             "op is unblocked")
+
+    # ---- embedding all-pairs truth at the fixture operating point ----
+    t0 = time.time()
+    e = spark.read.parquet(f"{dedup_sf}/embeddings.parquet").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = (dot(F.col("a.embedding"), F.col("b.embedding"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    pair_truth = {(r["va"], r["vb"]) for r in
+                  a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+                  .select(F.col("a.vec_id").alias("va"),
+                          F.col("b.vec_id").alias("vb"), sim.alias("cs"))
+                  .where(F.col("cs") >= 0.35).collect()}
+    truth_wall = time.time() - t0
+
+    for slug, params in (
+        ("dedup_embedding_simhash",
+         {"cos_threshold": 0.35, "n_bands": 24, "band_bits": 4}),
+        ("dedup_embedding_banded",
+         {"cos_threshold": 0.35, "guard": "auto-fallback to simhash",
+          "fallback_band_bits": 4}),
+        ("dedup_semdedup", {"cos_threshold": 0.35, "n_clusters": 8}),
+    ):
+        t = time.time()
+        got = {(r["vec_a"], r["vec_b"])
+               for r in QUERIES[slug](spark, dedup_sf).collect()}
+        note = "precision structural (exact verify)"
+        if slug == "dedup_semdedup":
+            note += ("; 0.35 on isotropic bulk is the ADVERSARIAL point "
+                     "for cell capture — see planted entry for real "
+                     "near-dup geometry")
+        add(slug, os.path.basename(dedup_sf), params, len(pair_truth),
+            len(got & pair_truth) / len(pair_truth) if pair_truth else 1.0,
+            time.time() - t + (truth_wall if slug.endswith("simhash") else 0),
+            note=note)
+
+    # ---- planted near-dup geometry (the regime the defaults target) ----
+    n, dim, p = 2000, 64, 20
+    rng = np.random.default_rng(101)
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    src = rng.choice(n, size=p, replace=False)
+    dups = base[src] + 0.04 * rng.standard_normal((p, dim))
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    planted = {(int(s), n + i) for i, s in enumerate(src)}
+    pdf = pd.DataFrame({
+        "vec_id": list(range(n)) + [n + i for i in range(p)],
+        "embedding": list(np.vstack([base, dups])),
+    })
+    df = spark.createDataFrame(pdf)
+    for name, fn, params in (
+        ("embedding_simhash_pairs (planted)",
+         lambda: D.embedding_simhash_pairs(df, cos_threshold=0.9),
+         {"cos_threshold": 0.9, "defaults": True, "planted": p}),
+        ("semdedup_pairs (planted)",
+         lambda: D.semdedup_pairs(df, cos_threshold=0.8, n_clusters=16),
+         {"cos_threshold": 0.8, "n_clusters": 16, "planted": p}),
+    ):
+        t = time.time()
+        got = {(r["vec_a"], r["vec_b"]) for r in fn().collect()}
+        add(name, f"synthetic n={n + p} dim={dim}", params, len(planted),
+            len(got & planted) / len(planted), time.time() - t,
+            note="precision structural (exact verify)")
+
+    dest = os.path.join(REPO, f"RECALL_r{rnd}.json")
+    with open(dest, "w") as fh:
+        json.dump({"entries": entries,
+                   "ann_sf": ann_sf, "dedup_sf": dedup_sf}, fh, indent=1)
+    print(f"wrote {dest}: {len(entries)} entries")
+
+
+if __name__ == "__main__":
+    main()
