@@ -86,3 +86,21 @@ def test_bench_queries_are_registered():
     q = entry.queries()
     missing = [n for n in bench.BENCH_QUERIES if n not in q]
     assert not missing, missing
+
+
+def test_bench_covers_whole_registry():
+    """VERDICT r5 #4: every registry slug is either timed by the bench
+    suite or excluded with a named reason — no silent coverage gaps."""
+    import bench
+
+    q = set(entry.queries())
+    covered = set(bench.BENCH_QUERIES) | set(bench.BENCH_EXCLUDED)
+    uncovered = sorted(q - covered)
+    assert not uncovered, uncovered
+    # exclusions must be real slugs with non-empty reasons
+    assert all(s in q for s in bench.BENCH_EXCLUDED)
+    assert all(
+        isinstance(r, str) and r.strip() for r in bench.BENCH_EXCLUDED.values()
+    )
+    # and never double-listed
+    assert not set(bench.BENCH_QUERIES) & set(bench.BENCH_EXCLUDED)

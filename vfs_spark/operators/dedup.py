@@ -592,16 +592,29 @@ def embedding_banded_pairs(
         from pyspark.ml.functions import vector_to_array
 
         n = df.count()
-        est = (
-            model.transform(vdf)
+        # Sample-bounded estimate: the bucket histogram only needs the
+        # COLLISION RATE, which a few thousand rows pin down — hashing
+        # the whole corpus for the estimate would itself be a full pass.
+        sample_cap = 2048
+        svdf = vdf
+        if n > sample_cap:
+            svdf = vdf.sample(min(1.0, 1.3 * sample_cap / n), seed=7).limit(
+                sample_cap
+            )
+        ns_row, est_row = (
+            model.transform(svdf)
             .select(F.posexplode("hashes").alias("_t", "_h"))
             .select("_t", vector_to_array("_h")[0].cast("long").alias("_b"))
             .groupBy("_t", "_b")
             .agg(F.count("*").alias("_n"))
-            .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2))
-            .first()[0]
-            or 0.0
+            .agg(
+                F.sum("_n").alias("_rows"),
+                F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_pairs"),
+            )
+            .first()
         )
+        n_hashed = (ns_row or num_hash_tables) / num_hash_tables
+        est = (est_row or 0.0) * (n / max(1.0, n_hashed)) ** 2
         if est > max_candidate_ratio * n:
             warnings.warn(
                 f"embedding_banded_pairs: BRP bucket histogram estimates "
