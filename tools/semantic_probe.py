@@ -134,6 +134,68 @@ def main() -> None:
                     corpus, cos_threshold=THRESH, n_clusters=k
                 ),
             )
+        if "pipeline" in strategies:
+            # pipeline_semantic_corpus composed end-to-end at scale:
+            # banded edges -> exact verify -> connected components over
+            # the touched subgraph -> keep/drop manifest. Wall covers
+            # the full manifest materialization; recall = fraction of
+            # true planted pairs whose endpoints share a cluster label
+            # (computed DISTRIBUTED — labels never collect).
+            from vfs_spark.operators.dedup import connected_components
+
+            t0 = time.time()
+            edges = (
+                D.embedding_simhash_pairs(
+                    corpus, cos_threshold=THRESH, n_bands=48,
+                    band_bits="auto",
+                )
+                .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+                .localCheckpoint(eager=True)
+            )
+            touched = (
+                edges.select(F.col("src").alias("vec_id"))
+                .union(edges.select(F.col("dst").alias("vec_id")))
+                .distinct()
+            )
+            cc = connected_components(touched, edges, id_col="vec_id")
+            labels = (
+                corpus.select("vec_id")
+                .join(F.broadcast(cc), "vec_id", "left")
+                .select(
+                    "vec_id",
+                    F.coalesce("cluster_id", F.col("vec_id"))
+                    .cast("bigint")
+                    .alias("cluster_id"),
+                )
+            )
+            labels.write.mode("overwrite").parquet(f"{tmp}/labels")
+            wall = time.time() - t0
+            labels = spark.read.parquet(f"{tmp}/labels")
+            n_total = labels.count()
+            n_keep = labels.where(
+                F.col("vec_id") == F.col("cluster_id")
+            ).count()
+            tr = spark.createDataFrame(
+                list(truth), "va bigint, vb bigint"
+            )
+            la = labels.select(
+                F.col("vec_id").alias("va"), F.col("cluster_id").alias("ca")
+            )
+            lb = labels.select(
+                F.col("vec_id").alias("vb"), F.col("cluster_id").alias("cb")
+            )
+            same = (
+                tr.join(la, "va")
+                .join(lb, "vb")
+                .where(F.col("ca") == F.col("cb"))
+                .count()
+            )
+            rec = same / max(1, len(truth))
+            print(
+                f"pipeline   wall={wall:7.1f}s labeled={n_total} "
+                f"keep={n_keep} drop={n_total - n_keep} "
+                f"recall_vs_planted={rec:.3f}"
+            )
         if "brp" in strategies:
             run(
                 "brp 8x0.75",
