@@ -174,6 +174,10 @@ BENCH_QUERIES = [
     "topk_truncate",
     "window_lag_events",
     "window_user_events",
+    # round-6 additions
+    "join_waiting_suppliers",
+    "dedup_containment",
+    "text_heavy_hitters",
 ]
 
 # Registry slugs deliberately NOT in the timed suite — every exclusion

@@ -153,3 +153,51 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
         assert (r["p50_exact"], r["p90_exact"], r["p99_exact"]) == exact[k], k
         # in-plan sketch-vs-exact verdicts are the accuracy gate
         assert r["p50_within_5pct"] and r["p90_within_5pct"] and r["p99_within_5pct"], k
+
+
+def test_waiting_suppliers_planted_shapes(spark, tmp_path):
+    """Q21 decorrelation: the aggregate form must reproduce the
+    EXISTS/NOT-EXISTS semantics on planted edge cases — counted only
+    when the order is multi-supplier AND exactly one supplier
+    returned."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    d = str(tmp_path / "q21")
+    # orders: all finalized except 400
+    spark.createDataFrame(
+        [(100, 1, "F", 10.0, "2000-01-01", "1-URGENT"),
+         (200, 1, "F", 10.0, "2000-01-01", "1-URGENT"),
+         (300, 1, "F", 10.0, "2000-01-01", "1-URGENT"),
+         (400, 1, "O", 10.0, "2000-01-01", "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date")) \
+     .write.parquet(f"{d}/orders.parquet")
+    # lineitem rows: (orderkey, suppkey, returnflag)
+    rows = [
+        # order 100: suppliers 1,2; only 1 returns -> supplier 1 waits
+        (100, 1, "R"), (100, 2, "N"),
+        # order 200: single supplier returns -> excluded (no other supp)
+        (200, 1, "R"),
+        # order 300: two suppliers return -> excluded (not sole)
+        (300, 1, "R"), (300, 2, "R"),
+        # order 400: qualifies structurally but status 'O' -> excluded
+        (400, 1, "R"), (400, 2, "N"),
+    ]
+    spark.createDataFrame(
+        [(ok, 5, sk, i, 1.0, 10.0, 0.0, 0.0, rf, "O", "2000-01-02")
+         for i, (ok, sk, rf) in enumerate(rows)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("date")) \
+     .write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "Supplier#1", 0, 0.0), (2, "Supplier#2", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    ).write.parquet(f"{d}/supplier.parquet")
+    out = {r["s_name"]: r["numwait"]
+           for r in QUERIES["join_waiting_suppliers"](spark, d).collect()}
+    assert out == {"Supplier#1": 1}

@@ -451,3 +451,70 @@ def test_quality_classifier_degenerate_terciles(spark, tmp_path):
     const.write.parquet(f"{d2}/documents.parquet")
     with pytest.raises(ValueError, match="constant"):
         QUERIES["text_quality_classifier"](spark, d2)
+
+
+def test_containment_catches_superset_jaccard_misses(spark, tmp_path):
+    """Containment's reason to exist: a short doc embedded verbatim in
+    a 4x-longer doc has containment 1.0 but Jaccard ~0.25 — the
+    Jaccard gate (0.3) drops the pair, the containment gate (0.6)
+    keeps it. Unrelated docs stay out of both."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(10))
+    rows = [
+        (1, short, "en", "s", len(short)),
+        (2, short + " " + filler + " " + " ".join(
+            f"p{i} q{i} r{i}" for i in range(10)), "en", "s", 400),
+        (3, "totally different words about other topics entirely here "
+            "nothing shared at all with anyone", "en", "s", 90),
+    ]
+    d = str(tmp_path / "contain")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+    cont = {(r["doc_a"], r["doc_b"]): r["containment_e6"]
+            for r in QUERIES["dedup_containment"](spark, d).collect()}
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in QUERIES["dedup_ngram_jaccard"](spark, d).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] == 1_000_000  # full containment
+    assert (1, 2) not in jac                             # jaccard misses it
+    assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_heavy_hitters_equals_exact_groupby(spark, tmp_path):
+    """The local-threshold candidate pass must be a lossless superset:
+    the slug's output equals the plain exact groupBy+filter answer on
+    a skewed corpus (heavy tokens planted across partitions so no
+    single batch sees the global distribution)."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.functions.text import tokens
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.sources.parquet import load_table
+
+    rows = []
+    for i in range(400):
+        # 'hot' appears once per doc (global freq 400/~4400 >> 1/500);
+        # 'warm' every 4th doc (~100/4400 > 1/500); unique tail below
+        body = ["hot"] + [f"u{i}_{j}" for j in range(9)]
+        if i % 4 == 0:
+            body.append("warm")
+        rows.append((i, " ".join(body), "en", "s", 60))
+    d = str(tmp_path / "hh")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).repartition(8).write.parquet(f"{d}/documents.parquet")
+    got = {r["token"]: r["cnt"]
+           for r in QUERIES["text_heavy_hitters"](spark, d).collect()}
+    docs = load_table(spark, d, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    total = toks.count()
+    exact = {r["token"]: r["cnt"] for r in
+             toks.groupBy("token").agg(F.count("*").alias("cnt"))
+             .where(F.col("cnt") * 500 >= F.lit(total)).collect()}
+    assert got == exact
+    assert "hot" in got and "warm" in got
+    assert all(not t.startswith("u") for t in got)

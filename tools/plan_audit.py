@@ -95,6 +95,16 @@ EXPECTED = {
     # SemDeDup: the per-cluster exact-pairwise applyInPandas kernel
     # IS the operator (bounded (N/k)² per cell, SCALE.md probe):
     "dedup_semdedup": {"py"},
+    # BRP slug with the candidate guard: at the fixture operating
+    # point the guard diverts to the simhash path, so its plan is
+    # dedup_embedding_simhash's (Arrow kernels + per-band exchanges
+    # of 8-byte keys) plus the sample-histogram estimate stage:
+    "dedup_embedding_banded": {"py", "many"},
+    # heavy hitters: the per-batch local-threshold candidate pass is
+    # an Arrow value_counts kernel by design (the Misra-Gries
+    # analogue); the exact verify is pure Catalyst and only candidate
+    # tokens shuffle:
+    "text_heavy_hitters": {"py"},
     # audio chain: RIFF/PCM decode + rfft are Arrow mapInPandas
     # kernels by design (math outside Catalyst's algebra), fused
     # executor-local — no shuffle between decode and FFT:

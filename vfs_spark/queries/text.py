@@ -186,6 +186,128 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, lang, {_SHINGLES} AS shingles
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST((len(list_intersect(a.shingles, b.shingles)) * 1000000)
+            // least(len(a.shingles), len(b.shingles)) AS BIGINT)
+         AS containment_e6
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE least(len(a.shingles), len(b.shingles)) > 0
+  AND 5 * len(list_intersect(a.shingles, b.shingles))
+      >= 3 * least(len(a.shingles), len(b.shingles))
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ CONTAINMENT near-dup (Broder's other resemblance measure):
+    max-containment |A∩B| / min(|A|,|B|) ≥ 0.6 over word-3-gram
+    shingle sets, lang-blocked like the Jaccard twin. Containment
+    catches what Jaccard structurally cannot: a short document
+    embedded verbatim in a much longer one (boilerplate wrappers,
+    quote-and-extend spam) has containment ≈ 1 but Jaccard ≈
+    |A|/|B| → 0 as the length ratio grows — so a Jaccard gate alone
+    keeps every superset copy. The decision value is EXACT integer
+    arithmetic end to end (i·10⁶ div m, threshold 5i ≥ 3m), immune
+    to cross-engine float rounding.
+
+    100 TB shape: same contract as the Jaccard family — the blocked
+    pairwise form is the oracle-checkable semantics; the unblocked
+    scale path reuses MinHash banding (operators/dedup.py) whose
+    candidates are verified with this exact containment expression
+    instead of the Jaccard one (min-side signatures: P[collision] =
+    containment for MinHash of the SMALLER set)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    sh = docs.select(
+        "doc_id", "lang", word_shingles("text").alias("shingles")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    m = F.least(F.size(F.col("a.shingles")), F.size(F.col("b.shingles")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("_i"),
+            m.alias("_m"),
+        )
+        .where((F.col("_m") > 0) & (5 * F.col("_i") >= 3 * F.col("_m")))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST((_i * 1000000L) DIV _m AS BIGINT)").alias(
+                "containment_e6"
+            ),
+        )
+    )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+),
+tot AS (SELECT COUNT(*) AS t FROM tok)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tok, tot
+GROUP BY token, t
+HAVING COUNT(*) * 500 >= t
+""",
+)
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ Frequent-token heavy hitters (φ = 1/500 of all token
+    occurrences) with EXACT counts — the vocabulary-pruning /
+    stopword-discovery primitive of a corpus pipeline, and the
+    canonical approximate-candidates → exact-verify pattern at
+    vocabulary scale.
+
+    Why not just groupBy(token).count(): at 100 TB the token→count
+    shuffle moves ONE RECORD PER OCCURRENCE of a billion-key
+    vocabulary — the full corpus re-keyed. Instead, a per-batch
+    LOCAL threshold pass (Arrow value_counts, no Python loop) emits
+    tokens with local_cnt·500 ≥ batch_len: by pigeonhole, any global
+    heavy hitter must clear the local threshold in ≥1 batch (if
+    cnt_b·500 < n_b in every batch, summing gives cnt·500 < T), so
+    the candidate set — bounded at 500 per batch — is a guaranteed
+    superset. The exact verify then shuffles ONLY candidate-token
+    occurrences (broadcast semi-join in the scan stage); non-heavy
+    tokens never leave their partitions. The threshold compare is
+    pure integer (cnt·500 ≥ T) on both engines — no float epsilon.
+    The same two-pass shape is Misra-Gries/SpaceSaving's guarantee
+    with batch-exact counting in place of counter eviction."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    total = toks.count()
+
+    def _local_candidates(batches):
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            keep = vc[vc * 500 >= len(pdf)]
+            yield pd.DataFrame({"token": keep.index.astype(str)})
+
+    cands = toks.mapInPandas(
+        _local_candidates, "token string"
+    ).distinct()
+    return (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .where(F.col("cnt") * 500 >= F.lit(total))
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -437,3 +437,78 @@ def q_agg_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 0).cast("bigint").alias("total_bal"),
         )
     )
+
+
+@query(
+    "join_waiting_suppliers",
+    oracle="""
+WITH fl AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_returnflag
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name AS s_name,
+       CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM fl l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM fl l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM fl l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+""",
+)
+def q_join_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped (suppliers who kept orders waiting): for
+    finalized ('F') orders, count per supplier the orders where that
+    supplier returned a line (l_returnflag = 'R' stands in for the
+    missing l_receiptdate > l_commitdate), ANOTHER supplier also
+    shipped in the order (EXISTS), and NO other supplier returned
+    (NOT EXISTS) — the classic double-correlated-subquery shape.
+
+    Decorrelation: instead of the naive triple self-join of lineitem
+    (the literal EXISTS/NOT EXISTS plan — each correlated probe is a
+    join against the whole table), ONE aggregate over the order's
+    lines computes (distinct suppliers, distinct returning suppliers)
+    per orderkey; both EXISTS conditions become scalar predicates
+    n_supp > 1 AND n_ret_supp = 1 on that aggregate, and the sole
+    returning supplier is recovered from the same pass (max of the
+    returning suppkey — unique when n_ret_supp = 1). lineitem is
+    touched ONCE.
+
+    100 TB shape: one shuffle on l_orderkey (map-side combined
+    aggregate; only (orderkey, supp-count, ret-supp, flag) tuples
+    move), one shuffle on suppkey for the final count, supplier
+    broadcast. The orders filter prunes at the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    fl = li.join(
+        o.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_suppkey", "l_returnflag")
+    per_order = fl.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("sole_ret_supp"),
+    )
+    waiters = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+    )
+    return (
+        waiters.groupBy("sole_ret_supp")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .join(
+            F.broadcast(s),
+            F.col("sole_ret_supp") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+    )
