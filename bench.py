@@ -178,6 +178,9 @@ BENCH_QUERIES = [
     "join_waiting_suppliers",
     "dedup_containment",
     "text_heavy_hitters",
+    "range_search_radius",
+    "embedding_outlier_scores",
+    "dedup_image_phash",
 ]
 
 # Registry slugs deliberately NOT in the timed suite — every exclusion

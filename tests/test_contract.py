@@ -12,6 +12,7 @@ import __spark_entry__ as entry
 # gated in tests, not hash-compared (SURVEY §5.2). Additions here need
 # a justification comment.
 ROWS_ONLY_ALLOWED = {
+    "dedup_image_phash",  # perceptual-hash pairs; known-answer gated in tests
     "approx_knn",  # LSH candidate set
     "approx_knn_multiprobe",  # LSH candidate set; recall monotone in probe_width
     "ann_ivf",  # cluster-probe candidate set

@@ -263,3 +263,63 @@ def test_audio_slugs_run_on_fixture(spark, sf_dir):
     feats = QUERIES["multimodal_audio_features"](spark, sf_dir).collect()
     assert len(feats) == 64
     assert all(f["duration_ms"] == 100 for f in feats)
+
+
+def test_image_phash_groups_and_separation(spark, sf_dir):
+    """Image perceptual-hash dedup on the synthesized 8×8-group BMP
+    corpus: the banded hamming join must recover EVERY within-group
+    near-dup pair (8 groups × C(8,2) = 224) and admit NO cross-group
+    pair — near-dups land within the hamming budget, unrelated
+    images stay far outside it. Decode → pool → pack runs the real
+    BMP24 kernel path."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    rows = QUERIES["dedup_image_phash"](spark, sf_dir).collect()
+    assert len(rows) == 224
+    assert all(r["media_a"] // 8 == r["media_b"] // 8 for r in rows)
+    assert all(0 <= r["hamming"] <= 10 for r in rows)
+
+
+def test_phash_invariants(spark):
+    """phash contract: deterministic for identical payloads, NULL
+    payload -> NULL hash, and a mildly-noised copy of an image is
+    within a few bits while an inverted image is far away."""
+    import struct
+
+    import numpy as np
+
+    from vfs_spark.operators import multimodal
+
+    def bmp24(gray01):
+        h, w = gray01.shape
+        px = np.clip(gray01 * 255, 0, 255).astype(np.uint8)
+        rgb = np.repeat(px[::-1][:, :, None], 3, axis=2)
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = rgb.reshape(h, w * 3)
+        data = rows.tobytes()
+        return (
+            struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+            )
+            + data
+        )
+
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = 0.5 + 0.3 * np.sin(2 * np.pi * xx / 16) + 0.1 * rng.standard_normal((32, 32))
+    base = np.clip(base, 0, 1)
+    noised = np.clip(base + 0.02 * rng.standard_normal((32, 32)), 0, 1)
+    media = spark.createDataFrame(
+        [(0, bmp24(base)), (1, bmp24(base)), (2, bmp24(noised)),
+         (3, bmp24(1.0 - base)), (4, None)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r["phash"] for r in multimodal.phash(media).collect()}
+    assert out[0] == out[1]          # deterministic
+    assert out[4] is None            # NULL passthrough
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(out[0], out[2]) <= 8       # near-dup within budget
+    assert ham(out[0], out[3]) >= 40      # inversion flips most bits

@@ -105,6 +105,11 @@ EXPECTED = {
     # analogue); the exact verify is pure Catalyst and only candidate
     # tokens shuffle:
     "text_heavy_hitters": {"py"},
+    # image phash: BMP synth + decode/pool/pack are mapInPandas
+    # kernels by design (pixel math outside Catalyst's algebra); the
+    # hamming banding downstream is pure Catalyst whose exchanges all
+    # carry (band, 8-byte fingerprint, id) rows — pixels never move:
+    "dedup_image_phash": {"py", "many"},
     # audio chain: RIFF/PCM decode + rfft are Arrow mapInPandas
     # kernels by design (math outside Catalyst's algebra), fused
     # executor-local — no shuffle between decode and FFT:

@@ -159,17 +159,42 @@ def simhash_near_dup_pairs(
         "udf": simhash_fingerprints,
     }[impl]
     fp = fingerprints(docs, id_col, text_col)
+    return hamming_pairs_banded(
+        fp, id_col=id_col, hash_col="simhash", max_hamming=max_hamming
+    )
+
+
+def hamming_pairs_banded(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """All pairs with hamming(hash_a, hash_b) ≤ max_hamming over ANY
+    64-bit fingerprint column — the banded engine behind text SimHash
+    (simhash_near_dup_pairs) and image perceptual-hash dedup
+    (multimodal.phash → dedup_image_phash). Split the 64 bits into
+    max_hamming+1 equal bands; by pigeonhole, a pair within the
+    budget agrees on ≥1 band, so per-band equi-joins find ALL such
+    pairs with shuffle volume bands·n, never a cross join. Hamming
+    verified exactly on candidates via bit_count(xor).
+
+    100 TB shape: only (band_no, band_val, id, hash) rows shuffle —
+    8-byte keys regardless of payload size (the whole point for
+    images: pixels never move)."""
     n_bands = max_hamming + 1
     band_width = 64 // n_bands
     bands = fp.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(hash_col).alias("_h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band_no"),
-                        F.shiftrightunsigned(F.col("simhash"), i * band_width)
+                        F.shiftrightunsigned(F.col(hash_col), i * band_width)
                         .bitwiseAND(F.lit((1 << band_width) - 1))
                         .alias("band_val"),
                     )
@@ -177,9 +202,9 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "simhash", "band.band_no", "band.band_val")
+    ).select(id_col, "_h", "band.band_no", "band.band_val")
     # cache: both sides of the self-join read `bands`; without it the
-    # pandas-UDF fingerprint pass runs twice over the corpus.
+    # upstream fingerprint pass runs twice over the corpus.
     bands = bands.cache()
     bands.count()  # materialize before the self-join (see minhash note)
     a = bands.alias("a")
@@ -192,10 +217,10 @@ def simhash_near_dup_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
+            F.col("a._h").alias("sh_a"),
+            F.col("b._h").alias("sh_b"),
         )
         .distinct()
     )
@@ -203,7 +228,7 @@ def simhash_near_dup_pairs(
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(out_a, out_b, "hamming")
     )
 
 

@@ -468,3 +468,35 @@ def q_exact_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dist").asc_nulls_last(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+@query(
+    "range_search_radius",
+    oracle=f"""
+{_Q0}
+SELECT e.vec_id AS vec_id, ROUND({_sq_l2('e.embedding', _QV)}, 6) AS dist
+FROM embeddings e
+WHERE ROUND({_sq_l2('e.embedding', _QV)}, 6) <= 1.8
+""",
+)
+def q_range_search_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ RANGE search — all vectors within squared-L2 radius 1.8 of
+    query 0, the fixed-radius companion to top-k (#5/#13): radius
+    semantics are what dedup thresholds, spatial joins, and
+    recall-complete retrieval need, where top-k's result size is
+    wrong by construction (k misses at high density, pads at low).
+    The threshold compares the ROUNDED distance on both engines (the
+    dedup_embedding_cosine discipline).
+
+    100 TB shape: a pure scan-stage column predicate — no shuffle at
+    all (the filter IS the operator), embarrassingly parallel, and
+    composable with the same LSH/IVF pruning as approx_knn because
+    radius ≤ bucket geometry bounds which cells can contain matches.
+    Plan-asserted filter-only in tests/test_plans.py."""
+    q = array_lit(_query_vec(spark, sf_dir))
+    d = F.round(euclidean("embedding", q), 6)
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id", d.alias("dist"))
+        .where(F.col("dist") <= 1.8)
+    )

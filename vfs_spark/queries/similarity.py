@@ -357,6 +357,67 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_outlier_scores",
+    oracle="""
+WITH mu AS (
+  SELECT CAST(i AS INTEGER) AS i,
+         CAST(ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)) * 1000000)
+              AS BIGINT) AS mu_e6
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 512)) AS i)
+  WHERE i < len(embedding)
+  GROUP BY i
+),
+px AS (
+  SELECT vec_id, CAST(i AS INTEGER) AS i,
+         CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+              AS BIGINT) AS x_e6
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 512)) AS i)
+  WHERE i < len(embedding)
+)
+SELECT px.vec_id AS vec_id,
+       SUM((x_e6 - mu_e6) * (x_e6 - mu_e6)) AS sq_dist_e12
+FROM px JOIN mu USING (i)
+GROUP BY px.vec_id
+""",
+)
+def q_embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ Embedding outlier score: squared distance to the GLOBAL
+    centroid, per vector — the curation gate that drops mislabeled /
+    corrupted / off-distribution embeddings before dedup and index
+    builds (high score = far from the collection's mass). Quantize
+    once (x·10⁶ as int64), then the distance is EXACT integer
+    arithmetic — order-independent, so the map-side-combined SUM
+    cannot disagree with DuckDB in the last ulp the way a 64-term
+    double sum can (NOTES float discipline); only the per-dim mean
+    crosses the float boundary, through the same ROUND(AVG)·10⁶ the
+    proven embedding_centroid oracle uses.
+
+    100 TB shape: two passes — the centroid is a posexplode +
+    (dim)-key map-side-combined aggregate (the shuffle carries
+    dim·partitions partial sums, never vectors), broadcast back as
+    dim rows; the score pass is scan-stage arithmetic + one
+    aggregate on vec_id, co-partitioned with the explode."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select(
+        "vec_id",
+        F.col("i").cast("int").alias("i"),
+        F.col("v").cast("double").alias("v"),
+    )
+    mu = ex.groupBy("i").agg(
+        F.round(F.avg("v") * 1_000_000).cast("bigint").alias("mu_e6")
+    )
+    scored = ex.select(
+        "vec_id", "i", F.round(F.col("v") * 1_000_000).cast("bigint").alias("x_e6")
+    ).join(F.broadcast(mu), "i")
+    d = F.col("x_e6") - F.col("mu_e6")
+    return scored.groupBy("vec_id").agg(
+        F.sum(d * d).alias("sq_dist_e12")
+    )
+
+
 @query("ann_ivf_batch")  # rows-only: cluster-probe candidate set; recall-gated
 def q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch IVF serving: 5 query vectors routed to their nprobe=4
@@ -617,4 +678,82 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "cast(round(1e6 * aggregate(reduced, 0.0D, (a, x) -> a + x * x)) as bigint)"
         ).alias("sq_norm_e6"),
+    )
+
+
+def _synth_bmp_media(spark: SparkSession, sf_dir: str):
+    """Deterministic FAKE image ingest for the image-dedup slug: each
+    doc (doc_id < 64) becomes a 32×32 24-bit BMP. Images come in 8
+    GROUPS of 8 (group = doc_id div 8): one seeded base pattern per
+    group plus per-id low-amplitude noise — so within-group images are
+    perceptual near-dups and cross-group images are unrelated.
+    Clearly-marked synthesis (no image fixtures / codec libs in the
+    container), but everything downstream of the payload column — BMP
+    header parse, pixel decode, block-mean pooling, bit packing — is
+    the REAL kernel path (operators/multimodal._decode_gray → phash)."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _bmp24(gray01: "np.ndarray") -> bytes:
+        h, w = gray01.shape
+        px = np.clip(gray01 * 255, 0, 255).astype(np.uint8)
+        rgb = np.repeat(px[::-1][:, :, None], 3, axis=2)  # bottom-up rows
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = rgb.reshape(h, w * 3)
+        data = rows.tobytes()
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+        header += struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+        )
+        return header + data
+
+    @pandas_udf("binary")
+    def _bmp(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_ids:
+            g = int(d) // 8
+            base_rng = np.random.default_rng(1000 + g)
+            yy, xx = np.mgrid[0:32, 0:32]
+            base = 0.5 + 0.25 * np.sin(
+                2 * np.pi * (base_rng.uniform(1, 4) * xx / 32)
+            ) * np.cos(2 * np.pi * (base_rng.uniform(1, 4) * yy / 32))
+            base += 0.15 * base_rng.standard_normal((32, 32))
+            noise_rng = np.random.default_rng(5000 + int(d))
+            img = base + 0.02 * noise_rng.standard_normal((32, 32))
+            out.append(_bmp24(np.clip(img, 0, 1)))
+        return pd.Series(out)
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("doc_id") < 64
+    )
+    return multimodal.as_media(docs, "doc_id", _bmp(F.col("doc_id")))
+
+
+@query("dedup_image_phash")  # rows-only: perceptual-hash pairs outside SQL oracles
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ IMAGE near-dup via perceptual hash: synthesized BMP payloads
+    (8 groups of 8 perceptual near-dups — see _synth_bmp_media)
+    through the REAL decode → block-mean → 64-bit average-hash kernel
+    (operators/multimodal.phash), then the SAME banded hamming join
+    text SimHash uses (dedup.hamming_pairs_banded, pigeonhole-
+    complete for the budget, exact bit_count verify). The image-side
+    member of the dedup family: re-encodes / mild-noise copies
+    collapse, unrelated images stay ~32 bits apart.
+
+    100 TB shape: images become 8-byte fingerprints in the scan
+    stage; only (band, fingerprint, id) rows ever shuffle."""
+    from vfs_spark.operators.dedup import hamming_pairs_banded
+
+    media = _synth_bmp_media(spark, sf_dir)
+    fp = multimodal.phash(media)
+    return hamming_pairs_banded(
+        fp,
+        id_col="media_id",
+        hash_col="phash",
+        max_hamming=10,
+        out_a="media_a",
+        out_b="media_b",
     )
