@@ -333,3 +333,33 @@ def test_source_cap_window_has_partial_group_limit(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
+
+
+def test_range_search_is_filter_only(spark, sf_dir):
+    """range_search_radius must be a scan + filter + project — no
+    exchange, no sort, no Python: the radius predicate IS the whole
+    operator, embarrassingly parallel at any scale."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.formatted_plan(QUERIES["range_search_radius"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan
+    assert "Filter" in plan
+
+
+def test_heavy_hitters_only_candidates_shuffle(spark, sf_dir):
+    """text_heavy_hitters' exact-verify aggregate must sit behind the
+    candidate semi-join (broadcast), so the token->count exchange
+    carries candidate tokens only — the full-vocabulary shuffle the
+    local-threshold pass exists to avoid. The candidate pass itself is
+    the allowlisted Arrow kernel."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.formatted_plan(QUERIES["text_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # candidates attach in scan stage
+    # the verify aggregate exchanges AFTER the join pruned the stream
+    assert plan.index("BroadcastHashJoin") != -1

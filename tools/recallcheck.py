@@ -210,6 +210,20 @@ def main() -> None:
             len(got & planted) / len(planted), time.time() - t,
             note="precision structural (exact verify)")
 
+    # ---- image perceptual-hash dedup (planted BMP groups) ----
+    t = time.time()
+    got = {(r["media_a"], r["media_b"])
+           for r in QUERIES["dedup_image_phash"](spark, dedup_sf).collect()}
+    planted_img = {(a, b) for g in range(8)
+                   for a in range(g * 8, g * 8 + 8)
+                   for b in range(a + 1, g * 8 + 8)}
+    add("dedup_image_phash", os.path.basename(dedup_sf),
+        {"max_hamming": 10, "groups": 8, "per_group": 8},
+        len(planted_img), len(got & planted_img) / len(planted_img),
+        time.time() - t,
+        note="precision structural (exact bit_count verify); cross-group "
+             f"pairs emitted: {len(got - planted_img)}")
+
     dest = os.path.join(REPO, f"RECALL_r{rnd}.json")
     with open(dest, "w") as fh:
         json.dump({"entries": entries,
