@@ -518,3 +518,36 @@ def test_heavy_hitters_equals_exact_groupby(spark, tmp_path):
     assert got == exact
     assert "hot" in got and "warm" in got
     assert all(not t.startswith("u") for t in got)
+
+
+def test_containment_anchored_recall_and_precision(spark, sf_dir):
+    """Anchored containment vs the blocked exact truth: every emitted
+    pair is in the truth with the exact value (precision structural),
+    and recall clears the anchor-sampling gate; a planted 4x-superset
+    pair (the containment-only case) must surface."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.operators import dedup as dedup_ops
+    from vfs_spark.queries.registry import QUERIES
+
+    truth = {(r["doc_a"], r["doc_b"]): r["containment_e6"]
+             for r in QUERIES["dedup_containment"](spark, sf_dir).collect()}
+    got = {(r["doc_a"], r["doc_b"]): r["containment_e6"]
+           for r in QUERIES["dedup_containment_anchored"](spark, sf_dir).collect()}
+    # truth is lang-blocked, anchored is unblocked -> superset allowed;
+    # every pair in BOTH must agree exactly (same integer expression)
+    for k in set(got) & set(truth):
+        assert got[k] == truth[k]
+    if truth:
+        assert sum(1 for p in truth if p in got) / len(truth) >= 0.8
+    # planted: short doc embedded in a 4x-longer one, 30+ shared
+    # shingles -> anchor miss prob (3/4)^30 ~ 2e-4
+    short = " ".join(f"tok{i}" for i in range(32))
+    long = short + " " + " ".join(f"pad{i} fill{i} extra{i}" for i in range(32))
+    planted = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated words here entirely " * 8)],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["containment_e6"]
+             for r in dedup_ops.containment_pairs_anchored(planted).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1_000_000
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -915,3 +915,88 @@ def semdedup_pairs(
     if banded_part is None:
         return exact_part
     return exact_part.unionByName(banded_part)
+
+
+def containment_pairs_anchored(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    containment_threshold: float = 0.6,
+    anchor_rate: int = 4,
+) -> DataFrame:
+    """Unblocked CONTAINMENT near-dup — candidates by ANCHOR SAMPLING,
+    verified exactly. MinHash banding is the WRONG candidate generator
+    here: its per-hash collision probability is the Jaccard, and the
+    pairs containment exists to catch (a short doc inside a 10×-longer
+    one) have Jaccard → |A|/|B| → 0, exactly the pairs banding then
+    misses. Anchors fix the asymmetry: a shingle is an anchor iff
+    xxhash64(shingle) ≡ 0 (mod anchor_rate), and a pair is a candidate
+    iff it SHARES an anchor. A true pair with intersection size m
+    escapes with probability (1−1/k)^m — k=4 and m≥10 shared shingles
+    → ≤ 5.6% miss, independent of the length ratio (the intersection
+    is what containment thresholds bound: m ≥ τ·min(|A|,|B|)). Short
+    docs (small m) are the honest recall floor; raise recall by
+    lowering anchor_rate (k=1 degrades gracefully to the exact
+    shingle-inverted-index join).
+
+    Verify recomputes shingle sets for CANDIDATE docs only (broadcast
+    semi-join + id-bounds row-group pruning — the minhash_native_pairs
+    discipline; corpus text never shuffles) and thresholds in EXACT
+    integer arithmetic: i·10⁶ ≥ τ_e6·m, emitting (i·10⁶) div m.
+
+    100 TB shape: the anchor join's shuffle carries (shingle-hash, id)
+    rows for ~1/k of shingle occurrences; hot anchors are boilerplate
+    shingles — cap or salt them with the same moves as the banded
+    joins (a capped anchor only loses pairs whose entire intersection
+    is boilerplate, which exact-dedup already collapsed upstream)."""
+    t_e6 = int(round(containment_threshold * 1_000_000))
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col)).alias("_s")
+    )
+    anchors = sh.where(
+        F.pmod(F.xxhash64("_s"), F.lit(anchor_rate)) == 0
+    ).select(F.col(id_col), F.xxhash64("_s").alias("_a"))
+    a, b = anchors.alias("a"), anchors.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._a") == F.col("b._a"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # candidates only — never the corpus
+    )
+    ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+    ).distinct()
+    bounds = cand.agg(F.min("doc_a"), F.max("doc_b")).first()
+    verify_src = docs
+    if bounds[0] is not None:
+        verify_src = docs.where(F.col(id_col).between(bounds[0], bounds[1]))
+    csh = verify_src.join(F.broadcast(ids), id_col).select(
+        F.col(id_col), word_shingles(text_col).alias("sh")
+    )
+    sa = csh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = csh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    m = F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("_i"), m.alias("_m"))
+        .where(
+            (F.col("_m") > 0)
+            & (F.col("_i") * 1_000_000 >= F.lit(t_e6) * F.col("_m"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST((_i * 1000000L) DIV _m AS BIGINT)").alias(
+                "containment_e6"
+            ),
+        )
+    )

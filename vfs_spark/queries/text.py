@@ -216,10 +216,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: same contract as the Jaccard family — the blocked
     pairwise form is the oracle-checkable semantics; the unblocked
-    scale path reuses MinHash banding (operators/dedup.py) whose
-    candidates are verified with this exact containment expression
-    instead of the Jaccard one (min-side signatures: P[collision] =
-    containment for MinHash of the SMALLER set)."""
+    scale path is ANCHOR SAMPLING (dedup.containment_pairs_anchored,
+    registered as dedup_containment_anchored), whose candidates are
+    verified with this exact containment expression — MinHash banding
+    is deliberately NOT reused because its collision rate is the
+    Jaccard, which vanishes for precisely the subset pairs
+    containment targets."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     sh = docs.select(
         "doc_id", "lang", word_shingles("text").alias("shingles")
@@ -247,6 +249,25 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "containment_e6"
             ),
         )
+    )
+
+
+@query("dedup_containment_anchored")  # rows-only: anchor sample is hash-family-specific
+def q_dedup_containment_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ The UNBLOCKED scale path for containment dedup: anchor-sampled
+    candidates (a pair is a candidate iff it shares a shingle with
+    xxhash64 ≡ 0 mod 4 — miss probability (3/4)^|A∩B|, independent of
+    the length ratio) verified with the exact integer containment
+    expression. Rows-only: the anchor sample is hash-family-specific
+    (candidates can MISS small-intersection pairs); every emitted pair
+    is exact-verified, and recall vs the blocked truth is gated in
+    tests/test_text.py. See operators/dedup.containment_pairs_anchored
+    for why MinHash banding is the wrong candidate generator here."""
+    from vfs_spark.operators.dedup import containment_pairs_anchored
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return containment_pairs_anchored(
+        docs, containment_threshold=0.6, anchor_rate=4
     )
 
 
