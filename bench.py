@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "range_search_radius",
     "embedding_outlier_scores",
     "dedup_image_phash",
+    # round-7 gating closure (VERDICT r6 #2)
+    "dedup_containment_anchored",
 ]
 
 # Registry slugs deliberately NOT in the timed suite — every exclusion

@@ -13,6 +13,7 @@ import __spark_entry__ as entry
 # a justification comment.
 ROWS_ONLY_ALLOWED = {
     "dedup_image_phash",  # perceptual-hash pairs; known-answer gated in tests
+    "dedup_containment_anchored",  # anchor-sampled candidates (xxhash64 family); recall-vs-blocked-truth gated in test_text.py
     "approx_knn",  # LSH candidate set
     "approx_knn_multiprobe",  # LSH candidate set; recall monotone in probe_width
     "ann_ivf",  # cluster-probe candidate set
@@ -87,6 +88,25 @@ def test_bench_queries_are_registered():
     q = entry.queries()
     missing = [n for n in bench.BENCH_QUERIES if n not in q]
     assert not missing, missing
+
+
+def test_plans_md_matches_registry():
+    """VERDICT r6 #3: the committed PLANS.md must be regenerated when
+    the registry changes — a stale footer ('148 audited' vs 149 slugs)
+    shipped in r6. Asserts the audit covered every registered slug and
+    nothing was flagged without an EXPECTED adjudication."""
+    import re
+
+    with open("/root/repo/PLANS.md") as f:
+        body = f.read()
+    m = re.search(r"(\d+) queries audited, (\d+) flagged", body)
+    assert m, "PLANS.md missing audit footer"
+    audited, flagged = int(m.group(1)), int(m.group(2))
+    assert audited == len(entry.queries()), (
+        f"PLANS.md is stale: {audited} audited vs "
+        f"{len(entry.queries())} registered — rerun tools/plan_audit.py"
+    )
+    assert flagged == 0, f"PLANS.md has {flagged} unadjudicated flags"
 
 
 def test_bench_covers_whole_registry():

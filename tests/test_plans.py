@@ -359,7 +359,20 @@ def test_heavy_hitters_only_candidates_shuffle(spark, sf_dir):
     import vfs_spark.queries  # noqa: F401
     from vfs_spark.queries.registry import QUERIES
 
+    import re
+
     plan = ex.formatted_plan(QUERIES["text_heavy_hitters"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan  # candidates attach in scan stage
-    # the verify aggregate exchanges AFTER the join pruned the stream
-    assert plan.index("BroadcastHashJoin") != -1
+    # The verify aggregate's exchange must EXECUTE after the semi-join
+    # pruned the stream. Formatted-plan node ids encode execution
+    # order (children < parents), so there must be an Exchange with a
+    # HIGHER id than the join's. (ADVICE r6: the old
+    # `index(...) != -1` form was vacuous — str.index raises if
+    # absent and never returns -1.)
+    join_ids = [int(n) for n in re.findall(r"BroadcastHashJoin[^(]*\((\d+)\)", plan)]
+    exch_ids = [int(n) for n in re.findall(r"\bExchange \((\d+)\)", plan)]
+    assert join_ids and exch_ids
+    assert max(exch_ids) > max(join_ids), (
+        "verify exchange does not sit after the candidate semi-join: "
+        f"exchanges={exch_ids} joins={join_ids}"
+    )

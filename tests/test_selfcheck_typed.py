@@ -1,0 +1,51 @@
+"""Typed-hash parity for the selfcheck harness (VERDICT r6 #4).
+
+The driver's correctness hash is TYPE-sensitive: round 6's
+embedding_outlier_scores failure was DuckDB widening SUM(BIGINT) to
+HUGEINT while Spark emitted BIGINT — every value equal, hash diverged,
+and the old value-only selfcheck said PASS where the driver said FAIL.
+These tests pin the selfcheck's canonical type comparison so that
+class of divergence is caught pre-driver:
+
+1. a deliberately-typed-wrong fixture (un-cast DuckDB SUM vs Spark
+   BIGINT) must be FLAGGED, and
+2. the same query with the oracle-side CAST must be clean.
+"""
+
+import duckdb
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.selfcheck import _canon_duck, _type_problems  # noqa: E402
+
+
+def test_canon_duck_mapping():
+    assert _canon_duck("BIGINT") == "bigint"
+    assert _canon_duck("HUGEINT") == "hugeint"  # no Spark twin — stays foreign
+    assert _canon_duck("VARCHAR") == "string"
+    assert _canon_duck("DOUBLE[]") == "array<double>"
+    assert _canon_duck("DECIMAL(38,0)") == "decimal(38,0)"
+
+
+def test_typed_check_flags_hugeint_sum(spark):
+    """The r6 failure shape: DuckDB SUM over BIGINT → HUGEINT; Spark
+    SUM over bigint → bigint. Values identical; types must diverge."""
+    import pyspark.sql.functions as F
+
+    sdf = (
+        spark.range(4)
+        .select(F.col("id").cast("bigint").alias("k"))
+        .agg(F.sum("k").alias("s"))
+    )
+    con = duckdb.connect()
+    bad = con.sql("SELECT SUM(k) AS s FROM (SELECT CAST(range AS BIGINT) AS k FROM range(4))")
+    problems = _type_problems(sdf, bad)
+    assert problems and "hugeint" in problems[0], problems
+
+    good = con.sql(
+        "SELECT CAST(SUM(k) AS BIGINT) AS s "
+        "FROM (SELECT CAST(range AS BIGINT) AS k FROM range(4))"
+    )
+    assert _type_problems(sdf, good) == []

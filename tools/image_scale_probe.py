@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Image-dedup scale probe (VERDICT r6 #7): run the synthesized-BMP
+generator at >=100k images through the REAL phash kernel and the
+banded hamming join, and record wall time, candidate volume, recall
+vs the planted within-group truth, and cross-group precision — the
+SCALE.md evidence that dedup_image_phash's 8x8 fixture behavior holds
+three orders of magnitude up.
+
+Pipeline measured (exactly the dedup_image_phash slug path):
+  synth_group_bmps (mapInPandas, born distributed)
+  -> multimodal.phash (decode -> block-mean -> packed int64)
+  -> dedup.hamming_pairs_banded (pigeonhole bands, exact bit_count
+     verify)
+
+Candidate volume is measured separately (the banded equi-join COUNT
+before the hamming filter) so the join's selectivity at scale is on
+record — the number that decides whether the banding survives 100 TB.
+
+Usage: python tools/image_scale_probe.py [n_images] [group_size] [max_hamming]
+Defaults: 100_000 images, groups of 8, hamming budget 10.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    group_size = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    max_hamming = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    from pyspark.sql import functions as F
+
+    from vfs_spark.operators import multimodal
+    from vfs_spark.operators.dedup import hamming_pairs_banded
+    from vfs_spark.session import get_spark
+
+    spark = get_spark("image-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    media = multimodal.synth_group_bmps(
+        spark, n_images, group_size=group_size
+    )
+    fp = multimodal.phash(media).cache()
+    n_fp = fp.count()
+    t_hash = time.time() - t0
+
+    # candidate volume: the banded equi-join size BEFORE the exact
+    # hamming verify (same banding as hamming_pairs_banded)
+    n_bands = max_hamming + 1
+    band_width = 64 // n_bands
+    bands = fp.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.shiftrightunsigned(F.col("phash"), i * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "band.band_no", "band.band_val")
+    t0 = time.time()
+    cand = (
+        bands.groupBy("band_no", "band_val")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"))
+        .first()["pairs"]
+    )
+    t_cand = time.time() - t0
+
+    t0 = time.time()
+    pairs = hamming_pairs_banded(
+        fp,
+        id_col="media_id",
+        hash_col="phash",
+        max_hamming=max_hamming,
+        out_a="media_a",
+        out_b="media_b",
+    )
+    # recall / precision against the planted group structure — pure
+    # Catalyst (no collect of the pair set)
+    agg = pairs.select(
+        (
+            (F.col("media_a") / group_size).cast("long")
+            == (F.col("media_b") / group_size).cast("long")
+        ).alias("same_group")
+    ).groupBy("same_group").count().collect()
+    within = sum(r["count"] for r in agg if r["same_group"])
+    cross = sum(r["count"] for r in agg if not r["same_group"])
+    t_join = time.time() - t0
+
+    n_groups = n_images // group_size
+    truth = n_groups * group_size * (group_size - 1) // 2
+    recall = within / truth if truth else 1.0
+
+    print(
+        f"n_images={n_images} groups={n_groups} fp_rows={n_fp}\n"
+        f"hash_wall={t_hash:.1f}s cand_pairs={int(cand)} "
+        f"(cand_wall={t_cand:.1f}s, ratio={cand / n_images:.2f}x rows)\n"
+        f"verified: within-group={within} (truth={truth}, "
+        f"recall={recall:.4f}) cross-group={cross}\n"
+        f"join_wall={t_join:.1f}s total={t_hash + t_cand + t_join:.1f}s"
+    )
+
+
+if __name__ == "__main__":
+    main()

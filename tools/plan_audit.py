@@ -143,6 +143,11 @@ EXPECTED = {
     # shape (Arrow banding kernel + per-round component joins) plus
     # one broadcast label join back onto the id column:
     "pipeline_semantic_corpus": {"py", "many"},
+    # anchored containment: one exchange per anchor-band of
+    # (anchor-hash, id) 8-byte keys — the dedup_minhash banding shape
+    # with anchors instead of minhash bands; shingle text never
+    # shuffles, candidates are verified by one exact-integer join:
+    "dedup_containment_anchored": {"many"},
 }
 
 

@@ -147,6 +147,21 @@ def main() -> None:
         note="precision structural (exact verify); truth is lang-blocked, "
              "op is unblocked")
 
+    # ---- anchored containment vs blocked exact truth (VERDICT r6 #2) ----
+    t = time.time()
+    truth = {(r["doc_a"], r["doc_b"])
+             for r in QUERIES["dedup_containment"](spark, dedup_sf).collect()}
+    got = {(r["doc_a"], r["doc_b"])
+           for r in QUERIES["dedup_containment_anchored"](
+               spark, dedup_sf).collect()}
+    add("dedup_containment_anchored", os.path.basename(dedup_sf),
+        {"containment_threshold": 0.6, "anchor_rate": 4},
+        len(truth), (sum(1 for p in truth if p in got) / len(truth))
+        if truth else 1.0, time.time() - t,
+        note="precision structural (exact integer verify); truth is the "
+             "lang-blocked dedup_containment oracle, op is unblocked "
+             "(superset allowed); anchor miss prob (3/4)^|A∩B|")
+
     # ---- embedding all-pairs truth at the fixture operating point ----
     t0 = time.time()
     e = spark.read.parquet(f"{dedup_sf}/embeddings.parquet").select(
@@ -167,16 +182,19 @@ def main() -> None:
         ("dedup_embedding_banded",
          {"cos_threshold": 0.35, "guard": "auto-fallback to simhash",
           "fallback_band_bits": 4}),
-        ("dedup_semdedup", {"cos_threshold": 0.35, "n_clusters": 8}),
+        ("dedup_semdedup",
+         {"cos_threshold": 0.35, "n_clusters": "auto (k~N/target, r6 #5)"}),
     ):
         t = time.time()
         got = {(r["vec_a"], r["vec_b"])
                for r in QUERIES[slug](spark, dedup_sf).collect()}
         note = "precision structural (exact verify)"
         if slug == "dedup_semdedup":
-            note += ("; 0.35 on isotropic bulk is the ADVERSARIAL point "
-                     "for cell capture — see planted entry for real "
-                     "near-dup geometry")
+            note += ("; auto rule puts this fixture in one exact cell "
+                     "(N << target_cluster_rows) — fixed small k on the "
+                     "0.35 bulk point was the ADVERSARIAL geometry r6 "
+                     "flagged; planted entry covers real near-dup geometry "
+                     "at paper-scale k")
         add(slug, os.path.basename(dedup_sf), params, len(pair_truth),
             len(got & pair_truth) / len(pair_truth) if pair_truth else 1.0,
             time.time() - t + (truth_wall if slug.endswith("simhash") else 0),

@@ -2,9 +2,13 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB over the same sf dir, then compares row count, column names,
-and order-insensitive values (rows sorted by all columns, columns
-sorted by name). Exact equality on values — the same bar the driver's
-value-hash implies. Reports per-query PASS/FAIL with first diffs.
+order-insensitive values (rows sorted by all columns, columns sorted
+by name), AND canonical column TYPES. The typed comparison exists
+because the driver's value-hash is type-sensitive (VERDICT r6 #1/#4:
+DuckDB widens SUM(BIGINT) to HUGEINT, which hash-diverges from
+Spark's BIGINT even when every value is equal — Python-level value
+comparison alone cannot see that). Reports per-query PASS/FAIL with
+first diffs.
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
 """
@@ -38,6 +42,48 @@ def _norm(v):
     return v
 
 
+# DuckDB type-name → Spark simpleString. Types with no entry (HUGEINT,
+# UHUGEINT, UBIGINT, ...) have no Spark twin and canonicalize to
+# themselves — guaranteeing a mismatch against any Spark column, which
+# is exactly the driver-typed-hash behavior we mirror.
+_DUCK_TO_SPARK = {
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "BLOB": "binary",
+}
+
+
+def _canon_duck(tstr: str) -> str:
+    t = str(tstr).strip()
+    if t.endswith("[]"):
+        return f"array<{_canon_duck(t[:-2])}>"
+    if t.upper().startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    return _DUCK_TO_SPARK.get(t.upper(), t.lower())
+
+
+def _type_problems(sdf, rel) -> list[str]:
+    """Driver-typed-hash mirror: canonical per-column type comparison.
+    Catches e.g. DuckDB HUGEINT (SUM over BIGINT) vs Spark BIGINT —
+    equal values, divergent typed hash (VERDICT r6 #1)."""
+    stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    dtypes = {c: _canon_duck(t) for c, t in zip(rel.columns, rel.types)}
+    bad = []
+    for c in sorted(set(stypes) & set(dtypes)):
+        if stypes[c] != dtypes[c]:
+            bad.append(f"type[{c}]: spark={stypes[c]} duck={dtypes[c]}")
+    return bad
+
+
 def _rows_to_set(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
@@ -60,6 +106,7 @@ def check(spark, con, name, fn, sql, sf_dir, results=None):
     problems = []
     if sorted(scols) != sorted(dcols):
         problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
+    problems.extend(_type_problems(sdf, rel))
     if len(srows) != len(drows):
         problems.append(f"rowcount: spark={len(srows)} duck={len(drows)}")
     if not problems:

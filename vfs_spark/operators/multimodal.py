@@ -310,6 +310,87 @@ def resize_blocks(
     return media.mapInPandas(kernel, schema=out_schema)
 
 
+def encode_bmp24(gray01) -> bytes:
+    """Encode a [0,1] grayscale array as a 24-bit uncompressed BMP —
+    the inverse of _decode_gray's BMP branch, used by the synthesized
+    image fixtures (queries/similarity._synth_bmp_media) and the
+    image-dedup scale probe (tools/image_scale_probe.py). Deterministic
+    pure-NumPy so synthesized corpora are reproducible anywhere."""
+    import struct
+
+    import numpy as np
+
+    h, w = gray01.shape
+    px = np.clip(gray01 * 255, 0, 255).astype(np.uint8)
+    rgb = np.repeat(px[::-1][:, :, None], 3, axis=2)  # bottom-up rows
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = rgb.reshape(h, w * 3)
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    header += struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def synth_group_bmps(
+    spark,
+    n_images: int,
+    group_size: int = 8,
+    size: int = 32,
+    noise: float = 0.02,
+) -> DataFrame:
+    """Deterministic synthesized image corpus in the media contract:
+    image i belongs to group i // group_size; each group shares a
+    seeded base pattern (sinusoid grid + seeded texture) and members
+    differ by per-id low-amplitude noise — within-group images are
+    perceptual near-dups, cross-group images are unrelated. Clearly
+    marked SYNTHESIS (the container has no image fixtures or codec
+    libs); everything downstream of the payload bytes — BMP header
+    parse, pixel decode, block-mean pooling, bit packing — is the
+    real kernel path (_decode_gray → phash).
+
+    Scale shape: generation is one mapInPandas over spark.range — the
+    corpus is born distributed (no driver materialization), so the
+    probe's 100k+ images exercise the same partitioned path a real
+    ingest would."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf["id"]:
+                g = int(d) // group_size
+                base_rng = np.random.default_rng(1000 + g)
+                yy, xx = np.mgrid[0:size, 0:size]
+                base = 0.5 + 0.25 * np.sin(
+                    2 * np.pi * (base_rng.uniform(1, 4) * xx / size)
+                ) * np.cos(2 * np.pi * (base_rng.uniform(1, 4) * yy / size))
+                base += 0.15 * base_rng.standard_normal((size, size))
+                noise_rng = np.random.default_rng(5000 + int(d))
+                img = base + noise * noise_rng.standard_normal((size, size))
+                out.append(encode_bmp24(np.clip(img, 0, 1)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"].astype("int64"),
+                    "payload": out,
+                    "media_type": "image",
+                }
+            )
+
+    return spark.range(n_images).mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+                T.StructField("media_type", T.StringType(), True),
+            ]
+        ),
+    ).withColumn("meta", F.create_map())
+
+
 def phash(media: DataFrame, hash_size: int = 8) -> DataFrame:
     """Perceptual average-hash over the REAL image decode path
     (_decode_gray — PPM/PGM/BMP24): block-mean the grayscale image to
@@ -346,6 +427,15 @@ def phash(media: DataFrame, hash_size: int = 8) -> DataFrame:
                     continue
                 g = _decode_gray(bytes(b))
                 h, w = g.shape
+                if min(h, w) < hash_size:
+                    # ADVICE r6: sub-hash_size images repeat block
+                    # boundaries → zero-count cells → 0/0 NaN bits
+                    # (silently arbitrary hashes). Fail loudly, like
+                    # the NotImplementedError codec boundary.
+                    raise ValueError(
+                        f"phash needs images ≥ {hash_size}×{hash_size}; "
+                        f"got {h}×{w} (media_id batch row)"
+                    )
                 rb = (np.arange(hash_size) * h) // hash_size
                 cb = (np.arange(hash_size) * w) // hash_size
                 pooled = np.add.reduceat(

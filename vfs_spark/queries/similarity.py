@@ -376,7 +376,7 @@ px AS (
   WHERE i < len(embedding)
 )
 SELECT px.vec_id AS vec_id,
-       SUM((x_e6 - mu_e6) * (x_e6 - mu_e6)) AS sq_dist_e12
+       CAST(SUM((x_e6 - mu_e6) * (x_e6 - mu_e6)) AS BIGINT) AS sq_dist_e12
 FROM px JOIN mu USING (i)
 GROUP BY px.vec_id
 """,
@@ -691,27 +691,15 @@ def _synth_bmp_media(spark: SparkSession, sf_dir: str):
     container), but everything downstream of the payload column — BMP
     header parse, pixel decode, block-mean pooling, bit packing — is
     the REAL kernel path (operators/multimodal._decode_gray → phash)."""
-    import struct
-
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    def _bmp24(gray01: "np.ndarray") -> bytes:
-        h, w = gray01.shape
-        px = np.clip(gray01 * 255, 0, 255).astype(np.uint8)
-        rgb = np.repeat(px[::-1][:, :, None], 3, axis=2)  # bottom-up rows
-        stride = (w * 3 + 3) & ~3
-        rows = np.zeros((h, stride), np.uint8)
-        rows[:, : w * 3] = rgb.reshape(h, w * 3)
-        data = rows.tobytes()
-        header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
-        header += struct.pack(
-            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
-        )
-        return header + data
+    from vfs_spark.operators.multimodal import encode_bmp24
 
     @pandas_udf("binary")
     def _bmp(doc_ids: pd.Series) -> pd.Series:
+        # same seed recipe as multimodal.synth_group_bmps (the scale
+        # probe's generator), so ids 0..63 produce identical payloads
         out = []
         for d in doc_ids:
             g = int(d) // 8
@@ -723,7 +711,7 @@ def _synth_bmp_media(spark: SparkSession, sf_dir: str):
             base += 0.15 * base_rng.standard_normal((32, 32))
             noise_rng = np.random.default_rng(5000 + int(d))
             img = base + 0.02 * noise_rng.standard_normal((32, 32))
-            out.append(_bmp24(np.clip(img, 0, 1)))
+            out.append(encode_bmp24(np.clip(img, 0, 1)))
         return pd.Series(out)
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True).where(

@@ -31,16 +31,32 @@ def _fresh_dir() -> str:
     return tempfile.mkdtemp(prefix="vfs_stream_")
 
 
-def _session_dir() -> str:
+_SLUG_DIRS: dict[str, str] = {}
+
+
+def _session_dir(slug: str) -> str:
     """Scratch dir that OUTLIVES the slug call (cleaned at interpreter
     exit), so a slug can return a distributed read over its landed
     store instead of collect-and-recreate — the returned DataFrame
     stays lazy/partitioned and the driver (or any caller) evaluates it
     whenever it likes (VERDICT r5 #7: no full-result collect() in any
-    registered slug)."""
+    registered slug).
+
+    ONE dir per slug (ADVICE r6): re-entry reclaims the previous
+    invocation's staging+landed store before creating the new one, so
+    a long-lived session running bench/selfcheck repeatedly holds at
+    most one staged corpus copy per slug instead of accumulating
+    unbounded /tmp. Consequence (documented trade): a DataFrame
+    returned by a PREVIOUS invocation of the same slug is invalidated
+    by re-entry — callers evaluate results before re-invoking, which
+    bench, selfcheck, and the driver all do."""
     import atexit
 
-    d = tempfile.mkdtemp(prefix="vfs_stream_keep_")
+    prev = _SLUG_DIRS.pop(slug, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=f"vfs_stream_{slug}_")
+    _SLUG_DIRS[slug] = d
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
@@ -130,7 +146,7 @@ def q_stream_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_corpus_ingest,
     )
 
-    work = _session_dir()
+    work = _session_dir("stream_ingest_corpus")
     src = os.path.join(work, "in")
     docs = load_table(spark, sf_dir, "documents")
     _stage_single_file(
@@ -183,7 +199,7 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") + 100).cast("int").alias("label"),
         F.size("embedding").cast("int").alias("dim"),
     )
-    work = _session_dir()
+    work = _session_dir("stream_cdc_upsert")
     store = os.path.join(work, "store")
     base.write.parquet(os.path.join(store, "v_base"))
     with open(os.path.join(store, "_CURRENT"), "w") as fh:
