@@ -363,16 +363,35 @@ def test_heavy_hitters_only_candidates_shuffle(spark, sf_dir):
 
     plan = ex.formatted_plan(QUERIES["text_heavy_hitters"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan  # candidates attach in scan stage
-    # The verify aggregate's exchange must EXECUTE after the semi-join
-    # pruned the stream. Formatted-plan node ids encode execution
-    # order (children < parents), so there must be an Exchange with a
-    # HIGHER id than the join's. (ADVICE r6: the old
-    # `index(...) != -1` form was vacuous — str.index raises if
-    # absent and never returns -1.)
-    join_ids = [int(n) for n in re.findall(r"BroadcastHashJoin[^(]*\((\d+)\)", plan)]
-    exch_ids = [int(n) for n in re.findall(r"\bExchange \((\d+)\)", plan)]
-    assert join_ids and exch_ids
-    assert max(exch_ids) > max(join_ids), (
-        "verify exchange does not sit after the candidate semi-join: "
-        f"exchanges={exch_ids} joins={join_ids}"
+    # The verify aggregate's exchange must sit ABOVE the candidate
+    # semi-join in the tree, i.e. the token->count shuffle carries
+    # join-pruned rows. (ADVICE r7: the old global max(exchange id) >
+    # max(join id) check could be satisfied by a shuffle in a sibling
+    # subtree — anchor to the actual tree instead: parse the formatted
+    # tree by indentation, take the TOPMOST HashAggregate (the final
+    # verify agg), require its direct child to be an Exchange, and
+    # require the BroadcastHashJoin to live INSIDE that Exchange's
+    # subtree.)
+    tree = plan.split("\n\n")[0]
+    nodes = []  # (depth, name) in top-down print order
+    for line in tree.splitlines():
+        m = re.match(r"^([ :+\-*]*)([A-Za-z][\w ]*?) \(\d+\)", line)
+        if m:
+            nodes.append((len(m.group(1)) // 3, m.group(2).strip()))
+    agg_idx = next(
+        i for i, (_, name) in enumerate(nodes) if name == "HashAggregate"
+    )
+    agg_depth = nodes[agg_idx][0]
+    child_depth, child_name = nodes[agg_idx + 1]
+    assert (child_depth, child_name) == (agg_depth + 1, "Exchange"), (
+        f"final HashAggregate is not fed by an Exchange: {nodes[agg_idx + 1]}"
+    )
+    subtree = []
+    for depth, name in nodes[agg_idx + 2 :]:
+        if depth <= child_depth:
+            break
+        subtree.append(name)
+    assert any(name.startswith("BroadcastHashJoin") for name in subtree), (
+        "candidate semi-join is not inside the verify exchange's "
+        f"subtree: {subtree}"
     )

@@ -49,3 +49,29 @@ def test_typed_check_flags_hugeint_sum(spark):
         "FROM (SELECT CAST(range AS BIGINT) AS k FROM range(4))"
     )
     assert _type_problems(sdf, good) == []
+
+
+def test_typed_check_flags_timestamptz(spark):
+    """ADVICE r7: DuckDB TIMESTAMP WITH TIME ZONE must NOT collapse to
+    the same canonical name as naive TIMESTAMP — a tz-aware oracle
+    column against a Spark timestamp is a semantics divergence the
+    driver's typed hash could surface, so the selfcheck mirror flags
+    it pre-driver. The explicit naive CAST stays clean."""
+    import pyspark.sql.functions as F
+
+    assert _canon_duck("TIMESTAMP") == "timestamp"
+    assert _canon_duck("TIMESTAMP WITH TIME ZONE") != "timestamp"
+
+    sdf = spark.sql(
+        "SELECT CAST('2026-01-01 00:00:00' AS TIMESTAMP) AS ts"
+    ).select(F.col("ts"))
+    con = duckdb.connect()
+    bad = con.sql("SELECT CAST('2026-01-01 00:00:00+00' AS TIMESTAMPTZ) AS ts")
+    problems = _type_problems(sdf, bad)
+    assert problems and "time zone" in problems[0], problems
+
+    good = con.sql(
+        "SELECT CAST(CAST('2026-01-01 00:00:00+00' AS TIMESTAMPTZ) "
+        "AS TIMESTAMP) AS ts"
+    )
+    assert _type_problems(sdf, good) == []

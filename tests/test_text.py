@@ -520,6 +520,30 @@ def test_heavy_hitters_equals_exact_groupby(spark, tmp_path):
     assert all(not t.startswith("u") for t in got)
 
 
+def test_tokens_never_yield_null(spark):
+    """VERDICT r7 #7: text_heavy_hitters' per-batch marker rows use a
+    NULL token as the sentinel, which is sound only while explode(
+    tokens(text)) can never emit a NULL element. Pin that contract
+    against adversarial text shapes (NULL text, empty, whitespace-
+    only, embedded doubled spaces) so a future tokenizer change can't
+    silently merge marker rows with data."""
+    from vfs_spark.functions.text import tokens
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "a  b"), (5, " x ")],
+        "doc_id long, text string",
+    )
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    assert toks.where(F.col("token").isNull()).count() == 0
+    # NULL text contributes no rows at all (null array explodes empty)
+    assert (
+        docs.where(F.col("doc_id") == 1)
+        .select(F.explode(tokens("text")))
+        .count()
+        == 0
+    )
+
+
 def test_containment_anchored_recall_and_precision(spark, sf_dir):
     """Anchored containment vs the blocked exact truth: every emitted
     pair is in the truth with the exact value (precision structural),

@@ -57,7 +57,12 @@ _DUCK_TO_SPARK = {
     "BOOLEAN": "boolean",
     "DATE": "date",
     "TIMESTAMP": "timestamp",
-    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    # NB: TIMESTAMP WITH TIME ZONE deliberately has NO entry (ADVICE
+    # r7): a tz-aware oracle column canonicalizes to "timestamp with
+    # time zone" ≠ any Spark simpleString, so a naive-vs-aware
+    # divergence is flagged HERE instead of slipping through to the
+    # driver's type-sensitive hash. Oracles that genuinely mean the
+    # naive timestamptz instant must cast to TIMESTAMP explicitly.
     "BLOB": "binary",
 }
 

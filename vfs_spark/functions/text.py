@@ -76,6 +76,31 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
 
 
+def normalize_url(url: Column | str) -> Column:
+    """Canonicalize a URL for URL-level dedup (the CCNet/RefinedWeb
+    pre-pass that collapses scheme/case/tracking variants BEFORE any
+    content hashing): lowercase, strip scheme, strip a leading
+    ``www.``/``m.`` host prefix, drop fragment then query string, and
+    trim trailing slashes. Pure Catalyst regexp chain — evaluated in
+    the scan stage, nothing but the canonical string ever shuffles.
+    The DuckDB twin lives in queries/text.py (_URL_NORM)."""
+    url = F.col(url) if isinstance(url, str) else url
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^(www|m)\.", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"\?.*$", "")
+    return F.regexp_replace(u, r"/+$", "")
+
+
+def url_domain(url_norm: Column | str) -> Column:
+    """Registrable-host part of an already-normalized URL (everything
+    before the first ``/``) — the grouping key for domain-level
+    corpus curation."""
+    url_norm = F.col(url_norm) if isinstance(url_norm, str) else url_norm
+    return F.regexp_replace(url_norm, r"/.*$", "")
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles — the unit set for n-gram Jaccard
     near-dedup and the MinHash input. Docs with fewer than k tokens

@@ -52,14 +52,32 @@ def _rotate_for_driver_coverage() -> None:
         if not isinstance(data, dict):
             continue
         for slug, rec in data.items():
-            if isinstance(rec, dict) and rec.get("rows_match"):
+            if not isinstance(rec, dict):
+                continue
+            if slug in ORACLES:
+                # Oracle-backed: only a value-hash match is a pass. A row
+                # with rows_match=True but hash_match=False (e.g.
+                # embedding_outlier_scores r06) is a FAILURE and must keep
+                # the slug fronted until a hash-green row exists.
+                green = rec.get("hash_match") is True
+            else:
+                # Rows-only: "ran clean" (no error beyond the expected
+                # no_oracle marker, with a recorded row count) is the
+                # strongest signal the driver produces, so count it as the
+                # pass — otherwise these slugs would sit at the window
+                # front forever and starve stale oracle-backed re-checks.
+                green = (
+                    rec.get("err") in (None, "no_oracle")
+                    and rec.get("spark_rows") is not None
+                )
+            if green:
                 latest_pass[slug] = max(latest_pass.get(slug, 0), rnd)
     order = sorted(
         QUERIES,
         key=lambda k: (
             k in latest_pass,          # never-passed first
-            k not in ORACLES,          # oracle-backed before rows-only
             latest_pass.get(k, 0),     # then stalest green first
+            k not in ORACLES,          # oracle-backed first on round ties
         ),
     )  # stable sort: ties keep registration order
     for registry in (QUERIES, ORACLES):

@@ -31,7 +31,7 @@ def _fresh_dir() -> str:
     return tempfile.mkdtemp(prefix="vfs_stream_")
 
 
-_SLUG_DIRS: dict[str, str] = {}
+_SLUG_DIRS: dict[str, list[str]] = {}
 
 
 def _session_dir(slug: str) -> str:
@@ -42,21 +42,23 @@ def _session_dir(slug: str) -> str:
     whenever it likes (VERDICT r5 #7: no full-result collect() in any
     registered slug).
 
-    ONE dir per slug (ADVICE r6): re-entry reclaims the previous
-    invocation's staging+landed store before creating the new one, so
-    a long-lived session running bench/selfcheck repeatedly holds at
-    most one staged corpus copy per slug instead of accumulating
-    unbounded /tmp. Consequence (documented trade): a DataFrame
-    returned by a PREVIOUS invocation of the same slug is invalidated
-    by re-entry — callers evaluate results before re-invoking, which
-    bench, selfcheck, and the driver all do."""
+    Keeps the LAST TWO dirs per slug (ADVICE r7, refining r6's
+    one-dir rule): re-entry reclaims the invocation-before-last, so a
+    still-unevaluated DataFrame returned by the IMMEDIATELY-previous
+    call stays readable — the common interleaving (call A, call B,
+    evaluate A's result) no longer dies with an opaque FileNotFound
+    mid-scan. A long-lived session running bench/selfcheck repeatedly
+    holds at most two staged corpus copies per slug instead of
+    accumulating unbounded /tmp. Remaining trade (documented): a
+    result held across TWO subsequent re-entries of the same slug is
+    still invalidated — evaluate before the second re-invocation."""
     import atexit
 
-    prev = _SLUG_DIRS.pop(slug, None)
-    if prev:
-        shutil.rmtree(prev, ignore_errors=True)
+    dirs = _SLUG_DIRS.setdefault(slug, [])
+    while len(dirs) >= 2:  # reclaim invocation-before-last onward
+        shutil.rmtree(dirs.pop(0), ignore_errors=True)
     d = tempfile.mkdtemp(prefix=f"vfs_stream_{slug}_")
-    _SLUG_DIRS[slug] = d
+    dirs.append(d)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
