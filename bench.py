@@ -183,6 +183,10 @@ BENCH_QUERIES = [
     "dedup_image_phash",
     # round-7 gating closure (VERDICT r6 #2)
     "dedup_containment_anchored",
+    # round-8 additions (VERDICT r7 #8)
+    "dedup_url",
+    "corpus_domain_stats",
+    "text_chunk_provenance",
 ]
 
 # Registry slugs deliberately NOT in the timed suite — every exclusion

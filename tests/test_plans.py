@@ -395,3 +395,35 @@ def test_heavy_hitters_only_candidates_shuffle(spark, sf_dir):
         "candidate semi-join is not inside the verify exchange's "
         f"subtree: {subtree}"
     )
+
+
+def test_chunk_provenance_no_shuffle(spark, sf_dir):
+    """text_chunk_provenance is a pure projection + explode — no
+    exchange, no sort, no Python anywhere in the plan (the chunk text
+    widens rows, so an accidental shuffle here would move the whole
+    corpus ×1.33)."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.formatted_plan(QUERIES["text_chunk_provenance"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_dedup_url_single_partial_agg_shuffle(spark, sf_dir):
+    """dedup_url must be scan → regexp projection → partially
+    aggregated groupBy: exactly ONE exchange, carrying (url_norm,
+    partial min/count) — never raw documents — and no Python."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.formatted_plan(QUERIES["dedup_url"](spark, sf_dir))
+    n_exchanges = plan.split("\n\n")[0].count("Exchange")
+    assert n_exchanges == 1, plan.split("\n\n")[0]
+    assert "HashAggregate" in plan
+    assert "partial_min" in plan or "Partial" in plan  # map-side combine
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan

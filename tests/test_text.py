@@ -575,3 +575,110 @@ def test_containment_anchored_recall_and_precision(spark, sf_dir):
              for r in dedup_ops.containment_pairs_anchored(planted).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 1_000_000
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_normalize_url_variants_collapse(spark):
+    """All four synthesized surface forms of one logical page (scheme,
+    case, www/m prefix, trailing slash, query string, fragment) must
+    normalize to the same canonical URL, and distinct pages must stay
+    distinct."""
+    from vfs_spark.functions.text import normalize_url, url_domain
+
+    urls = [
+        (1, "https://src1.example.com/page/7"),
+        (2, "HTTPS://WWW.SRC1.EXAMPLE.COM/page/7/"),
+        (3, "http://src1.example.com/page/7?utm_source=feed&ref=home"),
+        (4, "https://m.src1.example.com/page/7#section-2"),
+        (5, "https://src1.example.com/page/8"),
+        (6, "https://src2.example.com/page/7"),
+        # adversarial: bare domain, multiple trailing slashes,
+        # query before fragment
+        (7, "https://www.src3.example.com/"),
+        (8, "https://src3.example.com"),
+        (9, "http://src4.example.com/a/b/?x=1#y"),
+    ]
+    df = spark.createDataFrame(urls, "id int, url string")
+    got = {
+        r["id"]: (r["n"], r["d"])
+        for r in df.select(
+            "id",
+            normalize_url("url").alias("n"),
+        )
+        .select("id", "n", url_domain("n").alias("d"))
+        .collect()
+    }
+    canon = "src1.example.com/page/7"
+    assert {got[i][0] for i in (1, 2, 3, 4)} == {canon}
+    assert got[5][0] == "src1.example.com/page/8"
+    assert got[6][0] == "src2.example.com/page/7"
+    assert got[7][0] == got[8][0] == "src3.example.com"
+    assert got[9][0] == "src4.example.com/a/b"
+    assert got[1][1] == "src1.example.com"
+    assert got[9][1] == "src4.example.com"
+
+
+def test_dedup_url_keeps_min_and_counts(spark, sf_dir):
+    """URL dedup invariants on the fixture: keep_id is the MIN doc_id
+    of its group, group sizes sum to the corpus, and (at sf0.01's
+    page-collision rate) at least one real duplicate group exists."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.sources.parquet import load_table
+
+    d = QUERIES["dedup_url"](spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    agg = d.agg(
+        F.sum("n_docs").alias("tot"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("dups"),
+    ).first()
+    assert agg["tot"] == n_docs
+    if n_docs >= 500:  # sf0.01 and up: collisions guaranteed by mod-23
+        assert agg["dups"] > 0
+
+
+def test_domain_stats_consistency(spark, sf_dir):
+    """Per-domain counts must be internally consistent (uniques ≤
+    urls ≤ docs, dup_rate = 1 - unique/docs) and tile the corpus."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.sources.parquet import load_table
+
+    rows = QUERIES["corpus_domain_stats"](spark, sf_dir).collect()
+    assert rows
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_unique_docs"] <= r["n_docs"]
+        assert r["n_urls"] <= r["n_docs"]
+        assert (
+            abs(r["dup_rate"] - (1 - r["n_unique_docs"] / r["n_docs"]))
+            < 1e-6
+        )
+
+
+def test_chunk_provenance_reconstructs_overlap(spark, sf_dir):
+    """text_chunk_provenance must agree with text_chunk_overlap on the
+    shared grid (same chunk ids and token counts), and its offsets
+    must reconstruct: token_start = chunk_id * 48, and the chunk text
+    re-hashed equals the overlap slug's chunk_hash."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    prov = QUERIES["text_chunk_provenance"](spark, sf_dir)
+    over = QUERIES["text_chunk_overlap"](spark, sf_dir)
+    joined = prov.select(
+        "doc_id",
+        "chunk_id",
+        "token_start",
+        F.col("n_tokens").alias("nt_p"),
+        F.md5("chunk_text").alias("rehash"),
+    ).join(over, ["doc_id", "chunk_id"], "full_outer")
+    bad = joined.where(
+        F.col("rehash").isNull()
+        | F.col("chunk_hash").isNull()
+        | (F.col("rehash") != F.col("chunk_hash"))
+        | (F.col("nt_p") != F.col("n_tokens"))
+        | (F.col("token_start") != F.col("chunk_id") * 48)
+    ).count()
+    assert bad == 0
+    assert prov.count() > 0

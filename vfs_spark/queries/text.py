@@ -12,7 +12,7 @@ sub-quadratic candidate generation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vfs_spark.functions.text import (
@@ -2490,4 +2490,209 @@ def q_pipeline_semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cluster_id",
         (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain-level curation (VERDICT r7 #8). The fixture's documents
+# table has no URL column, so each slug derives one DETERMINISTICALLY
+# from (doc_id, source) — four surface variants per logical page
+# (scheme/case/www/trailing-slash/query/fragment noise) so the
+# normalizer has real work and both engines must agree on every rule.
+# The normalizer itself (functions/text.py normalize_url) is the
+# production op; the synthesis is fixture plumbing, identical in both
+# engines below.
+# ---------------------------------------------------------------------------
+
+def _synth_url_col() -> Column:
+    """Spark twin of _URL_SYNTH_SQL — keep the two in lockstep."""
+    page = (F.col("doc_id") % 23).cast("string")
+    m = (F.col("doc_id") % 4).cast("int")
+    return (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/page/"), page,
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("HTTPS://WWW."), F.upper("source"),
+                F.lit(".EXAMPLE.COM/page/"), page, F.lit("/"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".example.com/page/"), page,
+                F.lit("?utm_source=feed&ref=home"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://m."), F.col("source"),
+                F.lit(".example.com/page/"), page, F.lit("#section-2"),
+            )
+        )
+    )
+
+
+_URL_SYNTH_SQL = """CASE CAST(doc_id % 4 AS INTEGER)
+  WHEN 0 THEN 'https://' || source || '.example.com/page/' || CAST(doc_id % 23 AS VARCHAR)
+  WHEN 1 THEN 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM/page/' || CAST(doc_id % 23 AS VARCHAR) || '/'
+  WHEN 2 THEN 'http://' || source || '.example.com/page/' || CAST(doc_id % 23 AS VARCHAR) || '?utm_source=feed&ref=home'
+  ELSE 'https://m.' || source || '.example.com/page/' || CAST(doc_id % 23 AS VARCHAR) || '#section-2'
+END"""
+
+
+def _url_norm_sql(u: str) -> str:
+    """DuckDB twin of functions/text.py normalize_url — same rule
+    chain in the same order."""
+    s = f"lower({u})"
+    for pat in ("^https?://", "^(www|m)\\.", "#.*$", "\\?.*$", "/+$"):
+        s = f"regexp_replace({s}, '{pat}', '')"
+    return s
+
+
+@query(
+    "dedup_url",
+    oracle=f"""
+WITH u AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents)
+SELECT {_url_norm_sql('url')} AS url_norm,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM u GROUP BY 1
+""",
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: canonicalize each document's URL
+    (scheme/case/www/mobile-host/query/fragment/trailing-slash
+    stripped) and keep the lowest doc_id per canonical URL — the
+    CCNet/RefinedWeb pre-pass that removes refetches of the same page
+    BEFORE any content hashing, at string cost instead of token cost.
+    Scale: the normalizer is a Catalyst regexp chain evaluated in the
+    scan stage; one map-side-combined groupBy on the canonical string
+    is the only shuffle — same shape as dedup_exact, so it holds at
+    100 TB for the same reason. Reference parity: the reference has
+    no URL surface (vfs is a vector store); this is ⊕ LLM-pipeline
+    surface per SURVEY §2's extension contract."""
+    from vfs_spark.functions.text import normalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", normalize_url(_synth_url_col()).alias("url_norm")
+        )
+        .groupBy("url_norm")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "corpus_domain_stats",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, n_chars, {_FP} AS fp,
+         {_url_norm_sql(_URL_SYNTH_SQL)} AS url_norm
+  FROM documents
+)
+SELECT regexp_replace(url_norm, '/.*$', '') AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+       ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+         AS dup_rate,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+FROM u GROUP BY 1
+""",
+)
+def q_corpus_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation stats: per registrable host, document
+    volume, distinct canonical URLs, content-unique documents (by the
+    dedup_exact fingerprint), the intra-domain duplication rate, and
+    mean document length — the table a RefinedWeb-style pipeline
+    thresholds to blocklist template-heavy or mirror domains before
+    paying for near-dedup. Scale: fingerprint and canonical URL are
+    computed in the scan stage; the aggregate shuffles one record per
+    document keyed by domain, and the two COUNT(DISTINCT)s expand to
+    at most two shuffles over (domain, value) pairs — no joins, no
+    Python. Skewed megadomains are exactly the AQE skew-agg case the
+    session config enables."""
+    from vfs_spark.functions.text import normalize_url, url_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        "n_chars",
+        fingerprint("text").alias("fp"),
+        normalize_url(_synth_url_col()).alias("url_norm"),
+    )
+    return (
+        u.select(
+            url_domain("url_norm").alias("domain"), "url_norm", "fp",
+            "n_chars",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("url_norm").cast("bigint").alias("n_urls"),
+            F.countDistinct("fp").cast("bigint").alias("n_unique_docs"),
+            F.round(
+                1.0
+                - F.countDistinct("fp").cast("double") / F.count("*"),
+                6,
+            ).alias("dup_rate"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias(
+                "avg_chars"
+            ),
+        )
+    )
+
+
+@query(
+    "text_chunk_provenance",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+       CAST(i * 48 AS INTEGER) AS token_start,
+       CAST(len(t[i*48+1 : i*48+64]) AS INTEGER) AS n_tokens,
+       array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk_text
+FROM toks,
+     UNNEST(generate_series(0, CAST((len(t) - 1) // 48 AS BIGINT))) AS g(i)
+""",
+)
+def q_text_chunk_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-shaped chunking with provenance: the text_chunk_overlap
+    grid (64-token chunks, 48-token stride) but emitting the chunk
+    TEXT plus its exact token offset in the source document — what a
+    retrieval index ingests when answers must cite back to the span
+    they came from. token_start is 0-based; a consumer reconstructs
+    the char span from the tokenization deterministically. Scale:
+    pure projection + explode like text_chunk_overlap — no shuffle,
+    though this one widens the output by the chunk text itself, so
+    downstream ops should project chunk_text away before any
+    exchange (the plan test pins the no-shuffle shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("t"))
+    c = t.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("(size(t) - 1) div 48"))
+        ).alias("i"),
+    )
+    chunk = F.expr("slice(t, i*48 + 1, 64)")
+    return c.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_id"),
+        (F.col("i") * 48).cast("int").alias("token_start"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
     )
