@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "dedup_url",
     "corpus_domain_stats",
     "text_chunk_provenance",
+    "text_gopher_rules",
 ]
 
 # Registry slugs deliberately NOT in the timed suite — every exclusion

@@ -125,3 +125,63 @@ def test_bench_covers_whole_registry():
     )
     # and never double-listed
     assert not set(bench.BENCH_QUERIES) & set(bench.BENCH_EXCLUDED)
+
+
+def test_rotation_green_rule():
+    """Pins the driver-window rotation's pass rule (round-8 fix: the
+    old rows_match-based rule let a hash-FAIL oracle slug count as
+    passed — embedding_outlier_scores r06 — so it never re-entered
+    the driver window; and rows-only slugs never counted as passed,
+    permanently crowding the window front)."""
+    from vfs_spark.queries import _is_green_record
+
+    hash_fail = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": False,
+        "spark_rows": 500,
+        "oracle_rows": 500,
+        "err": None,
+    }
+    assert not _is_green_record(hash_fail, oracle_backed=True)
+    assert _is_green_record({**hash_fail, "hash_match": True}, oracle_backed=True)
+
+    rows_only_clean = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": 25,
+        "oracle_rows": None,
+        "err": "no_oracle",
+    }
+    assert _is_green_record(rows_only_clean, oracle_backed=False)
+    assert not _is_green_record(
+        {**rows_only_clean, "err": "SomeException: boom"}, oracle_backed=False
+    )
+    assert not _is_green_record(
+        {**rows_only_clean, "spark_rows": None}, oracle_backed=False
+    )
+    assert not _is_green_record("garbage", oracle_backed=False)
+
+
+def test_rotation_fronts_unpassed_and_stale():
+    """The live registry order must put never-driver-passed slugs
+    first (oracle-backed before rows-only on round ties), then
+    previously-passed slugs oldest-pass-first — so the driver's
+    bounded window always covers the least-recently-confirmed
+    surface."""
+    import glob
+    import json
+    import re
+
+    from vfs_spark.queries import ORACLES, QUERIES, _is_green_record
+
+    latest = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        for slug, rec in json.load(open(path)).items():
+            if _is_green_record(rec, oracle_backed=slug in ORACLES):
+                latest[slug] = max(latest.get(slug, 0), rnd)
+    order = list(QUERIES)
+    keys = [(k in latest, latest.get(k, 0)) for k in order]
+    assert keys == sorted(keys), "registry order violates rotation policy"

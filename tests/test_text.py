@@ -682,3 +682,50 @@ def test_chunk_provenance_reconstructs_overlap(spark, sf_dir):
     ).count()
     assert bad == 0
     assert prov.count() > 0
+
+
+def test_gopher_rules_on_adversarial_docs(spark, tmp_path):
+    """Each rule must fire on a document crafted to violate exactly
+    that rule, and a clean document must pass all five."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    clean = "the quick brown fox jumps over a lazy dog of the north " * 2
+    rows = [
+        (1, clean.strip(), "en", "s", len(clean)),
+        # too short (n_tokens < 10)
+        (2, "the tiny one", "en", "s", 12),
+        # mean word length > 10 (long pseudowords) — keep stopword
+        # density above the floor with a few 'the's
+        (3, ("supercalifragilistic " * 12 + "the the ").strip(), "en", "s", 40),
+        # no stopwords at all
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+         "en", "s", 40),
+        # symbol-heavy tokens
+        (5, ("a@b c#d e%f g&h i*j k!l m?n o+p q=r s~t " * 2
+             + "the of and to a the of and to a").strip(), "en", "s", 40),
+        # repetition: one token repeated throughout
+        (6, ("the " * 40).strip(), "en", "s", 160),
+    ]
+    d = str(tmp_path / "gopher")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["text_gopher_rules"](spark, d).collect()
+    }
+    assert got[1]["n_failed"] == 0
+    assert not got[2]["rule_len"]
+    assert not got[3]["rule_word_len"]
+    assert not got[4]["rule_stopwords"]
+    assert not got[5]["rule_symbols"]
+    assert not got[6]["rule_repetition"]
+    # failure counts match the per-rule bits
+    for doc, r in got.items():
+        bits = [
+            r["rule_len"], r["rule_word_len"], r["rule_stopwords"],
+            r["rule_symbols"], r["rule_repetition"],
+        ]
+        assert r["n_failed"] == sum(1 for b in bits if not b), doc

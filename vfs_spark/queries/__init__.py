@@ -17,6 +17,27 @@ import vfs_spark.queries.similarity  # noqa: F401,E402
 import vfs_spark.queries.streaming_queries  # noqa: F401,E402
 
 
+def _is_green_record(rec: dict, oracle_backed: bool) -> bool:
+    """One driver CORRECTNESS row → did this slug PASS that round?
+
+    Oracle-backed slugs pass only on a value-hash match: a row with
+    rows_match=True but hash_match=False (the embedding_outlier_scores
+    r06 shape) is a FAILURE and must keep the slug fronted. Rows-only
+    slugs pass when they ran clean (no error beyond the expected
+    no_oracle marker, with a recorded row count) — the strongest
+    signal the driver produces for them; anything stricter would pin
+    them to the window front forever and starve stale oracle-backed
+    re-checks. Pinned in tests/test_contract.py."""
+    if not isinstance(rec, dict):
+        return False
+    if oracle_backed:
+        return rec.get("hash_match") is True
+    return (
+        rec.get("err") in (None, "no_oracle")
+        and rec.get("spark_rows") is not None
+    )
+
+
 def _rotate_for_driver_coverage() -> None:
     """Reorder the registry so slugs without a driver-recorded pass come
     first (oracle-backed before rows-only), and previously-passed slugs
@@ -52,25 +73,7 @@ def _rotate_for_driver_coverage() -> None:
         if not isinstance(data, dict):
             continue
         for slug, rec in data.items():
-            if not isinstance(rec, dict):
-                continue
-            if slug in ORACLES:
-                # Oracle-backed: only a value-hash match is a pass. A row
-                # with rows_match=True but hash_match=False (e.g.
-                # embedding_outlier_scores r06) is a FAILURE and must keep
-                # the slug fronted until a hash-green row exists.
-                green = rec.get("hash_match") is True
-            else:
-                # Rows-only: "ran clean" (no error beyond the expected
-                # no_oracle marker, with a recorded row count) is the
-                # strongest signal the driver produces, so count it as the
-                # pass — otherwise these slugs would sit at the window
-                # front forever and starve stale oracle-backed re-checks.
-                green = (
-                    rec.get("err") in (None, "no_oracle")
-                    and rec.get("spark_rows") is not None
-                )
-            if green:
+            if _is_green_record(rec, oracle_backed=slug in ORACLES):
                 latest_pass[slug] = max(latest_pass.get(slug, 0), rnd)
     order = sorted(
         QUERIES,

@@ -732,7 +732,14 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse, unrelated images stay ~32 bits apart.
 
     100 TB shape: images become 8-byte fingerprints in the scan
-    stage; only (band, fingerprint, id) rows ever shuffle."""
+    stage; only (band, fingerprint, id) rows ever shuffle. The budget
+    sets the band width and THAT decides scale (SCALE.md round-8
+    probe, 100k images): max_hamming=10 forces 11×5-bit bands — 32
+    buckets/band, 2.6 B candidates at 100k rows, Θ(n²) growth — while
+    max_hamming=3 gives 4×16-bit bands, 55× fewer candidates, 2.7×
+    lower wall, recall 0.94 on noise-0.02 re-encodes. The wide budget
+    is affordable only at this fixture's 64 images; at corpus scale
+    keep max_hamming ≤ 3-4 for a 64-bit phash."""
     from vfs_spark.operators.dedup import hamming_pairs_banded
 
     media = _synth_bmp_media(spark, sf_dir)

@@ -2696,3 +2696,96 @@ def q_text_chunk_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("int").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t)
+           AS mean_word_len,
+         CAST(len(list_filter(t, x -> x IN {_STOP})) AS DOUBLE) / len(t)
+           AS stop_frac,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[^a-z0-9]')))
+              AS DOUBLE) / len(t) AS sym_frac,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_frac
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+)
+SELECT doc_id,
+       n_tokens,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       (n_tokens BETWEEN 10 AND 100000) AS rule_len,
+       (mean_word_len BETWEEN 3.0 AND 10.0) AS rule_word_len,
+       (stop_frac >= 0.02) AS rule_stopwords,
+       (sym_frac <= 0.1) AS rule_symbols,
+       (distinct_frac >= 0.3) AS rule_repetition,
+       CAST(CAST(NOT (n_tokens BETWEEN 10 AND 100000) AS INTEGER)
+            + CAST(NOT (mean_word_len BETWEEN 3.0 AND 10.0) AS INTEGER)
+            + CAST(NOT (stop_frac >= 0.02) AS INTEGER)
+            + CAST(NOT (sym_frac <= 0.1) AS INTEGER)
+            + CAST(NOT (distinct_frac >= 0.3) AS INTEGER) AS INTEGER)
+         AS n_failed
+FROM m
+""",
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1, adapted to this corpus' signals): token
+    count bounds, mean-word-length band, minimum stopword density,
+    symbol-token ceiling, and a repetition floor via distinct-token
+    fraction — emitted as one boolean per rule plus the failure count,
+    so a pipeline can either hard-filter (n_failed = 0) or stratify by
+    which rule fired. Unlike text_quality_score's single blended
+    score, the rule bits are auditable individually — the form every
+    published pretraining pipeline (Gopher, RefinedWeb, FineWeb)
+    actually ships.
+
+    Scale: one scan, all rules are Catalyst higher-order functions
+    over the token array in the scan stage — no shuffle at all, no
+    Python. Threshold compares happen on unrounded doubles in BOTH
+    engines (identical IEEE sums in document order), so the booleans
+    are bit-stable; only the reported mean is rounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (
+            F.length(F.array_join(toks, "")).cast("double") / F.size(toks)
+        ).alias("mean_word_len"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to"))).cast("double")
+            / F.size(toks)
+        ).alias("stop_frac"),
+        (
+            F.size(F.filter(toks, lambda x: x.rlike("[^a-z0-9]"))).cast("double")
+            / F.size(toks)
+        ).alias("sym_frac"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("distinct_frac"),
+    )
+    rule_len = F.col("n_tokens").between(10, 100000)
+    rule_wl = F.col("mean_word_len").between(3.0, 10.0)
+    rule_sw = F.col("stop_frac") >= 0.02
+    rule_sym = F.col("sym_frac") <= 0.1
+    rule_rep = F.col("distinct_frac") >= 0.3
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        rule_len.alias("rule_len"),
+        rule_wl.alias("rule_word_len"),
+        rule_sw.alias("rule_stopwords"),
+        rule_sym.alias("rule_symbols"),
+        rule_rep.alias("rule_repetition"),
+        (
+            (~rule_len).cast("int")
+            + (~rule_wl).cast("int")
+            + (~rule_sw).cast("int")
+            + (~rule_sym).cast("int")
+            + (~rule_rep).cast("int")
+        ).alias("n_failed"),
+    )
