@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "corpus_domain_stats",
     "text_chunk_provenance",
     "text_gopher_rules",
+    "sample_temperature",
+    "decontaminate_report",
 ]
 
 # Registry slugs deliberately NOT in the timed suite — every exclusion

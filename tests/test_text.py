@@ -729,3 +729,71 @@ def test_gopher_rules_on_adversarial_docs(spark, tmp_path):
             r["rule_symbols"], r["rule_repetition"],
         ]
         assert r["n_failed"] == sum(1 for b in bits if not b), doc
+
+
+def test_sample_temperature_upweights_small_sources(spark, tmp_path):
+    """alpha=0.5 smoothing must give the SMALL source a strictly
+    higher keep-rate than the dominant one, keep roughly half the
+    token budget overall, and be deterministic run-to-run."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    rows = []
+    # dominant source: 900 docs x 20 tokens; small source: 100 x 20
+    for i in range(900):
+        rows.append((i, f"big doc number {i} " + "tok " * 16, "web", 80))
+    for i in range(100):
+        rows.append((900 + i, f"small doc {i} " + "tok " * 17, "books", 80))
+    d = str(tmp_path / "temp")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars int"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = QUERIES["sample_temperature"](spark, d)
+    kept = got.groupBy("source").count().collect()
+    kept = {r["source"]: r["count"] for r in kept}
+    rate_web = kept.get("web", 0) / 900
+    rate_books = kept.get("books", 0) / 100
+    # sqrt smoothing: expected rates ~0.47 (web) vs ~1.0-capped (books)
+    assert rate_books > rate_web + 0.2, (rate_books, rate_web)
+    # overall budget is half the corpus (tokens are uniform here)
+    total_rate = (kept.get("web", 0) + kept.get("books", 0)) / 1000
+    assert 0.35 < total_rate < 0.65, total_rate
+    # deterministic: same rows both runs
+    again = {
+        r["doc_id"] for r in QUERIES["sample_temperature"](spark, d).collect()
+    }
+    assert again == {r["doc_id"] for r in got.collect()}
+
+
+def test_decontaminate_report_counts_and_zero_fill(spark, tmp_path):
+    """A planted 5-gram shared with two training docs must report
+    n_contaminating_docs=2 for that eval doc, and an overlap-free
+    eval doc must still appear with explicit zeros."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    leak = "alpha beta gamma delta epsilon"
+    rows = [
+        # eval side (doc_id < 10)
+        (0, f"intro {leak} outro closing words", "eval", 40),
+        (1, "completely disjoint benchmark item here", "eval", 40),
+        # training side
+        (10, f"train text {leak} more train text", "web", 40),
+        (11, f"other copy {leak} trailing junk", "web", 40),
+        (12, "unrelated training document entirely", "web", 40),
+    ]
+    d = str(tmp_path / "decontam")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars int"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["eval_id"]: r
+        for r in QUERIES["decontaminate_report"](spark, d).collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0]["n_contaminating_docs"] == 2
+    assert got[0]["n_shared_shingles"] >= 2
+    assert got[1]["n_contaminating_docs"] == 0
+    assert got[1]["n_shared_shingles"] == 0

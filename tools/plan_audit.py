@@ -55,6 +55,7 @@ EXPECTED = {
     "corpus_mixture_stats": {"bnlj"},  # grand-total scalar attach
     "decontaminate_bloom": {"bnlj"},  # 1-row 8KB bloom-array attach
     "sample_token_mixture": {"bnlj"},
+    "sample_temperature": {"bnlj"},  # 1-row (sum_w6, total_tokens) attach
     "text_tfidf_top_terms": {"bnlj", "many"},
     "text_vocab_coverage": {"bnlj", "many"},
     # banded dedup: one exchange per band/table of 8-byte keys — the

@@ -2789,3 +2789,180 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (~rule_rep).cast("int")
         ).alias("n_failed"),
     )
+
+
+@query(
+    "sample_temperature",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1000000 AS h
+  FROM documents
+),
+tot AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS src_tokens
+  FROM tok GROUP BY source
+),
+w AS (
+  SELECT source, src_tokens,
+         CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS w6
+  FROM tot
+),
+tw AS (
+  SELECT CAST(SUM(w6) AS BIGINT) AS sum_w6,
+         CAST(SUM(src_tokens) AS BIGINT) AS total_tokens
+  FROM w
+),
+cut AS (
+  SELECT source,
+         LEAST(CAST(1000000 AS BIGINT),
+               CAST(ROUND(1000000.0 * ((CAST(w6 AS DOUBLE) / sum_w6)
+                          * (CAST(total_tokens AS DOUBLE) * 0.5)
+                          / src_tokens), 0) AS BIGINT)) AS cutoff
+  FROM w, tw
+)
+SELECT t.doc_id, t.source
+FROM tok t JOIN cut c USING (source)
+WHERE t.h < c.cutoff
+""",
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture (the alpha-smoothed sampling of
+    multilingual/multi-source LLM recipes — mBERT/XLM-R/mT5 style):
+    per-source keep probability proportional to p_s^alpha / p_s, which
+    up-weights small sources and down-weights dominant ones without the
+    hard uniform target of sample_token_mixture. alpha = 0.5 here, and
+    that choice is deliberate: sqrt is the ONE power IEEE-754 requires
+    correctly rounded, so the per-source weight is bit-identical in
+    Spark (Math.sqrt) and DuckDB (std::sqrt) — a general pow() could
+    differ in the last ulp and flip a cutoff at a rounding boundary.
+    The sqrt weights are floor-quantized to integer micro-units before
+    the cross-source SUM so the normalizer is order-independent exact
+    integer arithmetic (the multi-term double-sum lesson from NOTES).
+    The token budget is half the corpus; selection is the same
+    deterministic content-hash threshold as the other samplers.
+
+    Scale: one corpus scan emits (doc_id, source, n, h); a per-source
+    aggregate (map-side combined, |sources| rows) and a 1-row total are
+    broadcast back as cutoffs — document text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        token_count("text").cast("bigint").alias("n"),
+        (
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+            % 1000000
+        ).alias("h"),
+    )
+    tot = tok.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("src_tokens")
+    )
+    w = tot.select(
+        "source",
+        "src_tokens",
+        F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1000000.0)
+        .cast("bigint")
+        .alias("w6"),
+    )
+    tw = w.agg(
+        F.sum("w6").cast("bigint").alias("sum_w6"),
+        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
+    )
+    cut = w.crossJoin(F.broadcast(tw)).select(
+        "source",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.round(
+                1000000.0
+                * (
+                    (F.col("w6").cast("double") / F.col("sum_w6"))
+                    * (F.col("total_tokens").cast("double") * 0.5)
+                    / F.col("src_tokens")
+                ),
+                0,
+            ).cast("bigint"),
+        ).alias("cutoff"),
+    )
+    return (
+        tok.join(F.broadcast(cut), "source")
+        .where(F.col("h") < F.col("cutoff"))
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "decontaminate_report",
+    oracle=f"""
+WITH ev AS (
+  SELECT doc_id AS eval_id, unnest({_SHINGLES5}) AS g
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 10)
+),
+hits AS (
+  SELECT e.eval_id,
+         CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_contaminating_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+  FROM ev e
+  JOIN (
+    SELECT doc_id, unnest({_SHINGLES5}) AS g
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id >= 10)
+  ) c USING (g)
+  GROUP BY e.eval_id
+)
+SELECT d.doc_id AS eval_id,
+       COALESCE(h.n_contaminating_docs, 0) AS n_contaminating_docs,
+       COALESCE(h.n_shared_shingles, 0) AS n_shared_shingles
+FROM (SELECT doc_id FROM documents WHERE doc_id < 10) d
+LEFT JOIN hits h ON h.eval_id = d.doc_id
+""",
+)
+def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-side contamination audit that complements
+    decontaminate_against_eval: for EVERY benchmark document (doc_id <
+    10 stands in for the eval corpus), how many training documents
+    share a distinct word 5-gram with it and how many (eval-shingle,
+    train-doc) matches exist in total — including explicit zeros for
+    clean eval items. This is the report a model card cites ("N of M
+    eval items had verbatim n-gram overlap with training data"); the
+    training-side op answers "what do I drop", this answers "which
+    benchmarks are compromised and how badly".
+
+    Scale: the eval shingle set is tiny and broadcast; corpus shingles
+    explode in the scan stage and only matched (shingle, eval_id,
+    doc_id) rows reach the aggregate. The final zero-fill join touches
+    |eval| rows. The corpus never self-joins, its text never
+    shuffles."""
+    docs_eval = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 10
+    )
+    ev = docs_eval.select(
+        F.col("doc_id").alias("eval_id"),
+        F.explode(word_shingles("text", 5)).alias("g"),
+    )
+    cor = (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .where(F.col("doc_id") >= 10)
+        .select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
+    )
+    hits = (
+        cor.join(F.broadcast(ev), "g")
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias(
+                "n_contaminating_docs"
+            ),
+            F.count("*").cast("bigint").alias("n_shared_shingles"),
+        )
+    )
+    return (
+        docs_eval.select(F.col("doc_id").alias("eval_id"))
+        .join(hits, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce(F.col("n_contaminating_docs"), F.lit(0).cast("bigint"))
+            .alias("n_contaminating_docs"),
+            F.coalesce(F.col("n_shared_shingles"), F.lit(0).cast("bigint"))
+            .alias("n_shared_shingles"),
+        )
+    )
