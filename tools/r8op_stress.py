@@ -1,0 +1,122 @@
+"""Scale points for the round-8 operators: URL dedup, domain stats,
+Gopher rules, temperature sampling, contamination report, chunk
+provenance.
+
+    python tools/r8op_stress.py [n_docs]
+
+Synthesizes n_docs ~30-token documents with (a) 1%% exact-duplicate
+pairs (so URL/fingerprint dedup has real work), (b) a skewed 3-source
+mixture (70/25/5) so sample_temperature's smoothing is measurable,
+and times each round-8 operator end-to-end on one idle-host session.
+Same discipline as tools/newop_stress.py: distributed synthesis, wall
+times to stdout for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+
+    from vfs_spark.session import get_spark
+
+    spark = get_spark("r8op-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".r8op_stress_tmp",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 2)
+        print(f"{name:30s} {times[name]:8.2f}s  -> {out}", flush=True)
+        return out
+
+    try:
+        # 1% of docs copy the text of (id - cut) → planted exact dups;
+        # sources split ~70/25/5 by id hash so the temperature sampler
+        # has real skew to smooth.
+        cut = int(n_docs * 0.99)
+        docs = (
+            spark.range(n_docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.expr(
+                    f"CASE WHEN id >= {cut} THEN id - {cut} ELSE id END"
+                ).alias("eff"),
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    "array_join(transform(sequence(1, 30), i -> "
+                    "concat('w', cast(abs(xxhash64(eff * 31 + i)) % 1000 "
+                    "as string))), ' ')"
+                ).alias("text"),
+                F.expr(
+                    "CASE WHEN abs(xxhash64(doc_id * 13)) % 100 < 70 "
+                    "THEN 'web' WHEN abs(xxhash64(doc_id * 13)) % 100 < 95 "
+                    "THEN 'news' ELSE 'books' END"
+                ).alias("source"),
+            )
+            .withColumn("lang", F.lit("en"))
+            .withColumn("n_chars", F.length("text"))
+        )
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+        import vfs_spark.queries  # noqa: F401
+        from vfs_spark.queries.registry import QUERIES
+
+        k = f"{n_docs // 1000}k"
+        timed(
+            f"dedup_url {k}",
+            lambda: QUERIES["dedup_url"](spark, tmp).count(),
+        )
+        timed(
+            f"corpus_domain_stats {k}",
+            lambda: QUERIES["corpus_domain_stats"](spark, tmp).count(),
+        )
+        timed(
+            f"text_gopher_rules {k}",
+            lambda: QUERIES["text_gopher_rules"](spark, tmp)
+            .agg(F.sum("n_failed"))
+            .first()[0],
+        )
+
+        def _temperature():
+            kept = (
+                QUERIES["sample_temperature"](spark, tmp)
+                .groupBy("source")
+                .count()
+                .collect()
+            )
+            return {r["source"]: r["count"] for r in kept}
+
+        timed(f"sample_temperature {k}", _temperature)
+        timed(
+            f"decontaminate_report {k}",
+            lambda: QUERIES["decontaminate_report"](spark, tmp).count(),
+        )
+        timed(
+            f"text_chunk_provenance {k}",
+            lambda: QUERIES["text_chunk_provenance"](spark, tmp).count(),
+        )
+        print({"n_docs": n_docs, "times": times})
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
