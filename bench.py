@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "text_gopher_rules",
     "sample_temperature",
     "decontaminate_report",
+    "pipeline_curation_full",
 ]
 
 # Registry slugs deliberately NOT in the timed suite — every exclusion

@@ -797,3 +797,44 @@ def test_decontaminate_report_counts_and_zero_fill(spark, tmp_path):
     assert got[0]["n_shared_shingles"] >= 2
     assert got[1]["n_contaminating_docs"] == 0
     assert got[1]["n_shared_shingles"] == 0
+
+
+def test_pipeline_curation_full_stages(spark, tmp_path):
+    """Each composed stage must do its job on planted cases: the URL
+    refetch collapses to one doc, the exact dup keeps the lower id,
+    the contaminated doc is dropped, the rule-failing doc is dropped,
+    and the output is deterministic."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    good = "the quick brown fox jumps over a lazy dog of the north plain "
+    rows = [
+        # eval side: contributes the contamination shingle set
+        (0, "alpha beta gamma delta epsilon benchmark item", "eval", "e", 40),
+        # clean survivors (doc_ids chosen so no doc_id%23 collisions
+        # within a source → every URL is distinct)
+        (10, (good * 2).strip(), "web", "en", 80),
+        (11, (good + "extra tail words here the of and").strip(), "web", "en", 90),
+        # exact dup of 10 → fingerprint keep-min drops 21
+        (21, (good * 2).strip(), "web", "en", 80),
+        # contaminated: contains the eval 5-gram
+        (12, (good + "alpha beta gamma delta epsilon close").strip(), "web", "en", 90),
+        # fails gopher (no stopwords)
+        (13, "zeta eta theta iota kappa lambdaa mu nu xi omicron", "web", "en", 50),
+    ]
+    d = str(tmp_path / "cur")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = QUERIES["pipeline_curation_full"](spark, d)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 21 not in kept          # exact dup (fingerprint of doc 10)
+    assert 12 not in kept          # contaminated by eval shingle
+    assert 13 not in kept          # gopher stopword floor
+    assert 0 not in kept           # eval side never in the manifest
+    assert kept <= {10, 11}        # only clean candidates can survive
+    # deterministic
+    again = {r["doc_id"] for r in QUERIES["pipeline_curation_full"](spark, d).collect()}
+    assert kept == again

@@ -56,6 +56,10 @@ EXPECTED = {
     "decontaminate_bloom": {"bnlj"},  # 1-row 8KB bloom-array attach
     "sample_token_mixture": {"bnlj"},
     "sample_temperature": {"bnlj"},  # 1-row (sum_w6, total_tokens) attach
+    "pipeline_curation_full": {"bnlj", "many"},  # same 1-row attach; one
+    # key-only exchange per composed stage (url keep-min, fp keep-min,
+    # contamination distinct, source totals) — each documented at its
+    # standalone slug
     "text_tfidf_top_terms": {"bnlj", "many"},
     "text_vocab_coverage": {"bnlj", "many"},
     # banded dedup: one exchange per band/table of 8-byte keys — the

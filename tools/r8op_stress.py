@@ -113,6 +113,10 @@ def main() -> None:
             f"text_chunk_provenance {k}",
             lambda: QUERIES["text_chunk_provenance"](spark, tmp).count(),
         )
+        timed(
+            f"pipeline_curation_full {k}",
+            lambda: QUERIES["pipeline_curation_full"](spark, tmp).count(),
+        )
         print({"n_docs": n_docs, "times": times})
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -2966,3 +2966,198 @@ def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_shared_shingles"),
         )
     )
+
+
+@query(
+    "pipeline_curation_full",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, source, {_TOKS} AS t,
+         {_url_norm_sql(_URL_SYNTH_SQL)} AS u, {_FP} AS fp
+  FROM documents WHERE doc_id >= 10
+),
+u1 AS (
+  SELECT b.* FROM base b
+  JOIN (SELECT u, MIN(doc_id) AS doc_id FROM base GROUP BY u) w
+    USING (u, doc_id)
+),
+q1 AS (
+  SELECT doc_id, text, source, t, fp FROM u1
+  WHERE CAST(len(t) AS BIGINT) BETWEEN 10 AND 100000
+    AND (CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t))
+          BETWEEN 3.0 AND 10.0
+    AND CAST(len(list_filter(t, x -> x IN {_STOP})) AS DOUBLE) / len(t)
+          >= 0.02
+    AND CAST(len(list_filter(t, x -> regexp_matches(x, '[^a-z0-9]')))
+             AS DOUBLE) / len(t) <= 0.1
+    AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.3
+),
+d1 AS (
+  SELECT q.* FROM q1 q
+  JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM q1 GROUP BY fp) w
+    USING (fp, doc_id)
+),
+ev AS (
+  SELECT DISTINCT unnest({_SHINGLES5}) AS g
+  FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id < 10)
+),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({_SHINGLES5}) AS g
+        FROM (SELECT doc_id, t AS toks FROM d1)) c
+  JOIN ev USING (g)
+),
+d2 AS (
+  SELECT doc_id, text, source, CAST(len(t) AS BIGINT) AS n,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1000000 AS h
+  FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+tot AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS src_tokens FROM d2 GROUP BY source
+),
+w AS (
+  SELECT source, src_tokens,
+         CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS w6
+  FROM tot
+),
+tw AS (
+  SELECT CAST(SUM(w6) AS BIGINT) AS sum_w6,
+         CAST(SUM(src_tokens) AS BIGINT) AS total_tokens
+  FROM w
+),
+cut AS (
+  SELECT source,
+         LEAST(CAST(1000000 AS BIGINT),
+               CAST(ROUND(1000000.0 * ((CAST(w6 AS DOUBLE) / sum_w6)
+                          * (CAST(total_tokens AS DOUBLE) * 0.5)
+                          / src_tokens), 0) AS BIGINT)) AS cutoff
+  FROM w, tw
+)
+SELECT d.doc_id, d.source, d.n AS n_tokens
+FROM d2 d JOIN cut c USING (source)
+WHERE d.h < c.cutoff
+""",
+)
+def q_pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 curation stack COMPOSED end to end, in the order a
+    RefinedWeb/FineWeb-style pipeline actually runs it: URL-level
+    dedup (cheapest first — canonical-URL keep-min collapses refetches
+    at string cost) → Gopher rule gate (all five rule bits must pass)
+    → exact content dedup (fingerprint keep-min over the survivors) →
+    benchmark decontamination (drop docs sharing a word 5-gram with
+    the eval set, doc_id < 10) → temperature mixture (alpha=0.5
+    sqrt-smoothed per-source keep rates computed over what SURVIVED
+    the earlier stages, against a half-corpus token budget). Output:
+    the loader manifest (doc_id, source, n_tokens).
+
+    Composition preserves each stage's scale shape: URL norm, rule
+    HOFs, fingerprint, token count, and the selection hash all
+    evaluate in the scan stage; the two keep-min dedups are key-only
+    shuffles (canonical URL / fingerprint) with map-side MIN plus an
+    id join-back; the eval shingle set and the per-source cutoffs
+    broadcast; contamination is ids-only. Document TEXT never
+    shuffles at any stage — the property that holds at 100 TB.
+    Mixture weights follow sample_temperature's exact-arithmetic
+    discipline (sqrt is IEEE-correctly-rounded; integer micro-unit
+    normalizer), so the composed oracle stays bit-stable."""
+    from vfs_spark.functions.text import normalize_url
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("doc_id") >= 10
+    )
+    toks = tokens("text")
+    n = F.size(toks)
+    pass_q = (
+        F.col("n_tokens").between(10, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("stop_frac") >= 0.02)
+        & (F.col("sym_frac") <= 0.1)
+        & (F.col("distinct_frac") >= 0.3)
+    )
+    base = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        normalize_url(_synth_url_col()).alias("u"),
+        fingerprint("text").alias("fp"),
+        n.cast("bigint").alias("n_tokens"),
+        (F.length(F.array_join(toks, "")).cast("double") / n).alias(
+            "mean_word_len"
+        ),
+        (
+            F.size(
+                F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to"))
+            ).cast("double")
+            / n
+        ).alias("stop_frac"),
+        (
+            F.size(F.filter(toks, lambda x: x.rlike("[^a-z0-9]"))).cast(
+                "double"
+            )
+            / n
+        ).alias("sym_frac"),
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias(
+            "distinct_frac"
+        ),
+    )
+    url_winners = base.groupBy("u").agg(F.min("doc_id").alias("doc_id"))
+    u1 = base.join(url_winners, ["u", "doc_id"])
+    q1 = u1.where(pass_q).select("doc_id", "text", "source", "fp", "n_tokens")
+    fp_winners = q1.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    d1 = q1.join(fp_winners, ["fp", "doc_id"])
+    ev = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 10)
+        .select(F.explode(word_shingles("text", 5)).alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        d1.select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
+        .join(F.broadcast(ev), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    d2 = d1.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").alias("n"),
+        (
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+            % 1000000
+        ).alias("h"),
+    )
+    tot = d2.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("src_tokens")
+    )
+    w = tot.select(
+        "source",
+        "src_tokens",
+        F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1000000.0)
+        .cast("bigint")
+        .alias("w6"),
+    )
+    tw = w.agg(
+        F.sum("w6").cast("bigint").alias("sum_w6"),
+        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
+    )
+    cut = w.crossJoin(F.broadcast(tw)).select(
+        "source",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.round(
+                1000000.0
+                * (
+                    (F.col("w6").cast("double") / F.col("sum_w6"))
+                    * (F.col("total_tokens").cast("double") * 0.5)
+                    / F.col("src_tokens")
+                ),
+                0,
+            ).cast("bigint"),
+        ).alias("cutoff"),
+    )
+    return (
+        d2.join(F.broadcast(cut), "source")
+        .where(F.col("h") < F.col("cutoff"))
+        .select("doc_id", "source", F.col("n").alias("n_tokens"))
+    )
