@@ -191,6 +191,9 @@ BENCH_QUERIES = [
     "sample_temperature",
     "decontaminate_report",
     "pipeline_curation_full",
+    "text_bm25_retrieval",
+    "sample_dsir",
+    "pipeline_rag_retrieval",
 ]
 
 # Registry slugs deliberately NOT in the timed suite — every exclusion

@@ -838,3 +838,119 @@ def test_pipeline_curation_full_stages(spark, tmp_path):
     # deterministic
     again = {r["doc_id"] for r in QUERIES["pipeline_curation_full"](spark, d).collect()}
     assert kept == again
+
+
+def test_bm25_retrieval_planted_relevance(spark, tmp_path):
+    """BM25 must rank the doc matching all query terms first, rank a
+    rare-term match above an everywhere-term match, and never return
+    a doc sharing no query term. Ranks are contiguous from 1 and
+    scores non-increasing within a query."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    filler = "pad word noise blah"
+    rows = [
+        # query doc (doc_id < 8): terms = apple banana cherry date elder
+        (0, "apple banana cherry date elder tail tokens here", "q", "en", 40),
+        # matches all five query terms, twice each
+        (10, "apple banana cherry date elder apple banana cherry date elder", "web", "en", 60),
+        # 'common' appears in every corpus doc; doc 11 has ONLY common terms
+        (11, f"apple {filler} common", "web", "en", 30),
+        # rare term 'elder' once
+        (12, f"elder {filler} common", "web", "en", 30),
+        # no query terms at all
+        (13, f"{filler} common zz yy xx", "web", "en", 30),
+        (14, f"{filler} common qq rr ss", "web", "en", 30),
+    ]
+    d = str(tmp_path / "bm25")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = QUERIES["text_bm25_retrieval"](spark, d).collect()
+    by_rank = {r["rank"]: r for r in out if r["query_id"] == 0}
+    assert set(by_rank) == set(range(1, len(by_rank) + 1))
+    assert by_rank[1]["doc_id"] == 10  # all-terms doc wins
+    got_ids = {r["doc_id"] for r in out}
+    assert 13 not in got_ids and 14 not in got_ids  # zero-overlap docs absent
+    scores = [by_rank[i]["score_u6"] for i in sorted(by_rank)]
+    assert scores == sorted(scores, reverse=True)
+    # idf: 'apple' (df=2) and 'elder' (df=2) tie here, so instead
+    # assert both single-term docs score below the all-terms doc
+    assert by_rank[1]["score_u6"] > max(
+        r["score_u6"] for r in out if r["doc_id"] in (11, 12)
+    )
+
+
+def test_sample_dsir_prefers_target_like_docs(spark, tmp_path):
+    """A non-English doc built from bigrams that dominate the English
+    (target) slice must outscore one built from bigrams that exist
+    only outside it; 'selected' is exactly the top half by (score,
+    doc_id); ranks are a permutation of 1..N."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    en = "alpha beta alpha beta alpha beta alpha beta"
+    rows = [
+        (0, en, "s", "en", 40),
+        (1, en, "s", "en", 40),
+        (2, en, "s", "en", 40),
+        # looks like the target: same bigrams, different lang
+        (10, "alpha beta alpha beta", "s", "fr", 20),
+        # anti-target bigrams, only ever seen outside the en slice
+        (11, "zz qq zz qq", "s", "fr", 20),
+        (12, "zz qq zz qq", "s", "de", 20),
+    ]
+    d = str(tmp_path / "dsir")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = {r["doc_id"]: r for r in QUERIES["sample_dsir"](spark, d).collect()}
+    assert set(out) == {0, 1, 2, 10, 11, 12}
+    assert out[10]["score_u6"] > out[11]["score_u6"]
+    ranks = sorted(r["rank"] for r in out.values())
+    assert ranks == list(range(1, 7))
+    n_sel = sum(r["selected"] for r in out.values())
+    assert n_sel == 3  # floor(6/2)
+    sel_ranks = {r["rank"] for r in out.values() if r["selected"] == 1}
+    assert sel_ranks == {1, 2, 3}
+    # target-alike doc must make the cut; anti-target docs must not
+    assert out[10]["selected"] == 1
+    assert out[11]["selected"] == 0 and out[12]["selected"] == 0
+
+
+def test_rag_retrieval_points_at_the_right_span(spark, tmp_path):
+    """The top chunk for a query must be the span holding the query
+    terms, with provenance (token_start) identifying WHERE in the long
+    document the match lives — not just which document."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    filler = " ".join(f"pad{i % 37}" for i in range(96))
+    # 96 filler tokens then the payload → payload tokens live at
+    # offsets 96.. ; chunks start at 0/48/96 so chunk_id=2 holds it
+    payload = "apple banana cherry date elder"
+    rows = [
+        (0, payload + " question words here", "q", "en", 30),
+        (10, f"{filler} {payload}", "web", "en", 400),
+        (11, filler + " unrelated tail words", "web", "en", 400),
+    ]
+    d = str(tmp_path / "rag")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = [
+        r
+        for r in QUERIES["pipeline_rag_retrieval"](spark, d).collect()
+        if r["query_id"] == 0
+    ]
+    assert out, "query 0 returned no chunks"
+    top = min(out, key=lambda r: r["rank"])
+    assert top["doc_id"] == 10
+    assert top["token_start"] == 96
+    assert all(r["doc_id"] != 11 for r in out)

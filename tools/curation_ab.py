@@ -1,0 +1,115 @@
+"""One-off A/B: committed (text-carrying) vs slim curation pipeline.
+
+    python tools/curation_ab.py [n_docs] [git_rev]
+
+Builds the SAME non-degenerate 5M-doc corpus as tools/r8op_stress.py
+(stopwords present so the Gopher floor passes real rows), extracts the
+`git_rev` (default HEAD) version of q_pipeline_curation_full from git,
+and times old/new interleaved twice in one session — the only protocol
+under which a wall-clock delta on this host is believable (NOTES.md
+jitter rule).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def build_corpus(spark, tmp, n_docs):
+    cut = int(n_docs * 0.99)
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                f"CASE WHEN id >= {cut} THEN id - {cut} ELSE id END"
+            ).alias("eff"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "array_join(transform(sequence(1, 30), i -> "
+                "CASE WHEN abs(xxhash64(eff * 31 + i)) % 7 = 0 THEN "
+                "element_at(array('the','a','of','and','to'), "
+                "cast(abs(xxhash64(eff * 53 + i)) % 5 as int) + 1) "
+                "ELSE concat('w', cast(abs(xxhash64(eff * 31 + i)) "
+                "% 1000 as string)) END), ' ')"
+            ).alias("text"),
+            F.expr(
+                "CASE WHEN abs(xxhash64(doc_id * 13)) % 100 < 70 "
+                "THEN 'web' WHEN abs(xxhash64(doc_id * 13)) % 100 < 95 "
+                "THEN 'news' ELSE 'books' END"
+            ).alias("source"),
+            F.lit("en").alias("lang"),
+        )
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+
+
+def old_fn(rev):
+    src = subprocess.run(
+        ["git", "show", f"{rev}:vfs_spark/queries/text.py"],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ).stdout
+    import vfs_spark.queries.text as textmod
+
+    ns = dict(vars(textmod))
+    lines = src.splitlines()
+    start = next(
+        i for i, l in enumerate(lines)
+        if l.startswith("def q_pipeline_curation_full")
+    )
+    end = next(
+        (
+            i
+            for i in range(start + 1, len(lines))
+            if lines[i].startswith(("def ", "@", "_register", "QUERIES"))
+        ),
+        len(lines),
+    )
+    exec("\n".join(lines[start:end]), ns)
+    return ns["q_pipeline_curation_full"]
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    rev = sys.argv[2] if len(sys.argv) > 2 else "HEAD"
+
+    from vfs_spark.session import get_spark
+    from vfs_spark.queries import QUERIES
+
+    spark = get_spark("curation-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".curation_ab_tmp",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        build_corpus(spark, tmp, n_docs)
+        variants = {"old": old_fn(rev), "new": QUERIES["pipeline_curation_full"]}
+        for rnd in (1, 2):
+            for name, fn in variants.items():
+                t0 = time.time()
+                n = fn(spark, tmp).count()
+                print(
+                    f"round{rnd} {name:4s} {time.time() - t0:8.2f}s rows={n}",
+                    flush=True,
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

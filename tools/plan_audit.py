@@ -61,6 +61,17 @@ EXPECTED = {
     # contamination distinct, source totals) — each documented at its
     # standalone slug
     "text_tfidf_top_terms": {"bnlj", "many"},
+    # BM25: 1-row (n_docs, avgdl) scalar attach; exchanges are the
+    # query-term-restricted postings aggregate + per-query score sum
+    # + the WindowGroupLimit top-k — all key-only, text never shuffles:
+    "text_bm25_retrieval": {"bnlj", "many"},
+    # chunk-granularity BM25: same scalar attach + key-only exchanges
+    # (postings agg over (doc,chunk,term), df agg, score agg, top-k):
+    "pipeline_rag_retrieval": {"bnlj", "many"},
+    # DSIR: two 1-row attaches (model totals, doc count) + the ranged
+    # two-pass ranker's range exchange; shuffles carry (bucket,count)
+    # cells and (id, score) rows only:
+    "sample_dsir": {"bnlj", "many"},
     "text_vocab_coverage": {"bnlj", "many"},
     # banded dedup: one exchange per band/table of 8-byte keys — the
     # sub-quadratic trade documented in SCALE.md (keys move, text doesn't):

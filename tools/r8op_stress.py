@@ -60,10 +60,16 @@ def main() -> None:
             )
             .select(
                 "doc_id",
+                # ~1 token in 7 is a stopword so the Gopher stopword
+                # floor (and therefore the composed pipeline) is
+                # non-degenerate on this corpus
                 F.expr(
                     "array_join(transform(sequence(1, 30), i -> "
-                    "concat('w', cast(abs(xxhash64(eff * 31 + i)) % 1000 "
-                    "as string))), ' ')"
+                    "CASE WHEN abs(xxhash64(eff * 31 + i)) % 7 = 0 THEN "
+                    "element_at(array('the','a','of','and','to'), "
+                    "cast(abs(xxhash64(eff * 53 + i)) % 5 as int) + 1) "
+                    "ELSE concat('w', cast(abs(xxhash64(eff * 31 + i)) "
+                    "% 1000 as string)) END), ' ')"
                 ).alias("text"),
                 F.expr(
                     "CASE WHEN abs(xxhash64(doc_id * 13)) % 100 < 70 "
@@ -116,6 +122,20 @@ def main() -> None:
         timed(
             f"pipeline_curation_full {k}",
             lambda: QUERIES["pipeline_curation_full"](spark, tmp).count(),
+        )
+        timed(
+            f"text_bm25_retrieval {k}",
+            lambda: QUERIES["text_bm25_retrieval"](spark, tmp).count(),
+        )
+        timed(
+            f"sample_dsir {k}",
+            lambda: QUERIES["sample_dsir"](spark, tmp)
+            .agg(F.sum("selected"))
+            .first()[0],
+        )
+        timed(
+            f"pipeline_rag_retrieval {k}",
+            lambda: QUERIES["pipeline_rag_retrieval"](spark, tmp).count(),
         )
         print({"n_docs": n_docs, "times": times})
     finally:

@@ -3051,16 +3051,24 @@ def q_pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     the earlier stages, against a half-corpus token budget). Output:
     the loader manifest (doc_id, source, n_tokens).
 
-    Composition preserves each stage's scale shape: URL norm, rule
-    HOFs, fingerprint, token count, and the selection hash all
-    evaluate in the scan stage; the two keep-min dedups are key-only
-    shuffles (canonical URL / fingerprint) with map-side MIN plus an
-    id join-back; the eval shingle set and the per-source cutoffs
-    broadcast; contamination is ids-only. Document TEXT never
-    shuffles at any stage — the property that holds at 100 TB.
-    Mixture weights follow sample_temperature's exact-arithmetic
-    discipline (sqrt is IEEE-correctly-rounded; integer micro-unit
-    normalizer), so the composed oracle stays bit-stable."""
+    Composition preserves each stage's scale shape, and the composed
+    plan is deliberately SLIM: every per-doc signal the pipeline ever
+    needs downstream (canonical URL, fingerprint, token count, the
+    five rule fractions, the selection hash) is computed ONCE in the
+    scan stage and the text column is dropped right there, so the two
+    keep-min dedups, the contamination anti-join, and the mixture join
+    move only (id, key, small-int) rows — at 100 TB the winners tables
+    are NOT broadcastable, so a text-bearing join-back would reshuffle
+    the corpus; this shape never does. Contamination ids are computed
+    against the RAW corpus scan (a superset of the survivors — the
+    anti-join result is identical, and it keeps the shingle explode in
+    the scan stage instead of joining survivor ids into it). The eval
+    shingle set and per-source cutoffs broadcast. Mixture weights
+    follow sample_temperature's exact-arithmetic discipline (sqrt is
+    IEEE-correctly-rounded; integer micro-unit normalizer), so the
+    composed oracle stays bit-stable."""
+    from pyspark.sql.window import Window
+
     from vfs_spark.functions.text import normalize_url
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
@@ -3075,9 +3083,8 @@ def q_pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("sym_frac") <= 0.1)
         & (F.col("distinct_frac") >= 0.3)
     )
-    base = docs.select(
+    slim = docs.select(
         "doc_id",
-        "text",
         "source",
         normalize_url(_synth_url_col()).alias("u"),
         fingerprint("text").alias("fp"),
@@ -3100,12 +3107,32 @@ def q_pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.array_distinct(toks)).cast("double") / n).alias(
             "distinct_frac"
         ),
+        (
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+            % 1000000
+        ).alias("h"),
     )
-    url_winners = base.groupBy("u").agg(F.min("doc_id").alias("doc_id"))
-    u1 = base.join(url_winners, ["u", "doc_id"])
-    q1 = u1.where(pass_q).select("doc_id", "text", "source", "fp", "n_tokens")
-    fp_winners = q1.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    d1 = q1.join(fp_winners, ["fp", "doc_id"])
+    # Both keep-min dedups are row_number()==1 windows, NOT
+    # aggregate + join-back: Catalyst plans them as WindowGroupLimit
+    # with a PARTIAL map-side prune below the exchange (the
+    # sample_source_cap lesson, NOTES.md), so each is ONE shuffle of
+    # slim rows with per-reducer input bounded even on a megadomain
+    # hot key — and, critically, the heavy scan projection evaluates
+    # exactly once (the agg+join-back twin references `slim` from two
+    # DAG branches and re-runs the Gopher HOFs per branch; measured
+    # 87 s vs 56 s at 5M docs for the window form, tools/curation_ab.py).
+    wu = Window.partitionBy("u").orderBy("doc_id")
+    q1 = (
+        slim.withColumn("rn", F.row_number().over(wu))
+        .where((F.col("rn") == 1) & pass_q)
+        .select("doc_id", "source", "fp", "n_tokens", "h")
+    )
+    wf = Window.partitionBy("fp").orderBy("doc_id")
+    d1 = (
+        q1.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
     ev = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 10)
@@ -3113,19 +3140,17 @@ def q_pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     contaminated = (
-        d1.select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
+        docs.select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
         .join(F.broadcast(ev), "g")
         .select("doc_id")
         .distinct()
     )
-    d2 = d1.join(contaminated, "doc_id", "left_anti").select(
-        "doc_id",
-        "source",
-        F.col("n_tokens").alias("n"),
-        (
-            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
-            % 1000000
-        ).alias("h"),
+    # d2 feeds both the mixture totals and the final selection —
+    # checkpoint so the contamination explode runs exactly once.
+    d2 = (
+        d1.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", F.col("n_tokens").alias("n"), "h")
+        .localCheckpoint()
     )
     tot = d2.groupBy("source").agg(
         F.sum("n").cast("bigint").alias("src_tokens")
@@ -3160,4 +3185,449 @@ def q_pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2.join(F.broadcast(cut), "source")
         .where(F.col("h") < F.col("cutoff"))
         .select("doc_id", "source", F.col("n").alias("n_tokens"))
+    )
+
+
+@query(
+    "text_bm25_retrieval",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id >= 8
+),
+q AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(({_TOKS})[1:5]) AS term
+  FROM documents WHERE doc_id < 8
+),
+postings AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(MAX(dl) AS BIGINT) AS dl
+  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM corpus)
+  WHERE term IN (SELECT term FROM q)
+  GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM postings GROUP BY term
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM corpus
+),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(ROUND(
+           (1000000.0
+            * LN(1 + CAST(2 * (n_docs - df) + 1 AS DOUBLE)
+                     / CAST(2 * df + 1 AS DOUBLE))
+            * (22 * tf))
+           / (10 * tf + 3 + (9 * dl) / avgdl), 0) AS BIGINT)) AS BIGINT)
+           AS score_u6
+  FROM postings JOIN q USING (term) JOIN dfs USING (term), stats
+  GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, score_u6
+FROM (SELECT query_id, doc_id, score_u6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_u6 DESC, doc_id) AS rnk
+      FROM scored)
+WHERE rnk <= 10
+""",
+)
+def q_text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BM25 top-10 retrieval (k1=1.2, b=0.75) — the
+    lexical-search operator the reference's vector engine pairs with
+    in a RAG stack (reference serves only vector search,
+    /root/reference/vfs/src/vfs/tcp.rs; BM25 is the ⊕ lexical twin).
+    Queries are the first 5 tokens of docs 0-7; the corpus is every
+    other document. No inverted index is materialized: the postings
+    list is an explode + group-by restricted IN-SCAN-STAGE to query
+    terms via a broadcast semi-join, so only matching postings ever
+    shuffle — at 100 TB the shuffle is |query terms| x docs-containing,
+    not the corpus. df and the corpus stats are tiny aggregates that
+    broadcast back; per-(query,doc) scores are one map-side-combined
+    SUM; top-10 per query is a rank window Catalyst executes as
+    WindowGroupLimit (partial per-mapper prune). Float discipline:
+    the BM25 idf is LN of one exact-integer rational
+    ((2(N-df)+1)/(2df+1)) and the tf normalizer's constants are
+    scaled integral (22*tf / (10*tf + 3 + 9*dl/avgdl)), so each term
+    contributes one ln + two divisions rounded ONCE to integer
+    micro-units — the per-term-round discipline that keeps the
+    cross-engine sum exact (NOTES.md float policy)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    corpus = docs.where(F.col("doc_id") >= 8)
+    qt = (
+        docs.where(F.col("doc_id") < 8)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(F.slice(tokens("text"), 1, 5))).alias(
+                "term"
+            ),
+        )
+        .distinct()
+    )
+    postings = (
+        corpus.select(
+            "doc_id",
+            F.size(tokens("text")).alias("dl"),
+            F.explode(tokens("text")).alias("term"),
+        )
+        .join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count("*").cast("bigint").alias("tf"),
+            F.max("dl").cast("bigint").alias("dl"),
+        )
+    )
+    dfs = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    stats = corpus.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum(F.size(tokens("text"))).cast("double") / F.count("*")).alias(
+            "avgdl"
+        ),
+    )
+    term_u6 = F.round(
+        (
+            F.lit(1000000.0)
+            * F.log(
+                1
+                + (2 * (F.col("n_docs") - F.col("df")) + 1).cast("double")
+                / (2 * F.col("df") + 1).cast("double")
+            )
+            * (22 * F.col("tf"))
+        )
+        / (10 * F.col("tf") + 3 + (9 * F.col("dl")) / F.col("avgdl")),
+        0,
+    ).cast("bigint")
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", term_u6.alias("term_u6"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_u6").cast("bigint").alias("score_u6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", F.col("rank").cast("int"), "doc_id", "score_u6")
+    )
+
+
+@query(
+    "sample_dsir",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(bigram), 1, 8)) AS BIGINT) % 256 AS b
+  FROM (SELECT doc_id, lang, unnest([array_to_string(t[i:i+1], ' ')
+               FOR i IN range(1, len(t))]) AS bigram FROM toks)
+  WHERE bigram <> ''
+),
+model AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+  FROM bg GROUP BY b
+),
+tots AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS t_tot, CAST(SUM(cr) AS BIGINT) AS r_tot
+  FROM model
+),
+lr AS (
+  SELECT g.b,
+         CAST(ROUND(1000000.0 * LN(
+           (CAST(COALESCE(m.ct, 0) + 1 AS DOUBLE) * (r_tot + 256))
+           / (CAST(COALESCE(m.cr, 0) + 1 AS DOUBLE) * (t_tot + 256))), 0)
+           AS BIGINT) AS lr_u6
+  FROM (SELECT unnest(range(256)) AS b) g
+  LEFT JOIN model m ON g.b = m.b, tots
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(lr_u6) AS BIGINT) AS score_u6
+  FROM bg JOIN lr USING (b) GROUP BY doc_id
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM scored)
+SELECT doc_id, n_bigrams, score_u6,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_u6 DESC, doc_id) AS BIGINT)
+         AS rank,
+       CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY score_u6 DESC, doc_id)
+                      <= n_docs // 2 THEN 1 ELSE 0 END AS INTEGER)
+         AS selected
+FROM scored, n
+""",
+)
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    importance-resample the corpus toward a target distribution using
+    hashed-n-gram bag models. Target = the English slice; features =
+    word bigrams hashed into 256 buckets (md5-int — the engine-neutral
+    string hash, NOTES.md). Both bucket models fit in ONE explode pass
+    (cr and the FILTERed ct come from the same 256-cell map-side
+    aggregate; the totals are an agg over that 256-row table, never a
+    second corpus pass). Per-bucket log-likelihood-ratios are rounded
+    ONCE to integer micro-units, so every per-doc score is an EXACT
+    int64 sum — the per-term-round float discipline; the only floats
+    are 256 LN calls on the driver-sized model table. Scoring is a
+    second explode pass joined to the broadcast 256-row ratio table.
+    Selection keeps the top half by (score, doc_id) via the
+    range-partitioned two-pass ranker (assign_dense_ids_ranged) — no
+    single-partition window at any stage, so the op holds at 100 TB
+    where the paper's offline reservoir would not. Deterministic
+    top-k selection replaces the paper's Gumbel noise: reproducible
+    manifests beat sampled ones for training-data lineage."""
+    from vfs_spark.operators.ids import assign_dense_ids_ranged
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = tokens("text")
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    bigrams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    bg = (
+        docs.select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+        .where(F.col("bigram") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+                % 256
+            ).alias("b"),
+        )
+    )
+    model = bg.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("cr"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("ct"),
+    )
+    tots = model.agg(
+        F.sum("ct").cast("bigint").alias("t_tot"),
+        F.sum("cr").cast("bigint").alias("r_tot"),
+    )
+    lr = (
+        spark.range(256)
+        .select(F.col("id").alias("b"))
+        .join(model, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.lit(1000000.0)
+                * F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        * (F.col("r_tot") + 256)
+                    )
+                    / (
+                        (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+                        * (F.col("t_tot") + 256)
+                    )
+                ),
+                0,
+            )
+            .cast("bigint")
+            .alias("lr_u6"),
+        )
+    )
+    scored = (
+        bg.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("lr_u6").cast("bigint").alias("score_u6"),
+        )
+    )
+    ranked = assign_dense_ids_ranged(
+        scored.withColumn("neg", -F.col("score_u6")),
+        ["neg", "doc_id"],
+        id_name="rank",
+    ).drop("neg")
+    n = scored.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n_bigrams",
+        "score_u6",
+        F.col("rank").cast("bigint"),
+        F.when(F.col("rank") <= F.floor(F.col("n_docs") / 2), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("selected"),
+    )
+
+
+@query(
+    "pipeline_rag_retrieval",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id >= 8
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+         CAST(i * 48 AS INTEGER) AS token_start,
+         t[i*48+1 : i*48+64] AS ct
+  FROM toks,
+       UNNEST(generate_series(0, CAST((len(t) - 1) // 48 AS BIGINT))) AS g(i)
+),
+q AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(({_TOKS})[1:5]) AS term
+  FROM documents WHERE doc_id < 8
+),
+postings AS (
+  SELECT doc_id, chunk_id, token_start, term,
+         CAST(COUNT(*) AS BIGINT) AS tf, CAST(MAX(dl) AS BIGINT) AS dl
+  FROM (SELECT doc_id, chunk_id, token_start, len(ct) AS dl,
+               unnest(ct) AS term FROM chunks)
+  WHERE term IN (SELECT term FROM q)
+  GROUP BY doc_id, chunk_id, token_start, term
+),
+dfs AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(len(ct)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM chunks
+),
+scored AS (
+  SELECT query_id, doc_id, chunk_id, token_start,
+         CAST(SUM(CAST(ROUND(
+           (1000000.0
+            * LN(1 + CAST(2 * (n_chunks - df) + 1 AS DOUBLE)
+                     / CAST(2 * df + 1 AS DOUBLE))
+            * (22 * tf))
+           / (10 * tf + 3 + (9 * dl) / avgdl), 0) AS BIGINT)) AS BIGINT)
+           AS score_u6
+  FROM postings JOIN q USING (term) JOIN dfs USING (term), stats
+  GROUP BY query_id, doc_id, chunk_id, token_start
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, chunk_id,
+       token_start, score_u6
+FROM (SELECT query_id, doc_id, chunk_id, token_start, score_u6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_u6 DESC, doc_id, chunk_id)
+               AS rnk
+      FROM scored)
+WHERE rnk <= 5
+""",
+)
+def q_pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval composed end-to-end at CHUNK granularity: the
+    text_chunk_provenance grid (64-token chunks, 48 stride) scored
+    with text_bm25_retrieval's BM25 (k1=1.2, b=0.75) and returned as
+    top-5 chunks per query WITH provenance (doc_id, chunk_id,
+    token_start) — what a retrieval-augmented consumer actually
+    ingests: spans it can cite, not whole documents. The chunk
+    explode and the token explode both run inside the scan stage
+    (rows multiply ~1.33x token-count before the broadcast semi-join
+    on query terms cuts them to matching postings), so the shuffle is
+    again |query terms| x matching-chunks — chunk TEXT is never
+    materialized at all here, only (ids, offsets, counts). Same
+    integer micro-unit BM25 float discipline as the doc-level op;
+    rank ties break on (doc_id, chunk_id)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    t = docs.where(F.col("doc_id") >= 8).select(
+        "doc_id", tokens("text").alias("t")
+    )
+    c = t.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("(size(t) - 1) div 48"))
+        ).alias("i"),
+    )
+    chunks = c.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_id"),
+        (F.col("i") * 48).cast("int").alias("token_start"),
+        F.expr("slice(t, i*48 + 1, 64)").alias("ct"),
+    )
+    qt = (
+        docs.where(F.col("doc_id") < 8)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(F.slice(tokens("text"), 1, 5))).alias(
+                "term"
+            ),
+        )
+        .distinct()
+    )
+    postings = (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            "token_start",
+            F.size("ct").alias("dl"),
+            F.explode("ct").alias("term"),
+        )
+        .join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("doc_id", "chunk_id", "token_start", "term")
+        .agg(
+            F.count("*").cast("bigint").alias("tf"),
+            F.max("dl").cast("bigint").alias("dl"),
+        )
+    )
+    dfs = postings.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    stats = chunks.agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        (F.sum(F.size("ct")).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    term_u6 = F.round(
+        (
+            F.lit(1000000.0)
+            * F.log(
+                1
+                + (2 * (F.col("n_chunks") - F.col("df")) + 1).cast("double")
+                / (2 * F.col("df") + 1).cast("double")
+            )
+            * (22 * F.col("tf"))
+        )
+        / (10 * F.col("tf") + 3 + (9 * F.col("dl")) / F.col("avgdl")),
+        0,
+    ).cast("bigint")
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id", "chunk_id", "token_start",
+            term_u6.alias("term_u6"),
+        )
+        .groupBy("query_id", "doc_id", "chunk_id", "token_start")
+        .agg(F.sum("term_u6").cast("bigint").alias("score_u6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u6").desc(), F.col("doc_id").asc(), F.col("chunk_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("rank").cast("int"),
+            "doc_id",
+            "chunk_id",
+            "token_start",
+            "score_u6",
+        )
     )
