@@ -194,6 +194,9 @@ BENCH_QUERIES = [
     "text_bm25_retrieval",
     "sample_dsir",
     "pipeline_rag_retrieval",
+    "sample_weighted",
+    "dedup_incremental",
+    "corpus_snapshot_diff",
 ]
 
 # Registry slugs deliberately NOT in the timed suite — every exclusion

@@ -954,3 +954,97 @@ def test_rag_retrieval_points_at_the_right_span(spark, tmp_path):
     assert top["doc_id"] == 10
     assert top["token_start"] == 96
     assert all(r["doc_id"] != 11 for r in out)
+
+
+def test_sample_weighted_key_and_determinism(spark, tmp_path):
+    """The A-ES key must equal round(1e6 * ln((h+1)/2^33rational)/w)
+    computed independently in Python for a known doc; ranks are
+    contiguous from 1 in non-increasing key order; and the sample is
+    identical across runs (content-hash randomness, no RNG state)."""
+    import hashlib
+    import math
+
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    rows = [
+        (i, f"tok{i} " * (i + 1) + "tail", "s", "en", 30) for i in range(20)
+    ]
+    d = str(tmp_path / "wsamp")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = QUERIES["sample_weighted"](spark, d).collect()
+    assert len(out) == 20  # k=100 > N -> everything sampled, ranked
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert [r["rank"] for r in by_rank] == list(range(1, 21))
+    keys = [r["key_u6"] for r in by_rank]
+    assert keys == sorted(keys, reverse=True)
+
+    # pin the key formula for doc 0 against an independent computation
+    text = rows[0][1]
+    w = max(len(text.lower().strip().split(" ")), 1)
+    h = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+    expect = round(1e6 * math.log((h + 1) / 4294967297.0) / w)
+    got = next(r["key_u6"] for r in out if r["doc_id"] == 0)
+    assert got == expect
+
+    again = {(r["doc_id"], r["rank"]) for r in QUERIES["sample_weighted"](spark, d).collect()}
+    assert {(r["doc_id"], r["rank"]) for r in out} == again
+
+
+def test_dedup_incremental_verdicts(spark, tmp_path):
+    """Planted batch: a history dup gets 'dup_of_history' (even though
+    it also dups in-batch — history wins), the second in-batch copy
+    gets 'dup_in_batch', a fresh doc gets 'unique'; history docs never
+    appear in the output."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    rows = [
+        (3, "seen before text", "s", "en", 20),      # history
+        (7, "only in history", "s", "en", 20),       # history
+        (10, "seen before text", "s", "en", 20),     # batch: dup_of_history
+        (20, "batch twin text", "s", "en", 20),      # batch: unique (first)
+        (30, "batch twin text", "s", "en", 20),      # batch: dup_in_batch
+        (40, "genuinely fresh words", "s", "en", 20),  # batch: unique
+    ]
+    d = str(tmp_path / "incr")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = {r["doc_id"]: r["verdict"] for r in QUERIES["dedup_incremental"](spark, d).collect()}
+    assert out == {
+        10: "dup_of_history",
+        20: "unique",
+        30: "dup_in_batch",
+        40: "unique",
+    }
+
+
+def test_corpus_snapshot_diff_all_states(spark, tmp_path):
+    """One planted id per diff state: 3 (dropped from old) -> added,
+    10 (revised in new) -> changed, 18 (18%13=5, dropped from new) ->
+    removed, 1 -> unchanged, 135 (3 mod 11 AND 5 mod 13) -> absent."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    rows = [
+        (1, "stable text", "s", "en", 20),
+        (3, "late arrival", "s", "en", 20),
+        (10, "will be revised", "s", "en", 20),
+        (18, "will be dropped", "s", "en", 20),
+        (135, "in neither snapshot", "s", "en", 20),
+    ]
+    d = str(tmp_path / "snapdiff")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = {r["doc_id"]: r["status"] for r in QUERIES["corpus_snapshot_diff"](spark, d).collect()}
+    assert out == {1: "unchanged", 3: "added", 10: "changed", 18: "removed"}

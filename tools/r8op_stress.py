@@ -111,9 +111,15 @@ def main() -> None:
             return {r["source"]: r["count"] for r in kept}
 
         timed(f"sample_temperature {k}", _temperature)
+        # sum a HITS column, not count(): the report's zero-fill LEFT
+        # JOIN preserves the 10-row eval count, so under count() Catalyst
+        # eliminates the join and the corpus explode never runs — the
+        # r8 SCALE row recorded that way measured nothing.
         timed(
             f"decontaminate_report {k}",
-            lambda: QUERIES["decontaminate_report"](spark, tmp).count(),
+            lambda: QUERIES["decontaminate_report"](spark, tmp)
+            .agg(F.sum("n_shared_shingles"))
+            .first()[0],
         )
         timed(
             f"text_chunk_provenance {k}",
@@ -136,6 +142,24 @@ def main() -> None:
         timed(
             f"pipeline_rag_retrieval {k}",
             lambda: QUERIES["pipeline_rag_retrieval"](spark, tmp).count(),
+        )
+        timed(
+            f"sample_weighted {k}",
+            lambda: QUERIES["sample_weighted"](spark, tmp).count(),
+        )
+        timed(
+            f"dedup_incremental {k}",
+            lambda: QUERIES["dedup_incremental"](spark, tmp)
+            .groupBy("verdict")
+            .count()
+            .collect(),
+        )
+        timed(
+            f"corpus_snapshot_diff {k}",
+            lambda: QUERIES["corpus_snapshot_diff"](spark, tmp)
+            .groupBy("status")
+            .count()
+            .collect(),
         )
         print({"n_docs": n_docs, "times": times})
     finally:

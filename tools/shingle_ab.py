@@ -1,0 +1,132 @@
+"""One-off A/B: string 5-shingle contamination vs hashed-int variants.
+
+    python tools/shingle_ab.py [n_docs]
+
+Same non-degenerate corpus as tools/r8op_stress.py. Times, interleaved
+twice in one session (NOTES.md jitter rule):
+
+  A  explode(word_shingles(text,5)) -> broadcast join on string g
+  B  per-token xxhash64 once, shingle = xxhash64(5 token-hash bigints)
+     -> broadcast join on bigint g
+  C  as B but membership via isin against a collected eval literal
+     (no join at all)
+
+All three count DISTINCT contaminated doc_ids so the action cannot be
+join-eliminated.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tools.curation_ab import build_corpus
+
+
+def shingle_hashes(text, k=5):
+    from vfs_spark.functions.text import tokens
+
+    toks = tokens(text)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    return F.when(
+        F.size(toks) < k, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(th, i + j) for j in range(k)]
+                ),
+            )
+        )
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+
+    from vfs_spark.session import get_spark
+    from vfs_spark.functions.text import word_shingles
+
+    spark = get_spark("shingle-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".shingle_ab_tmp",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        build_corpus(spark, tmp, n_docs)
+        docs = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
+
+        def run_a():
+            ev = (
+                docs.where(F.col("doc_id") < 10)
+                .select(F.explode(word_shingles("text", 5)).alias("g"))
+                .distinct()
+            )
+            return (
+                docs.select(
+                    "doc_id", F.explode(word_shingles("text", 5)).alias("g")
+                )
+                .join(F.broadcast(ev), "g")
+                .select("doc_id")
+                .distinct()
+                .count()
+            )
+
+        def run_b():
+            ev = (
+                docs.where(F.col("doc_id") < 10)
+                .select(F.explode(shingle_hashes("text", 5)).alias("g"))
+                .distinct()
+            )
+            return (
+                docs.select(
+                    "doc_id", F.explode(shingle_hashes("text", 5)).alias("g")
+                )
+                .join(F.broadcast(ev), "g")
+                .select("doc_id")
+                .distinct()
+                .count()
+            )
+
+        def run_c():
+            lits = [
+                r["g"]
+                for r in docs.where(F.col("doc_id") < 10)
+                .select(F.explode(shingle_hashes("text", 5)).alias("g"))
+                .distinct()
+                .collect()
+            ]
+            return (
+                docs.select(
+                    "doc_id", F.explode(shingle_hashes("text", 5)).alias("g")
+                )
+                .where(F.col("g").isin(lits))
+                .select("doc_id")
+                .distinct()
+                .count()
+            )
+
+        for rnd in (1, 2):
+            for name, fn in (("A-str", run_a), ("B-hash", run_b), ("C-isin", run_c)):
+                t0 = time.time()
+                out = fn()
+                print(
+                    f"round{rnd} {name:8s} {time.time() - t0:8.2f}s -> {out}",
+                    flush=True,
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

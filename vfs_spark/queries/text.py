@@ -3631,3 +3631,182 @@ def q_pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_u6",
         )
     )
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(GREATEST(len({_TOKS}), 1) AS BIGINT) AS weight,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, weight,
+         CAST(ROUND(1000000.0 * LN((h + 1) / 4294967297.0) / weight, 0)
+              AS BIGINT) AS key_u6
+  FROM t
+)
+SELECT doc_id, weight, key_u6, CAST(rnk AS INTEGER) AS rank
+FROM (SELECT doc_id, weight, key_u6,
+             ROW_NUMBER() OVER (ORDER BY key_u6 DESC, doc_id) AS rnk
+      FROM keyed)
+WHERE rnk <= 100
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (k=100, weight = token
+    count): Efraimidis-Spirakis A-ES (Inf. Proc. Letters 97(5), 2006)
+    — each doc draws u from a content-hash (md5 prefix -> exact
+    rational in (0,1), the sample_stable_split discipline, so the
+    sample is stable across runs/engines/partitionings), keyed by
+    ln(u)/w; the k largest keys ARE a weighted sample without
+    replacement. This is the op that picks a fair eval/inspection
+    subset where long docs count proportionally to their token mass.
+    Scale: key is a scan-stage projection; top-k runs as
+    TakeOrderedAndProject (per-partition heap of k, merge of k·P rows
+    on the driver — no global sort, no single-partition window); the
+    rank window after the limit touches exactly k rows. Float
+    discipline: u = (h+1)/2^32+1 is one correctly-rounded division,
+    the key is one LN and one division rounded ONCE to integer
+    micro-units (the BM25/DSIR per-term-round rule)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    w = F.greatest(F.size(tokens("text")), F.lit(1)).cast("bigint")
+    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    keyed = (
+        docs.select("doc_id", w.alias("weight"), h.alias("_h"))
+        .select(
+            "doc_id",
+            "weight",
+            F.round(
+                F.lit(1000000.0)
+                * F.log((F.col("_h") + 1) / F.lit(4294967297.0))
+                / F.col("weight"),
+                0,
+            )
+            .cast("bigint")
+            .alias("key_u6"),
+        )
+    )
+    top = keyed.orderBy(F.col("key_u6").desc(), F.col("doc_id").asc()).limit(
+        100
+    )
+    rw = Window.orderBy(F.col("key_u6").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(rw).cast("int"))
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+WITH fps AS (SELECT doc_id, {_FP} AS fp FROM documents),
+hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 <> 0),
+batch AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 0),
+ranked AS (
+  SELECT doc_id, fp,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM batch
+)
+SELECT r.doc_id, r.fp,
+       CASE WHEN h.fp IS NOT NULL THEN 'dup_of_history'
+            WHEN r.rn > 1 THEN 'dup_in_batch'
+            ELSE 'unique' END AS verdict
+FROM ranked r LEFT JOIN hist h ON r.fp = h.fp
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the snapshot-over-snapshot form every
+    crawl-fed pipeline actually runs: dedup the NEW batch (doc_id %
+    10 = 0 stands in for this month's crawl) against the accumulated
+    HISTORY fingerprint set (the rest) AND within itself, with a
+    3-way verdict per new doc (dup_of_history / dup_in_batch /
+    unique; history wins when both hold, matching "drop it either
+    way" semantics with the more actionable label). Scale: both
+    sides' fingerprints are scan-stage projections; history reduces
+    to DISTINCT fp (map-side combine) BEFORE the join, so the join
+    moves (fp) keys only — at 100 TB history this is the sort-merge
+    join on fp you want, and the within-batch window is one
+    fp-keyed shuffle of (fp, id) pairs. Text never shuffles."""
+    from pyspark.sql.window import Window
+
+    fps = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    hist = (
+        fps.where(F.col("doc_id") % 10 != 0)
+        .select("fp")
+        .distinct()
+        .withColumn("_in_hist", F.lit(1))
+    )
+    batch = fps.where(F.col("doc_id") % 10 == 0)
+    rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    return (
+        batch.withColumn("rn", rn)
+        .join(hist, "fp", "left")
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("_in_hist").isNotNull(), "dup_of_history")
+            .when(F.col("rn") > 1, "dup_in_batch")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle=f"""
+WITH old AS (
+  SELECT doc_id, {_FP} AS fp FROM documents WHERE doc_id % 11 <> 3
+),
+new AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           string_split(lower(trim(CASE WHEN doc_id % 5 = 0
+                                        THEN text || ' rev2 marker'
+                                        ELSE text END)), ' '))), ' ')) AS fp
+  FROM documents WHERE doc_id % 13 <> 5
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+""",
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the dataset-versioning audit between two corpus
+    releases: per doc_id, added / removed / changed / unchanged, where
+    "changed" means the CONTENT fingerprint moved (not byte identity —
+    a reshuffled-whitespace re-crawl stays "unchanged", the property
+    curation lineage wants). The two snapshots are synthesized from
+    the one fixture table (old drops doc_id%11=3, new drops %13=5 and
+    revises %5=0) so the hash compare exercises all four states.
+    Scale: fingerprints are scan-stage projections; the FULL OUTER
+    join on doc_id moves (id, fp) pairs only — with both snapshots
+    stored id-bucketed this is a co-located merge; text never
+    shuffles. The same plan diffs 100 TB snapshots because its
+    shuffle volume is two fingerprint columns, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    old = docs.where(F.col("doc_id") % 11 != 3).select(
+        F.col("doc_id").alias("o_id"), fingerprint("text").alias("o_fp")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2 marker"))
+    ).otherwise(F.col("text"))
+    new = docs.where(F.col("doc_id") % 13 != 5).select(
+        F.col("doc_id").alias("n_id"), fingerprint(new_text).alias("n_fp")
+    )
+    j = old.join(new, old["o_id"] == new["n_id"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("o_id"), F.col("n_id")).alias("doc_id"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_fp") != F.col("n_fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
