@@ -197,6 +197,10 @@ BENCH_QUERIES = [
     "sample_weighted",
     "dedup_incremental",
     "corpus_snapshot_diff",
+    "sample_dsir_fitsample",
+    "dedup_keep_best",
+    "sample_mixture_epochs",
+    "pipeline_hybrid_retrieval",
 ]
 
 # Registry slugs deliberately NOT in the timed suite — every exclusion

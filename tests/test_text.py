@@ -1048,3 +1048,152 @@ def test_corpus_snapshot_diff_all_states(spark, tmp_path):
 
     out = {r["doc_id"]: r["status"] for r in QUERIES["corpus_snapshot_diff"](spark, d).collect()}
     assert out == {1: "unchanged", 3: "added", 10: "changed", 18: "removed"}
+
+
+def test_dsir_fitsample_schema_and_selection(spark, tmp_path):
+    """The fit-sampled twin must keep sample_dsir's exact output
+    contract: same schema, ranks a permutation of 1..N, selected =
+    top floor(N/2) by (score, doc_id), deterministic across runs."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    en = "alpha beta alpha beta alpha beta"
+    rows = [(i, en if i % 2 == 0 else "zz qq zz qq", "s",
+             "en" if i % 2 == 0 else "fr", 30) for i in range(12)]
+    d = str(tmp_path / "dsirfs")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    exact = QUERIES["sample_dsir"](spark, d)
+    twin = QUERIES["sample_dsir_fitsample"](spark, d)
+    assert exact.schema == twin.schema
+    out = twin.collect()
+    assert sorted(r["rank"] for r in out) == list(range(1, 13))
+    sel = sorted(r["rank"] for r in out if r["selected"] == 1)
+    assert sel == list(range(1, 7))
+    # en-bigram docs must still outscore anti-target docs: the model is
+    # fit on a doc-hash sample but the en slice dominates it the same way
+    en_scores = [r["score_u6"] for r in out if r["doc_id"] % 2 == 0]
+    fr_scores = [r["score_u6"] for r in out if r["doc_id"] % 2 == 1]
+    assert min(en_scores) > max(fr_scores)
+    again = {(r["doc_id"], r["rank"]) for r in QUERIES["sample_dsir_fitsample"](spark, d).collect()}
+    assert {(r["doc_id"], r["rank"]) for r in out} == again
+
+
+def test_dedup_keep_best_prefers_quality(spark, tmp_path):
+    """Within a fingerprint group (same token SET), the member with
+    the highest distinct/total ratio wins — not the lowest doc_id;
+    ties break to the lower id; singletons keep themselves."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    rows = [
+        # same token set {a b c}: doc 1 is repetitive (frac 3/6),
+        # doc 2 is clean (frac 3/3) -> 2 wins despite higher id
+        (1, "a b c a b c", "s", "en", 20),
+        (2, "a b c", "s", "en", 20),
+        # tie group: identical text -> equal frac -> min id 10 wins
+        (10, "x y z", "s", "en", 20),
+        (11, "x y z", "s", "en", 20),
+        (20, "alone doc here", "s", "en", 20),
+    ]
+    d = str(tmp_path / "keepbest")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = {r["keep_id"]: r for r in QUERIES["dedup_keep_best"](spark, d).collect()}
+    assert set(out) == {2, 10, 20}
+    assert out[2]["n_docs"] == 2 and out[2]["keep_quality_u6"] == 1000000
+    assert out[10]["n_docs"] == 2
+    assert out[20]["n_docs"] == 1
+
+
+def test_sample_mixture_epochs_exact_plan(spark, tmp_path):
+    """The plan must reproduce the exact integer-arithmetic pipeline:
+    sqrt weights floor-quantized to micro-units, half-corpus budget
+    split by weight share, epochs = target/src rounded once — computed
+    independently in Python."""
+    import math
+
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    rows = [(i, "t " * 9 + "t", "big" if i < 23 else "small", "en", 20)
+            for i in range(24)]
+    d = str(tmp_path / "epochs")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = {r["source"]: r for r in QUERIES["sample_mixture_epochs"](spark, d).collect()}
+    toks = {"big": 230, "small": 10}
+    w6 = {s: math.floor(math.sqrt(n) * 1e6) for s, n in toks.items()}
+    sum_w6, total = sum(w6.values()), sum(toks.values())
+    for s, n in toks.items():
+        target = (w6[s] / sum_w6) * (total * 0.5)
+        assert out[s]["src_tokens"] == n
+        assert out[s]["target_tokens"] == round(target)
+        assert out[s]["epochs_u6"] == round(1e6 * target / n)
+    # the small source repeats (>1 epoch), the big one is subsampled
+    assert out["small"]["epochs_u6"] > 1000000 > out["big"]["epochs_u6"]
+
+
+def test_hybrid_retrieval_fuses_both_modalities(spark, tmp_path):
+    """A doc that is mid-ranked by BOTH rankers must outrank docs that
+    top one list but miss the other entirely (the RRF property), and
+    the rrf score must equal 1/(60+r_lex) + 1/(60+r_vec) recomputed
+    from independently-derived ranks."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    # text: query doc 0 asks for 'apple banana cherry date elder'.
+    # vectors: 4-dim; query vec [1,0,0,0].
+    rows_docs = [
+        (0, "apple banana cherry date elder query tail", "q", "en", 30),
+        # doc 10: strong text match, vector orthogonal to query
+        (10, "apple banana cherry date elder apple banana", "web", "en", 30),
+        # doc 11: weak text match (one term), vector close to query
+        (11, "apple filler words here now", "web", "en", 30),
+        # doc 12: no text match, vector exactly the query
+        (12, "zz yy xx ww vv", "web", "en", 30),
+    ]
+    rows_emb = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (10, [0.0, 1.0, 0.0, 0.0], 0),
+        (11, [0.9, 0.1, 0.0, 0.0], 0),
+        (12, [1.0, 0.0, 0.0, 0.0], 0),
+    ]
+    d = str(tmp_path / "hybrid")
+    spark.createDataFrame(
+        rows_docs,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        rows_emb, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    out = [
+        r
+        for r in QUERIES["pipeline_hybrid_retrieval"](spark, d).collect()
+        if r["query_id"] == 0
+    ]
+    assert out
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == {10, 11, 12}
+    # independently derive ranks: lexical 10 > 11 (12 absent);
+    # vector 12 > 11 > 10 (cos 1.0 > 0.9939 > 0.0)
+    exp = {
+        10: round(1e9 * (1 / 61 + 1 / 63)),
+        11: round(1e9 * (1 / 62 + 1 / 62)),
+        12: round(1e9 * (1 / 61)),
+    }
+    for doc, want in exp.items():
+        assert got[doc]["rrf_u9"] == want, (doc, got[doc]["rrf_u9"], want)
+    # both-list docs beat the single-list doc
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert ranks[12] == max(ranks.values())

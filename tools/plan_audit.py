@@ -27,6 +27,9 @@ NODES = {
     "cartesian": r"CartesianProduct",
     "py": r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas",
     "take_ordered": r"TakeOrderedAndProject",
+    # an eager localCheckpoint truncates lineage, so the audited plan
+    # is only the post-checkpoint stub — marked, not flagged:
+    "ckpt": r"Scan ExistingRDD",
     "global_sort": r"^\s*\*?\(?\d*\)?\s*Sort\b.*\bfalse\b",  # Sort [..], false = global
 }
 
@@ -72,6 +75,14 @@ EXPECTED = {
     # two-pass ranker's range exchange; shuffles carry (bucket,count)
     # cells and (id, score) rows only:
     "sample_dsir": {"bnlj", "many"},
+    # same body with the model fit on a doc-hash sample:
+    "sample_dsir_fitsample": {"bnlj", "many"},
+    # 1-row (sum_w6, total_tokens) scalar attach to the |sources| table:
+    "sample_mixture_epochs": {"bnlj"},
+    # hybrid fusion: the BM25 side's key-only exchanges + the 8-row
+    # query-vector broadcast across the embedding scan + two ranker
+    # windows + the <=20-rows-per-query fusion join:
+    "pipeline_hybrid_retrieval": {"bnlj", "many"},
     "text_vocab_coverage": {"bnlj", "many"},
     # banded dedup: one exchange per band/table of 8-byte keys — the
     # sub-quadratic trade documented in SCALE.md (keys move, text doesn't):
@@ -192,6 +203,8 @@ def audit(sf_dir: str) -> list[dict]:
             flags.append("NESTED-LOOP")
         if counts["exchanges"] > 4 and "many" not in allowed:
             flags.append("MANY-SHUFFLES")
+        if counts.pop("ckpt", 0):
+            flags.append("ckpt-stub")
         rows.append({"query": name, **counts, "flags": ",".join(flags)})
     return rows
 
@@ -208,6 +221,10 @@ def main() -> None:
            "are suspicious unless the query's docstring claims them:",
            "CARTESIAN / PYTHON (an eval node outside the allowlisted Arrow",
            "kernels) / NESTED-LOOP / MANY-SHUFFLES (>4 exchanges).",
+           "The lowercase ckpt-stub marker means the query eagerly",
+           "localCheckpoints mid-plan, so the audited counts cover only",
+           "the POST-checkpoint stub (see the query's docstring for the",
+           "full pipeline shape) — information, not a defect flag.",
            "",
            "| " + " | ".join(cols) + " |",
            "|" + "---|" * len(cols)]
@@ -217,7 +234,7 @@ def main() -> None:
             out.append(f"| {r['query']} | ERROR: {r['error']} |" + " |" * (len(cols) - 2))
             n_flagged += 1
             continue
-        if r["flags"]:
+        if any(f for f in r["flags"].split(",") if f and f[0].isupper()):
             n_flagged += 1
         out.append("| " + " | ".join(str(r.get(c, "")) for c in cols) + " |")
     out.append("")

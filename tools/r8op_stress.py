@@ -161,6 +161,20 @@ def main() -> None:
             .count()
             .collect(),
         )
+        timed(
+            f"sample_dsir_fitsample {k}",
+            lambda: QUERIES["sample_dsir_fitsample"](spark, tmp)
+            .agg(F.sum("selected"))
+            .first()[0],
+        )
+        timed(
+            f"dedup_keep_best {k}",
+            lambda: QUERIES["dedup_keep_best"](spark, tmp).count(),
+        )
+        timed(
+            f"sample_mixture_epochs {k}",
+            lambda: QUERIES["sample_mixture_epochs"](spark, tmp).collect(),
+        )
         print({"n_docs": n_docs, "times": times})
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

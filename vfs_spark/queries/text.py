@@ -3256,6 +3256,20 @@ def q_text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine sum exact (NOTES.md float policy)."""
     from pyspark.sql.window import Window
 
+    scored = _bm25_doc_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", F.col("rank").cast("int"), "doc_id", "score_u6")
+    )
+
+
+def _bm25_doc_scored(spark, sf_dir):
+    """Doc-level BM25 scores (query_id, doc_id, score_u6) — the body
+    shared by text_bm25_retrieval (top-10) and the hybrid fusion."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     corpus = docs.where(F.col("doc_id") >= 8)
     qt = (
@@ -3311,14 +3325,7 @@ def q_text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum("term_u6").cast("bigint").alias("score_u6"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_u6").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("query_id", F.col("rank").cast("int"), "doc_id", "score_u6")
-    )
+    return scored
 
 
 @query(
@@ -3384,6 +3391,13 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the paper's offline reservoir would not. Deterministic
     top-k selection replaces the paper's Gumbel noise: reproducible
     manifests beat sampled ones for training-data lineage."""
+    return _dsir_select(spark, sf_dir, fit_pred=None)
+
+
+def _dsir_select(spark, sf_dir, fit_pred):
+    """Shared DSIR body: ``fit_pred`` (a Column predicate on doc_id)
+    restricts the MODEL-FIT pass; scoring and selection always see
+    the whole corpus."""
     from vfs_spark.operators.ids import assign_dense_ids_ranged
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
@@ -3413,7 +3427,8 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    model = bg.groupBy("b").agg(
+    fit_bg = bg.where(fit_pred) if fit_pred is not None else bg
+    model = fit_bg.groupBy("b").agg(
         F.count("*").cast("bigint").alias("cr"),
         F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("ct"),
     )
@@ -3809,4 +3824,337 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_fp") != F.col("n_fp"), "changed")
         .otherwise("unchanged")
         .alias("status"),
+    )
+
+
+from vfs_spark.queries.registry import ORACLES as _ORACLES  # noqa: E402
+
+_DSIR_FIT_SAMPLE_SQL = (
+    "FROM bg WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 5 = 0 GROUP BY b"
+)
+
+
+@query(
+    "sample_dsir_fitsample",
+    oracle=_ORACLES["sample_dsir"].replace(
+        "FROM bg GROUP BY b", _DSIR_FIT_SAMPLE_SQL
+    ),
+)
+def q_sample_dsir_fitsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR with the MODEL FIT restricted to a deterministic 20%
+    doc-hash sample (md5(doc_id) % 5 = 0 — the engine-neutral md5-int
+    rule, so the twin stays ORACLE-EXACT, not rows-only) while scoring
+    and selection still see every document. This is the production
+    operating point the exact twin's docstring promises: the 256-bucket
+    LLR model is a DISTRIBUTION estimate, so a bounded sample fits it
+    to within sampling noise (the DSIR paper itself fits hashed-ngram
+    models on corpus subsets), and the fit pass — half of
+    sample_dsir's wall, SCALE.md — shrinks by the sample rate. At
+    100 TB the fit side reads 20 TB (or any fixed-rate/fixed-size
+    sample you pick) while the scoring pass stays one full linear
+    explode. Same per-bucket micro-unit rounding, same ranged 2-pass
+    ranker, same output schema as sample_dsir."""
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return _dsir_select(spark, sf_dir, fit_pred=h % 5 == 0)
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_FP} AS fp,
+         CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS frac
+  FROM documents
+),
+r AS (
+  SELECT doc_id, fp, frac,
+         ROW_NUMBER() OVER (PARTITION BY fp
+                            ORDER BY frac DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY fp) AS n
+  FROM t
+)
+SELECT fp, CAST(doc_id AS BIGINT) AS keep_id, CAST(n AS BIGINT) AS n_docs,
+       CAST(ROUND(1000000.0 * frac, 0) AS BIGINT) AS keep_quality_u6
+FROM r WHERE rn = 1
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: per fingerprint group keep the
+    HIGHEST-QUALITY member (lexical-diversity ratio, doc_id
+    tiebreak), not the lowest id — the curation-correct keep rule
+    when near-identical docs differ in cruft (dedup_exact's keep-min
+    is the lineage-stable twin; this is the quality-stable one).
+    Scale: fingerprint and the diversity ratio are scan-stage
+    projections; the rank window shuffles (fp, id, frac) only and
+    Catalyst plans it as WindowGroupLimit (partial per-mapper prune
+    below the exchange — the sample_source_cap lesson), so per-reducer
+    input is bounded even on a hot fingerprint. The quality value is
+    one exact int/int division; both engines order the same doubles,
+    and it is reported rounded ONCE to micro-units."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = tokens("text")
+    t = docs.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "frac"
+        ),
+    )
+    w = Window.partitionBy("fp")
+    rw = Window.partitionBy("fp").orderBy(
+        F.col("frac").desc(), F.col("doc_id").asc()
+    )
+    return (
+        t.select(
+            "doc_id",
+            "fp",
+            "frac",
+            F.row_number().over(rw).alias("rn"),
+            F.count("*").over(w).alias("n"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "fp",
+            F.col("doc_id").cast("bigint").alias("keep_id"),
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round(1000000.0 * F.col("frac"), 0)
+            .cast("bigint")
+            .alias("keep_quality_u6"),
+        )
+    )
+
+
+@query(
+    "sample_mixture_epochs",
+    oracle=f"""
+WITH tot AS (
+  SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, src_tokens,
+         CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS w6
+  FROM tot
+),
+tw AS (
+  SELECT CAST(SUM(w6) AS BIGINT) AS sum_w6,
+         CAST(SUM(src_tokens) AS BIGINT) AS total_tokens
+  FROM w
+)
+SELECT source, src_tokens,
+       CAST(ROUND((CAST(w6 AS DOUBLE) / sum_w6)
+                  * (CAST(total_tokens AS DOUBLE) * 0.5), 0) AS BIGINT)
+         AS target_tokens,
+       CAST(ROUND(1000000.0 * ((CAST(w6 AS DOUBLE) / sum_w6)
+                  * (CAST(total_tokens AS DOUBLE) * 0.5)) / src_tokens, 0)
+            AS BIGINT) AS epochs_u6
+FROM w, tw
+""",
+)
+def q_sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source MIXTURE PLAN behind sample_temperature: for a
+    half-corpus token budget split by sqrt-temperature weights, how
+    many tokens each source should contribute and the implied epoch
+    count (repeat factor, in micro-units — >1e6 means the source is
+    seen more than once per pass, the small-source up-weighting
+    regime every LLM data recipe documents). sample_temperature
+    APPLIES a mixture by thresholding doc hashes; this op REPORTS the
+    plan itself — the artifact a training run records as lineage.
+    Same exact-arithmetic discipline (sqrt correctly rounded,
+    floor-quantized micro-unit weights, integer normalizer); the
+    whole op is one map-side-combined per-source aggregate + two
+    |sources|-row projections — nothing but source keys ever
+    shuffles, identical at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("src_tokens")
+    )
+    w = tot.select(
+        "source",
+        "src_tokens",
+        F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1000000.0)
+        .cast("bigint")
+        .alias("w6"),
+    )
+    tw = w.agg(
+        F.sum("w6").cast("bigint").alias("sum_w6"),
+        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
+    )
+    target = (F.col("w6").cast("double") / F.col("sum_w6")) * (
+        F.col("total_tokens").cast("double") * 0.5
+    )
+    return w.crossJoin(F.broadcast(tw)).select(
+        "source",
+        "src_tokens",
+        F.round(target, 0).cast("bigint").alias("target_tokens"),
+        F.round(1000000.0 * target / F.col("src_tokens"), 0)
+        .cast("bigint")
+        .alias("epochs_u6"),
+    )
+
+
+@query(
+    "pipeline_hybrid_retrieval",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id >= 8
+),
+q AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(({_TOKS})[1:5]) AS term
+  FROM documents WHERE doc_id < 8
+),
+postings AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(MAX(dl) AS BIGINT) AS dl
+  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM corpus)
+  WHERE term IN (SELECT term FROM q)
+  GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM postings GROUP BY term
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM corpus
+),
+lex_scored AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(ROUND(
+           (1000000.0
+            * LN(1 + CAST(2 * (n_docs - df) + 1 AS DOUBLE)
+                     / CAST(2 * df + 1 AS DOUBLE))
+            * (22 * tf))
+           / (10 * tf + 3 + (9 * dl) / avgdl), 0) AS BIGINT)) AS BIGINT)
+           AS score_u6
+  FROM postings JOIN q USING (term) JOIN dfs USING (term), stats
+  GROUP BY query_id, doc_id
+),
+lrank AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_u6 DESC, doc_id) AS r_lex
+  FROM lex_scored QUALIFY r_lex <= 20
+),
+vq AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 8
+),
+vc AS (
+  SELECT vec_id AS doc_id, embedding AS ev FROM embeddings
+  WHERE vec_id >= 8
+),
+sims AS (
+  SELECT query_id, doc_id,
+         ROUND(list_sum(list_transform(list_zip(ev, qv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(ev,
+                    x -> CAST(x AS DOUBLE)^2)))
+                  * sqrt(list_sum(list_transform(qv,
+                      x -> CAST(x AS DOUBLE)^2)))), 6) + 0.0 AS sim
+  FROM vc, vq
+),
+vrank AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id) AS r_vec
+  FROM sims QUALIFY r_vec <= 20
+),
+fused AS (
+  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         CAST(ROUND(1000000000.0 * (
+           CASE WHEN l.r_lex IS NOT NULL THEN 1.0 / (60 + l.r_lex)
+                ELSE 0.0 END
+           + CASE WHEN v.r_vec IS NOT NULL THEN 1.0 / (60 + v.r_vec)
+                  ELSE 0.0 END), 0) AS BIGINT) AS rrf_u9
+  FROM lrank l FULL OUTER JOIN vrank v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, rrf_u9
+FROM (SELECT query_id, doc_id, rrf_u9,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_u9 DESC, doc_id) AS rnk
+      FROM fused)
+WHERE rnk <= 10
+""",
+)
+def q_pipeline_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the fusion a production RAG stack actually
+    serves: BM25 (text_bm25_retrieval's scorer) and embedding cosine
+    (the reference's own vector-search modality, rank.rs:290-300) each
+    produce a top-20 list per query, fused by Reciprocal Rank Fusion
+    (Cormack et al., SIGIR 2009: score = sum 1/(60+rank)); top-10
+    fused docs returned. Queries are docs/vectors with id < 8 (the
+    synthetic tables are id-aligned). Scale: the lexical side's
+    shuffle is query-term-restricted postings (the BM25 shape); the
+    vector side is a broadcast of 8 query vectors across the
+    embedding scan (at 100 TB you'd swap in ann_ivf's routed scan —
+    same (query, doc, rank) interface, the fusion does not change);
+    both rankers prune per-mapper via WindowGroupLimit; the fusion
+    joins two ≤20-row-per-query lists. Float discipline: BM25 is the
+    integer micro-unit scorer; cosine is ROUND 6 with doc_id
+    tiebreak (the dist_cosine discipline); each RRF term is ONE
+    correctly-rounded division and the pair-sum is rounded once to
+    nano-units."""
+    from pyspark.sql.window import Window
+
+    from vfs_spark.functions.distance import cosine_similarity
+
+    scored = _bm25_doc_scored(spark, sf_dir)
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score_u6").desc(), F.col("doc_id").asc()
+    )
+    lex = (
+        scored.withColumn("r_lex", F.row_number().over(wl))
+        .where(F.col("r_lex") <= 20)
+        .select("query_id", "doc_id", "r_lex")
+    )
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    qe = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    ce = emb.where(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("ev")
+    )
+    sims = ce.crossJoin(F.broadcast(qe)).select(
+        "query_id",
+        "doc_id",
+        (F.round(cosine_similarity("ev", "qv"), 6) + F.lit(0.0)).alias("sim"),
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("doc_id").asc()
+    )
+    vec = (
+        sims.withColumn("r_vec", F.row_number().over(wv))
+        .where(F.col("r_vec") <= 20)
+        .select("query_id", "doc_id", "r_vec")
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer")
+    rrf = F.when(
+        F.col("r_lex").isNotNull(), F.lit(1.0) / (F.col("r_lex") + 60)
+    ).otherwise(0.0) + F.when(
+        F.col("r_vec").isNotNull(), F.lit(1.0) / (F.col("r_vec") + 60)
+    ).otherwise(0.0)
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_u9").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.select(
+            "query_id",
+            "doc_id",
+            F.round(F.lit(1000000000.0) * rrf, 0).cast("bigint").alias(
+                "rrf_u9"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= 10)
+        .select("query_id", F.col("rank").cast("int"), "doc_id", "rrf_u9")
     )
