@@ -1,5 +1,8 @@
-"""Registry-wide physical-plan audit: build (don't run) every
-``queries()`` entry and tally the plan nodes that matter at 100 TB —
+"""Registry-wide physical-plan audit: build every ``queries()`` entry
+(without evaluating the result — though queries that eagerly
+checkpoint or iterate at build time do execute those stages; they
+carry the ckpt-stub marker) and tally the plan nodes that matter at
+100 TB —
 exchanges (shuffles), parquet scans, broadcast vs sort-merge joins,
 Python eval nodes, cartesian products, global sorts — then write the
 table to PLANS.md with a FLAGS column for suspicious shapes.
@@ -217,7 +220,9 @@ def main() -> None:
     out = ["# PLANS — registry-wide physical-plan audit",
            "",
            f"Generated by tools/plan_audit.py over {sf_dir}. Node counts per",
-           "query (analysis only — nothing executed). FLAGS marks shapes that",
+           "query (plans are built, results never evaluated; ckpt-stub",
+           "queries execute their pre-checkpoint stages at build time).",
+           "FLAGS marks shapes that",
            "are suspicious unless the query's docstring claims them:",
            "CARTESIAN / PYTHON (an eval node outside the allowlisted Arrow",
            "kernels) / NESTED-LOOP / MANY-SHUFFLES (>4 exchanges).",

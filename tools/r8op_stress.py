@@ -81,6 +81,31 @@ def main() -> None:
             .withColumn("n_chars", F.length("text"))
         )
         docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        # id-aligned synthetic embeddings (64-dim, hash-derived) so the
+        # hybrid retrieval op has a vector side; planted dups share
+        # vectors the same way they share text (eff, not id)
+        (
+            spark.range(n_docs)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    f"CASE WHEN id >= {cut} THEN id - {cut} ELSE id END"
+                ).alias("eff"),
+            )
+            .select(
+                "vec_id",
+                F.expr(
+                    "transform(sequence(0, 63), j -> cast("
+                    "(abs(xxhash64(eff * 64 + j)) % 2000001) / 1000000.0"
+                    " - 1.0 as float))"
+                ).alias("embedding"),
+                F.expr("cast(abs(xxhash64(vec_id * 7)) % 10 as int)").alias(
+                    "label"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/embeddings.parquet")
+        )
 
         import vfs_spark.queries  # noqa: F401
         from vfs_spark.queries.registry import QUERIES
@@ -174,6 +199,10 @@ def main() -> None:
         timed(
             f"sample_mixture_epochs {k}",
             lambda: QUERIES["sample_mixture_epochs"](spark, tmp).collect(),
+        )
+        timed(
+            f"pipeline_hybrid_retrieval {k}",
+            lambda: QUERIES["pipeline_hybrid_retrieval"](spark, tmp).count(),
         )
         print({"n_docs": n_docs, "times": times})
     finally:

@@ -3146,11 +3146,20 @@ def q_pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # d2 feeds both the mixture totals and the final selection —
-    # checkpoint so the contamination explode runs exactly once.
+    # persist() so the contamination explode runs exactly once: the
+    # cutoff broadcast (derived from d2) materializes the cache before
+    # the final probe stage scans d2 again. persist, NOT
+    # localCheckpoint: checkpointing executes the whole corpus job at
+    # query-BUILD time under AQE (even with eager=False — adaptive
+    # planning finalizes the RDD by running its stages), which made
+    # merely constructing this DataFrame cost the full pipeline and
+    # blinded the plan audit to everything above d2. The cached rows
+    # are the slim (id, source, n, h) manifest; MEMORY_AND_DISK
+    # eviction only ever costs a recompute, never correctness.
     d2 = (
         d1.join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "source", F.col("n_tokens").alias("n"), "h")
-        .localCheckpoint()
+        .persist()
     )
     tot = d2.groupBy("source").agg(
         F.sum("n").cast("bigint").alias("src_tokens")
@@ -3267,6 +3276,28 @@ def q_text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_term_u6(n_col: str):
+    """The ONE place the BM25 scoring discipline lives (k1=1.2, b=0.75
+    in scaled-integer form; idf = LN of an exact-integer rational;
+    rounded ONCE per term to integer micro-units) — shared by the
+    doc-level scorer and the chunk-level RAG scorer so the constants
+    and rounding can never drift apart. ``n_col`` is the collection
+    count column (n_docs / n_chunks)."""
+    return F.round(
+        (
+            F.lit(1000000.0)
+            * F.log(
+                1
+                + (2 * (F.col(n_col) - F.col("df")) + 1).cast("double")
+                / (2 * F.col("df") + 1).cast("double")
+            )
+            * (22 * F.col("tf"))
+        )
+        / (10 * F.col("tf") + 3 + (9 * F.col("dl")) / F.col("avgdl")),
+        0,
+    ).cast("bigint")
+
+
 def _bm25_doc_scored(spark, sf_dir):
     """Doc-level BM25 scores (query_id, doc_id, score_u6) — the body
     shared by text_bm25_retrieval (top-10) and the hybrid fusion."""
@@ -3304,19 +3335,7 @@ def _bm25_doc_scored(spark, sf_dir):
             "avgdl"
         ),
     )
-    term_u6 = F.round(
-        (
-            F.lit(1000000.0)
-            * F.log(
-                1
-                + (2 * (F.col("n_docs") - F.col("df")) + 1).cast("double")
-                / (2 * F.col("df") + 1).cast("double")
-            )
-            * (22 * F.col("tf"))
-        )
-        / (10 * F.col("tf") + 3 + (9 * F.col("dl")) / F.col("avgdl")),
-        0,
-    ).cast("bigint")
+    term_u6 = _bm25_term_u6("n_docs")
     scored = (
         postings.join(F.broadcast(qt), "term")
         .join(F.broadcast(dfs), "term")
@@ -3607,19 +3626,7 @@ def q_pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_chunks"),
         (F.sum(F.size("ct")).cast("double") / F.count("*")).alias("avgdl"),
     )
-    term_u6 = F.round(
-        (
-            F.lit(1000000.0)
-            * F.log(
-                1
-                + (2 * (F.col("n_chunks") - F.col("df")) + 1).cast("double")
-                / (2 * F.col("df") + 1).cast("double")
-            )
-            * (22 * F.col("tf"))
-        )
-        / (10 * F.col("tf") + 3 + (9 * F.col("dl")) / F.col("avgdl")),
-        0,
-    ).cast("bigint")
+    term_u6 = _bm25_term_u6("n_chunks")
     scored = (
         postings.join(F.broadcast(qt), "term")
         .join(F.broadcast(dfs), "term")
@@ -3888,14 +3895,17 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     when near-identical docs differ in cruft (dedup_exact's keep-min
     is the lineage-stable twin; this is the quality-stable one).
     Scale: fingerprint and the diversity ratio are scan-stage
-    projections; the rank window shuffles (fp, id, frac) only and
-    Catalyst plans it as WindowGroupLimit (partial per-mapper prune
-    below the exchange — the sample_source_cap lesson), so per-reducer
-    input is bounded even on a hot fingerprint. The quality value is
-    one exact int/int division; both engines order the same doubles,
-    and it is reported rounded ONCE to micro-units."""
-    from pyspark.sql.window import Window
-
+    projections; the whole keep rule is ONE map-side-combined
+    aggregate — max_by over the (frac, -doc_id) ordering struct plus
+    a count — so each mapper pre-reduces every fingerprint to a
+    single candidate row before the exchange and per-reducer input is
+    bounded even on a megacluster fingerprint. (A rank-window twin
+    would NOT get that bound: pairing row_number with a count(*)
+    partition window blocks Catalyst's InferWindowGroupLimit —
+    verified against the executed plan — which is why this op is an
+    aggregate, not a window.) The quality value is one exact int/int
+    division; both engines order the same doubles, and it is reported
+    rounded ONCE to micro-units."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = tokens("text")
     t = docs.select(
@@ -3905,27 +3915,15 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac"
         ),
     )
-    w = Window.partitionBy("fp")
-    rw = Window.partitionBy("fp").orderBy(
-        F.col("frac").desc(), F.col("doc_id").asc()
+    ord_key = F.struct(
+        F.col("frac").alias("f"), (-F.col("doc_id")).alias("neg_id")
     )
-    return (
-        t.select(
-            "doc_id",
-            "fp",
-            "frac",
-            F.row_number().over(rw).alias("rn"),
-            F.count("*").over(w).alias("n"),
-        )
-        .where(F.col("rn") == 1)
-        .select(
-            "fp",
-            F.col("doc_id").cast("bigint").alias("keep_id"),
-            F.col("n").cast("bigint").alias("n_docs"),
-            F.round(1000000.0 * F.col("frac"), 0)
-            .cast("bigint")
-            .alias("keep_quality_u6"),
-        )
+    return t.groupBy("fp").agg(
+        F.max_by("doc_id", ord_key).cast("bigint").alias("keep_id"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(1000000.0 * F.max_by("frac", ord_key), 0)
+        .cast("bigint")
+        .alias("keep_quality_u6"),
     )
 
 
