@@ -172,13 +172,22 @@ def test_rotation_fronts_unpassed_and_stale():
     surface."""
     import glob
     import json
+    import os
     import re
 
+    import vfs_spark
     from vfs_spark.queries import ORACLES, QUERIES, _is_green_record
 
+    # derive the repo root from the package (the rotation does the
+    # same), and anchor the round regex to the FILENAME — a hardcoded
+    # /root/repo glob is vacuously green on any other checkout, and a
+    # loose r'r(\d+)' can bind a digit from a parent directory name
+    root = os.path.dirname(os.path.dirname(os.path.abspath(vfs_spark.__file__)))
+    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert paths, f"no CORRECTNESS_r*.json under {root} — test would be vacuous"
     latest = {}
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)", path).group(1))
+    for path in paths:
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
         for slug, rec in json.load(open(path)).items():
             if _is_green_record(rec, oracle_backed=slug in ORACLES):
                 latest[slug] = max(latest.get(slug, 0), rnd)

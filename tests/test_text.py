@@ -634,6 +634,23 @@ def test_dedup_url_keeps_min_and_counts(spark, sf_dir):
     assert agg["tot"] == n_docs
     if n_docs >= 500:  # sf0.01 and up: collisions guaranteed by mod-23
         assert agg["dups"] > 0
+    # keep_id must actually be the MIN doc_id of its group (the test's
+    # name promises it; counts alone cannot distinguish min from max)
+    from vfs_spark.functions.text import normalize_url
+    from vfs_spark.queries.text import _synth_url_col
+
+    truth = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", normalize_url(_synth_url_col()).alias("url_norm"))
+        .groupBy("url_norm")
+        .agg(F.min("doc_id").cast("bigint").alias("want_keep"))
+    )
+    bad = (
+        d.join(truth, "url_norm")
+        .where(F.col("keep_id") != F.col("want_keep"))
+        .count()
+    )
+    assert bad == 0
 
 
 def test_domain_stats_consistency(spark, sf_dir):

@@ -2698,6 +2698,31 @@ def q_text_chunk_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_metric_cols(toks):
+    """The five Gopher-rule metric columns (n_tokens, mean_word_len,
+    stop_frac, sym_frac, distinct_frac) — the ONE place the rule
+    metrics live, shared by text_gopher_rules and the composed
+    curation pipeline so the two can never drift (and wired to the
+    same STOPWORDS list every other quality operator uses)."""
+    from vfs_spark.functions.text import distinct_ratio, stopword_ratio
+
+    n = F.size(toks)
+    return [
+        n.cast("bigint").alias("n_tokens"),
+        (F.length(F.array_join(toks, "")).cast("double") / n).alias(
+            "mean_word_len"
+        ),
+        stopword_ratio(toks).alias("stop_frac"),
+        (
+            F.size(F.filter(toks, lambda x: x.rlike("[^a-z0-9]"))).cast(
+                "double"
+            )
+            / n
+        ).alias("sym_frac"),
+        distinct_ratio(toks).alias("distinct_frac"),
+    ]
+
+
 @query(
     "text_gopher_rules",
     oracle=f"""
@@ -2749,24 +2774,7 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bit-stable; only the reported mean is rounded."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
-    t = docs.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        (
-            F.length(F.array_join(toks, "")).cast("double") / F.size(toks)
-        ).alias("mean_word_len"),
-        (
-            F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to"))).cast("double")
-            / F.size(toks)
-        ).alias("stop_frac"),
-        (
-            F.size(F.filter(toks, lambda x: x.rlike("[^a-z0-9]"))).cast("double")
-            / F.size(toks)
-        ).alias("sym_frac"),
-        (
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-        ).alias("distinct_frac"),
-    )
+    t = docs.select("doc_id", *_gopher_metric_cols(toks))
     rule_len = F.col("n_tokens").between(10, 100000)
     rule_wl = F.col("mean_word_len").between(3.0, 10.0)
     rule_sw = F.col("stop_frac") >= 0.02
@@ -2788,6 +2796,46 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (~rule_sym).cast("int")
             + (~rule_rep).cast("int")
         ).alias("n_failed"),
+    )
+
+
+def _sqrt_w6(tot):
+    """Per-source floor-quantized micro-unit sqrt weights over a
+    (source, src_tokens) table — the exact-arithmetic temperature
+    weighting shared by sample_temperature, the composed curation
+    pipeline, and sample_mixture_epochs."""
+    return tot.select(
+        "source",
+        "src_tokens",
+        F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1000000.0)
+        .cast("bigint")
+        .alias("w6"),
+    )
+
+
+def _temperature_cutoffs(tot):
+    """(source, cutoff) keep-thresholds for a half-corpus token budget
+    split by sqrt-temperature weights — one |sources|-row table ready
+    to broadcast against per-doc hashes."""
+    w = _sqrt_w6(tot)
+    tw = w.agg(
+        F.sum("w6").cast("bigint").alias("sum_w6"),
+        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
+    )
+    return w.crossJoin(F.broadcast(tw)).select(
+        "source",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.round(
+                1000000.0
+                * (
+                    (F.col("w6").cast("double") / F.col("sum_w6"))
+                    * (F.col("total_tokens").cast("double") * 0.5)
+                    / F.col("src_tokens")
+                ),
+                0,
+            ).cast("bigint"),
+        ).alias("cutoff"),
     )
 
 
@@ -2859,32 +2907,7 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = tok.groupBy("source").agg(
         F.sum("n").cast("bigint").alias("src_tokens")
     )
-    w = tot.select(
-        "source",
-        "src_tokens",
-        F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1000000.0)
-        .cast("bigint")
-        .alias("w6"),
-    )
-    tw = w.agg(
-        F.sum("w6").cast("bigint").alias("sum_w6"),
-        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
-    )
-    cut = w.crossJoin(F.broadcast(tw)).select(
-        "source",
-        F.least(
-            F.lit(1000000).cast("bigint"),
-            F.round(
-                1000000.0
-                * (
-                    (F.col("w6").cast("double") / F.col("sum_w6"))
-                    * (F.col("total_tokens").cast("double") * 0.5)
-                    / F.col("src_tokens")
-                ),
-                0,
-            ).cast("bigint"),
-        ).alias("cutoff"),
-    )
+    cut = _temperature_cutoffs(tot)
     return (
         tok.join(F.broadcast(cut), "source")
         .where(F.col("h") < F.col("cutoff"))
@@ -3088,25 +3111,7 @@ def q_pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         normalize_url(_synth_url_col()).alias("u"),
         fingerprint("text").alias("fp"),
-        n.cast("bigint").alias("n_tokens"),
-        (F.length(F.array_join(toks, "")).cast("double") / n).alias(
-            "mean_word_len"
-        ),
-        (
-            F.size(
-                F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to"))
-            ).cast("double")
-            / n
-        ).alias("stop_frac"),
-        (
-            F.size(F.filter(toks, lambda x: x.rlike("[^a-z0-9]"))).cast(
-                "double"
-            )
-            / n
-        ).alias("sym_frac"),
-        (F.size(F.array_distinct(toks)).cast("double") / n).alias(
-            "distinct_frac"
-        ),
+        *_gopher_metric_cols(toks),
         (
             F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
             % 1000000
@@ -3164,32 +3169,7 @@ def q_pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = d2.groupBy("source").agg(
         F.sum("n").cast("bigint").alias("src_tokens")
     )
-    w = tot.select(
-        "source",
-        "src_tokens",
-        F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1000000.0)
-        .cast("bigint")
-        .alias("w6"),
-    )
-    tw = w.agg(
-        F.sum("w6").cast("bigint").alias("sum_w6"),
-        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
-    )
-    cut = w.crossJoin(F.broadcast(tw)).select(
-        "source",
-        F.least(
-            F.lit(1000000).cast("bigint"),
-            F.round(
-                1000000.0
-                * (
-                    (F.col("w6").cast("double") / F.col("sum_w6"))
-                    * (F.col("total_tokens").cast("double") * 0.5)
-                    / F.col("src_tokens")
-                ),
-                0,
-            ).cast("bigint"),
-        ).alias("cutoff"),
-    )
+    cut = _temperature_cutoffs(tot)
     return (
         d2.join(F.broadcast(cut), "source")
         .where(F.col("h") < F.col("cutoff"))
@@ -3973,13 +3953,7 @@ def q_sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = docs.groupBy("source").agg(
         F.sum(F.size(tokens("text"))).cast("bigint").alias("src_tokens")
     )
-    w = tot.select(
-        "source",
-        "src_tokens",
-        F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 1000000.0)
-        .cast("bigint")
-        .alias("w6"),
-    )
+    w = _sqrt_w6(tot)
     tw = w.agg(
         F.sum("w6").cast("bigint").alias("sum_w6"),
         F.sum("src_tokens").cast("bigint").alias("total_tokens"),
