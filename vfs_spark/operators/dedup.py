@@ -515,6 +515,11 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("comp").alias("nb_comp"))
         )
+        # carry the convergence flag THROUGH the propagation projection
+        # (nb_comp < comp is known right here), so detecting the
+        # fixpoint is one cheap count over the just-checkpointed rows —
+        # not an extra join of the new labels against the old ones per
+        # round (one fewer shuffle per iteration, same fixpoint).
         new = (
             labels.join(nb, labels["node"] == nb["v"], "left")
             .select(
@@ -522,16 +527,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("nb_comp", F.col("comp"))
                 ).alias("comp"),
+                (F.coalesce("nb_comp", F.col("comp")) < F.col("comp")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("chg")).count()
+        labels = new.select("node", "comp")
         if changed == 0:
             break
     else:
