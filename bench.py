@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "sample_mixture_epochs",
     "pipeline_hybrid_retrieval",
+    "dedup_incremental_minhash",
 ]
 
 # Registry slugs deliberately NOT in the timed suite — every exclusion

@@ -23,6 +23,7 @@ ROWS_ONLY_ALLOWED = {
     "dedup_simhash_udf",  # md5 hash family comparison twin
     "dedup_minhash_mllib",  # MLlib MinHashLSH hash family (comparison)
     "dedup_clusters_banded",  # MinHash candidate edges (production twin of dedup_clusters)
+    "dedup_incremental_minhash",  # xxhash64 band candidates; planted-pair + exact-jaccard gated in test_dedup.py
     "dedup_simhash",  # md5 hash family
     "dedup_simhash_jvm",  # xxhash64 hash family
     "ann_pq",  # PQ codebooks are KMeans-derived; recall-gated in test_ann.py

@@ -783,3 +783,38 @@ def test_semdedup_zero_norm_excluded(spark):
     assert pairs
     touched = {r["vec_a"] for r in pairs} | {r["vec_b"] for r in pairs}
     assert 3 not in touched
+
+
+def test_minhash_incremental_catches_history_near_dups(spark, tmp_path):
+    """A batch doc paraphrasing a history doc (high shingle overlap)
+    must surface as a (new, hist) pair with the exact jaccard; a fresh
+    batch doc must not pair with anything; and history docs must never
+    pair with each other (no history self-join by construction)."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (3, base, "s", "en", 60),                                   # history
+        (7, "completely different historical content here", "s", "en", 40),
+        (10, base + " tail", "s", "en", 60),                        # batch: near-dups 3
+        (20, "fresh unseen words nothing shared at all", "s", "en", 40),  # batch
+    ]
+    d = str(tmp_path / "incmh")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = QUERIES["dedup_incremental_minhash"](spark, d).collect()
+    pairs = {(r["new_id"], r["hist_id"]) for r in out}
+    assert (10, 3) in pairs
+    assert all(n == 10 for n, _ in pairs), pairs  # doc 20 pairs with nothing
+    jac = next(r["jaccard"] for r in out if (r["new_id"], r["hist_id"]) == (10, 3))
+    # exact jaccard of the two shingle sets, independently computed
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i+3]) for i in range(len(toks) - 2)}
+    a, b = shingles(base + " tail"), shingles(base)
+    want = round(len(a & b) / len(a | b), 6)
+    assert jac == want

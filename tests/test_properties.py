@@ -204,3 +204,87 @@ def test_strip_dup_spans_second_pass_shrinks(spark, tmp_path):
         .first()[0]
     )
     assert removed2 < removed1 / 2
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcde ", min_size=1, max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_sample_weighted_invariants(spark, tmp_path_factory, texts):
+    """For ANY corpus: exactly min(100, N) rows come back, ranks are a
+    contiguous permutation, keys are non-increasing in rank, every
+    weight equals max(token_count, 1), and the A-ES key reproduces the
+    independent Python computation for every sampled doc."""
+    import hashlib
+    import math
+
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    rows = [(i, t, "s", "en", len(t)) for i, t in enumerate(texts)]
+    d = str(tmp_path_factory.mktemp("wprop"))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    out = QUERIES["sample_weighted"](spark, d).collect()
+    assert len(out) == min(100, len(rows))
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    keys = [r["key_u6"] for r in by_rank]
+    assert keys == sorted(keys, reverse=True)
+    for r in out:
+        t = texts[r["doc_id"]]
+        w = max(len(t.lower().strip().split(" ")), 1)
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        assert r["weight"] == w
+        assert r["key_u6"] == round(1e6 * math.log((h + 1) / 4294967297.0) / w)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.sampled_from(["aa bb cc", "dd ee ff", "gg hh", "ii jj kk ll"]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_dedup_incremental_partitions_batch(spark, tmp_path_factory, texts):
+    """For ANY corpus: the output is exactly the batch docs (doc_id %
+    10 == 0), each with one verdict, and the verdicts are consistent
+    with an independent Python re-derivation of the fp sets."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    rows = [(i, t, "s", "en", len(t)) for i, t in enumerate(texts)]
+    d = str(tmp_path_factory.mktemp("iprop"))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    out = {r["doc_id"]: r["verdict"] for r in QUERIES["dedup_incremental"](spark, d).collect()}
+    batch = {i for i, _ in enumerate(texts) if i % 10 == 0}
+    assert set(out) == batch
+
+    def fp(t):
+        return " ".join(sorted(set(t.lower().strip().split(" "))))
+
+    hist_fps = {fp(t) for i, t in enumerate(texts) if i % 10 != 0}
+    seen = {}
+    for i in sorted(batch):
+        f = fp(texts[i])
+        if f in hist_fps:
+            want = "dup_of_history"
+        elif f in seen:
+            want = "dup_in_batch"
+        else:
+            want = "unique"
+        seen.setdefault(f, i)
+        assert out[i] == want, (i, out[i], want)

@@ -86,6 +86,10 @@ EXPECTED = {
     # query-vector broadcast across the embedding scan + two ranker
     # windows + the <=20-rows-per-query fusion join:
     "pipeline_hybrid_retrieval": {"bnlj", "many"},
+    # incremental minhash: per-side signature aggregates + the
+    # new-vs-history band join + candidate-only verify joins — all
+    # key/8-byte-signature exchanges, history never self-joins:
+    "dedup_incremental_minhash": {"many"},
     "text_vocab_coverage": {"bnlj", "many"},
     # banded dedup: one exchange per band/table of 8-byte keys — the
     # sub-quadratic trade documented in SCALE.md (keys move, text doesn't):

@@ -204,6 +204,10 @@ def main() -> None:
             f"pipeline_hybrid_retrieval {k}",
             lambda: QUERIES["pipeline_hybrid_retrieval"](spark, tmp).count(),
         )
+        timed(
+            f"dedup_incremental_minhash {k}",
+            lambda: QUERIES["dedup_incremental_minhash"](spark, tmp).count(),
+        )
         print({"n_docs": n_docs, "times": times})
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

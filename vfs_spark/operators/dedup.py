@@ -242,6 +242,99 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return with_fp.withColumn("_rn", w).where(F.col("_rn") == 1).drop("_fp", "_rn")
 
 
+def _minhash_sigs(docs, id_col, text_col, n_hashes):
+    """Exploded (id, hash_idx, sig) MinHash signatures — shingles
+    exploded in the scan stage feeding n_hashes codegen'd MIN
+    aggregates with map-side combine; only (id, n_hashes longs) per
+    doc ever shuffle. Shared by the self-join pair generator and the
+    incremental (new-vs-history) variant."""
+    ex = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col)).alias("_s")
+    )
+    sig_wide = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("_s", F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    return sig_wide.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hash_idx"), F.col(f"h{i}").alias("sig")
+                    )
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.hash_idx", "b.sig")
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    hist_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.3,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Incremental MinHash-LSH: near-dup pairs between a NEW batch and
+    an accumulated HISTORY corpus — the snapshot-over-snapshot form of
+    minhash_native_pairs (this month's crawl against everything
+    already ingested). The history side NEVER self-joins: candidates
+    come only from new-signature = history-signature band matches, so
+    the join volume is |new| x collision-rate, not |history|² — the
+    property that makes re-ingest affordable when history is 100 TB
+    and the batch is 1%% of it. (In a production layout the history
+    signatures are computed once at ingest and stored; here both
+    sides derive from the fixture table.) Exact-Jaccard verify
+    recomputes shingles for CANDIDATE ids only via broadcast
+    semi-joins into each side's scan — corpus text never shuffles.
+
+    Returns (new_id, hist_id, jaccard >= threshold)."""
+    sn = _minhash_sigs(new_docs, id_col, text_col, n_hashes).alias("a")
+    sh = _minhash_sigs(hist_docs, id_col, text_col, n_hashes).alias("b")
+    cand = (
+        sn.join(
+            sh,
+            (F.col("a.hash_idx") == F.col("b.hash_idx"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("hist_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # candidates only — never the corpus
+    )
+    new_ids = cand.select(F.col("new_id").alias(id_col)).distinct()
+    hist_ids = cand.select(F.col("hist_id").alias(id_col)).distinct()
+    sa = (
+        new_docs.join(F.broadcast(new_ids), id_col)
+        .select(
+            F.col(id_col).alias("new_id"),
+            word_shingles(text_col).alias("sh_a"),
+        )
+    )
+    sb = (
+        hist_docs.join(F.broadcast(hist_ids), id_col)
+        .select(
+            F.col(id_col).alias("hist_id"),
+            word_shingles(text_col).alias("sh_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "hist_id")
+        .select("new_id", "hist_id", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 def minhash_native_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -283,28 +376,7 @@ def minhash_native_pairs(
     equi-join; candidates are unioned before verify.
 
     Same contract as minhash_near_dup_pairs."""
-    ex = docs.select(
-        F.col(id_col), F.explode(word_shingles(text_col)).alias("_s")
-    )
-    sig_wide = ex.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64("_s", F.lit(i))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    sig = sig_wide.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("hash_idx"), F.col(f"h{i}").alias("sig")
-                    )
-                    for i in range(n_hashes)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "b.hash_idx", "b.sig")
+    sig = _minhash_sigs(docs, id_col, text_col, n_hashes)
 
     def _band_pairs(s: DataFrame) -> DataFrame:
         a, b = s.alias("a"), s.alias("b")

@@ -4130,3 +4130,25 @@ def q_pipeline_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("query_id", F.col("rank").cast("int"), "doc_id", "rrf_u9")
     )
+
+
+@query("dedup_incremental_minhash")  # rows-only: band candidates are hash-family-specific
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: this batch (doc_id % 10 = 0, the same
+    stand-in split as dedup_incremental) MinHash-banded against the
+    accumulated history — the snapshot-over-snapshot near-dedup every
+    crawl-fed pipeline runs next to the exact-fingerprint pass.
+    History NEVER self-joins: candidates are new-vs-history band
+    matches only, so join volume is |batch| x collision-rate even
+    when history is 100 TB (operators/dedup.py:
+    minhash_incremental_pairs). Exact Jaccard >= 0.3 verified on
+    candidates; recall is the OR-banding guarantee, gated against
+    blocked truth in tests/test_dedup.py."""
+    from vfs_spark.operators.dedup import minhash_incremental_pairs
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return minhash_incremental_pairs(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        jaccard_threshold=0.3,
+    )
