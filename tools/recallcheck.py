@@ -26,7 +26,11 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "06"
+    if len(sys.argv) < 2:
+        sys.exit("usage: recallcheck.py ROUND   (e.g. 08 — writes "
+                 "RECALL_r{ROUND}.json; no silent default: a stale "
+                 "default once overwrote a historical round's artifact)")
+    rnd = sys.argv[1]
     ann_sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     dedup_sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
 
@@ -39,6 +43,7 @@ def main() -> None:
     import vfs_spark.queries  # noqa: F401  (registers slugs)
     from vfs_spark.functions.distance import dot, l2_norm
     from vfs_spark.operators import ann as A
+    from vfs_spark.sources.parquet import load_table
     from vfs_spark.operators import dedup as D
     from vfs_spark.operators.knn import exact_knn
     from vfs_spark.queries.registry import QUERIES
@@ -146,6 +151,32 @@ def main() -> None:
         if truth else 1.0, time.time() - t,
         note="precision structural (exact verify); truth is lang-blocked, "
              "op is unblocked")
+
+    # ---- incremental MinHash (batch-vs-history) vs exact cross truth ----
+    t = time.time()
+    docs = load_table(spark, dedup_sf, "documents", fan_out=True)
+    from vfs_spark.functions.text import word_shingles as _ws
+
+    nw = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("new_id"), _ws("text").alias("sh_a"))
+    hs = docs.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("hist_id"), _ws("text").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jacc = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    truth = {(r["new_id"], r["hist_id"])
+             for r in nw.crossJoin(hs)
+             .select("new_id", "hist_id", jacc.alias("j"))
+             .where(F.col("j") >= 0.3).collect()}
+    got = {(r["new_id"], r["hist_id"])
+           for r in QUERIES["dedup_incremental_minhash"](
+               spark, dedup_sf).collect()}
+    add("dedup_incremental_minhash", os.path.basename(dedup_sf),
+        {"jaccard_threshold": 0.3, "n_hashes": 5},
+        len(truth), (sum(1 for p in truth if p in got) / len(truth))
+        if truth else 1.0, time.time() - t,
+        note="precision structural (exact verify); truth is the exact "
+             "batch-x-history cross jaccard (fixture-sized cross join, "
+             "truth-side only)")
 
     # ---- anchored containment vs blocked exact truth (VERDICT r6 #2) ----
     t = time.time()
