@@ -427,3 +427,86 @@ def test_dedup_url_single_partial_agg_shuffle(spark, sf_dir):
     assert "partial_min" in plan or "Partial" in plan  # map-side combine
     for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def _tree_nodes(plan):
+    """(depth, name) list from a formatted plan's tree section —
+    the indentation-anchored parse the heavy-hitters test introduced
+    (ADVICE r7), shared by the retrieval plan pins below."""
+    import re
+
+    nodes = []
+    for line in plan.split("\n\n")[0].splitlines():
+        m = re.match(r"^([ :+\-*]*)([A-Za-z][\w ]*?) \(\d+\)", line)
+        if m:
+            nodes.append((len(m.group(1)) // 3, m.group(2).strip()))
+    return nodes
+
+
+def test_bm25_postings_restricted_before_aggregate(spark, sf_dir):
+    """text_bm25_retrieval's scale claim: the corpus token explode is
+    cut to query terms by a BROADCAST semi-join BEFORE the postings
+    aggregate's exchange — so the shuffle carries matching postings
+    only, never the full token stream. Anchor: SOME exchange-fed
+    HashAggregate (the postings agg) must have a BroadcastHashJoin
+    inside its exchange's subtree; and no SortMergeJoin anywhere (at
+    fixture scale every join side is broadcastable — a SMJ would mean
+    a corpus-sized side is being shuffled)."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.formatted_plan(QUERIES["text_bm25_retrieval"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    nodes = _tree_nodes(plan)
+    # deepest exchange-fed HashAggregate = the postings (doc, term) agg
+    candidates = [
+        i
+        for i, (d, n) in enumerate(nodes[:-1])
+        if n == "HashAggregate" and nodes[i + 1] == (d + 1, "Exchange")
+    ]
+    assert candidates, "no exchange-fed HashAggregate in the plan"
+
+    def subtree_of(i):
+        ex_depth = nodes[i + 1][0]
+        out = []
+        for depth, name in nodes[i + 2 :]:
+            if depth <= ex_depth:
+                break
+            out.append(name)
+        return out
+
+    # the postings aggregate is the exchange-fed agg whose subtree
+    # holds the term broadcast join (the query-side distinct agg has
+    # no join under it — don't anchor to tree depth, anchor to content)
+    assert any(
+        any(n.startswith("BroadcastHashJoin") for n in subtree_of(i))
+        for i in candidates
+    ), (
+        "no exchange-fed aggregate has the term broadcast join below "
+        f"it — the token stream shuffles unrestricted: "
+        f"{[subtree_of(i) for i in candidates]}"
+    )
+
+
+def test_sample_weighted_is_take_ordered(spark, sf_dir):
+    """sample_weighted's top-k must plan as TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows) — never a global
+    Sort of the corpus; the only Sort allowed is the post-limit rank
+    window over <= k rows (which sits ABOVE the TakeOrdered in the
+    tree)."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    plan = ex.formatted_plan(QUERIES["sample_weighted"](spark, sf_dir))
+    nodes = _tree_nodes(plan)
+    tako = [i for i, (_, n) in enumerate(nodes) if "TakeOrderedAndProject" in n]
+    assert tako, f"no TakeOrderedAndProject: {[n for _, n in nodes]}"
+    # any Sort must be strictly above (printed before, shallower-or-equal
+    # subtree) the TakeOrdered — i.e. the k-row window sort, not a
+    # corpus sort feeding it
+    deepest_tako = max(tako, key=lambda i: nodes[i][0])
+    for i, (_, n) in enumerate(nodes):
+        if n == "Sort":
+            assert i < deepest_tako, (
+                "a Sort sits below TakeOrderedAndProject — corpus-wide sort"
+            )
