@@ -22,7 +22,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "06"
+    if len(sys.argv) < 2:
+        sys.exit("usage: streamcheck.py ROUND   (e.g. 08 — writes "
+                 "STREAMCHECK_r{ROUND}.json; no silent default: a stale "
+                 "default once overwrote a historical round's artifact)")
+    rnd = sys.argv[1]
     xml_path = os.path.join(REPO, ".streamcheck_junit.xml")
     proc = subprocess.run(
         [
