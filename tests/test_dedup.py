@@ -818,3 +818,41 @@ def test_minhash_incremental_catches_history_near_dups(spark, tmp_path):
     a, b = shingles(base + " tail"), shingles(base)
     want = round(len(a & b) / len(a | b), 6)
     assert jac == want
+
+
+def test_minhash_incremental_salted_equals_plain(spark):
+    """With a planted hot band (many near-identical docs on both
+    sides) and skew_threshold forced low, the salted hot-band path
+    must produce EXACTLY the plain join's pair set — salting spreads
+    the reducer load, never changes candidates."""
+    from pyspark.sql import functions as F
+
+    from vfs_spark.operators.dedup import minhash_incremental_pairs
+
+    boiler = "same boilerplate text repeated across the whole corpus here"
+    rows = (
+        # 30 history boilerplate docs + 5 batch boilerplate docs
+        [(i, boiler + f" v{i % 3}") for i in range(1, 31)]
+        + [(i * 10, boiler + f" v{i % 3}") for i in range(4, 9)]
+        # plus unrelated docs on both sides
+        + [(101, "nothing shared with anyone at all one")]
+        + [(200, "nothing shared with anyone at all two")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new_docs = docs.where(F.col("doc_id") % 10 == 0)
+    hist_docs = docs.where(F.col("doc_id") % 10 != 0)
+
+    plain = {
+        (r["new_id"], r["hist_id"], r["jaccard"])
+        for r in minhash_incremental_pairs(
+            new_docs, hist_docs, skew_threshold=None
+        ).collect()
+    }
+    salted = {
+        (r["new_id"], r["hist_id"], r["jaccard"])
+        for r in minhash_incremental_pairs(
+            new_docs, hist_docs, skew_threshold=3, n_salts=4
+        ).collect()
+    }
+    assert plain  # the planted boilerplate must generate pairs
+    assert salted == plain

@@ -1214,3 +1214,33 @@ def test_hybrid_retrieval_fuses_both_modalities(spark, tmp_path):
     # both-list docs beat the single-list doc
     ranks = {r["doc_id"]: r["rank"] for r in out}
     assert ranks[12] == max(ranks.values())
+
+
+def test_chunk_grids_skip_null_text(spark, tmp_path):
+    """A NULL-text document must contribute ZERO chunk rows in every
+    chunk-grid op (review finding: size(NULL) = -1 made the sequence
+    grid emit one bogus n_tokens=-1 row while the DuckDB twin emits
+    none — a latent oracle mismatch the fixture's non-NULL corpus
+    never exercised)."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    rows = [
+        (0, "query doc words here now", "q", "en", 20),
+        (10, None, "web", "en", 0),
+        (11, "real words " * 30, "web", "en", 300),
+    ]
+    d = str(tmp_path / "nulltext")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    for slug in (
+        "text_chunk_provenance",
+        "text_chunk_overlap",
+        "dedup_chunk_hash",
+        "pipeline_rag_retrieval",
+    ):
+        out = QUERIES[slug](spark, d).collect()
+        assert all(r["doc_id"] != 10 for r in out), (slug, out)

@@ -50,8 +50,39 @@ def build_corpus(spark, tmp, n_docs):
             ).alias("source"),
             F.lit("en").alias("lang"),
         )
+        .withColumn("n_chars", F.length("text"))
     )
     docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+
+
+def build_embeddings(spark, tmp, n_docs):
+    """Id-aligned synthetic embeddings (64-dim, hash-derived); planted
+    dups share vectors the way they share text (eff, not id). One
+    definition, shared by every stress/probe tool — SCALE.md rows and
+    A/B claims of "same corpus" depend on these staying identical."""
+    cut = int(n_docs * 0.99)
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"CASE WHEN id >= {cut} THEN id - {cut} ELSE id END"
+            ).alias("eff"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(sequence(0, 63), j -> cast("
+                "(abs(xxhash64(eff * 64 + j)) % 2000001) / 1000000.0"
+                " - 1.0 as float))"
+            ).alias("embedding"),
+            F.expr("cast(abs(xxhash64(vec_id * 7)) % 10 as int)").alias(
+                "label"
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "embeddings.parquet"))
+    )
 
 
 def old_fn(rev):

@@ -46,66 +46,13 @@ def main() -> None:
         return out
 
     try:
-        # 1% of docs copy the text of (id - cut) → planted exact dups;
-        # sources split ~70/25/5 by id hash so the temperature sampler
-        # has real skew to smooth.
-        cut = int(n_docs * 0.99)
-        docs = (
-            spark.range(n_docs)
-            .select(
-                F.col("id").alias("doc_id"),
-                F.expr(
-                    f"CASE WHEN id >= {cut} THEN id - {cut} ELSE id END"
-                ).alias("eff"),
-            )
-            .select(
-                "doc_id",
-                # ~1 token in 7 is a stopword so the Gopher stopword
-                # floor (and therefore the composed pipeline) is
-                # non-degenerate on this corpus
-                F.expr(
-                    "array_join(transform(sequence(1, 30), i -> "
-                    "CASE WHEN abs(xxhash64(eff * 31 + i)) % 7 = 0 THEN "
-                    "element_at(array('the','a','of','and','to'), "
-                    "cast(abs(xxhash64(eff * 53 + i)) % 5 as int) + 1) "
-                    "ELSE concat('w', cast(abs(xxhash64(eff * 31 + i)) "
-                    "% 1000 as string)) END), ' ')"
-                ).alias("text"),
-                F.expr(
-                    "CASE WHEN abs(xxhash64(doc_id * 13)) % 100 < 70 "
-                    "THEN 'web' WHEN abs(xxhash64(doc_id * 13)) % 100 < 95 "
-                    "THEN 'news' ELSE 'books' END"
-                ).alias("source"),
-            )
-            .withColumn("lang", F.lit("en"))
-            .withColumn("n_chars", F.length("text"))
-        )
-        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
-        # id-aligned synthetic embeddings (64-dim, hash-derived) so the
-        # hybrid retrieval op has a vector side; planted dups share
-        # vectors the same way they share text (eff, not id)
-        (
-            spark.range(n_docs)
-            .select(
-                F.col("id").alias("vec_id"),
-                F.expr(
-                    f"CASE WHEN id >= {cut} THEN id - {cut} ELSE id END"
-                ).alias("eff"),
-            )
-            .select(
-                "vec_id",
-                F.expr(
-                    "transform(sequence(0, 63), j -> cast("
-                    "(abs(xxhash64(eff * 64 + j)) % 2000001) / 1000000.0"
-                    " - 1.0 as float))"
-                ).alias("embedding"),
-                F.expr("cast(abs(xxhash64(vec_id * 7)) % 10 as int)").alias(
-                    "label"
-                ),
-            )
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/embeddings.parquet")
-        )
+        # corpus + embeddings come from tools/curation_ab's shared
+        # builders — ONE synthesis definition across every stress/probe
+        # tool, so "same corpus" comparisons in SCALE.md stay honest
+        from tools.curation_ab import build_corpus, build_embeddings
+
+        build_corpus(spark, tmp, n_docs)
+        build_embeddings(spark, tmp, n_docs)
 
         import vfs_spark.queries  # noqa: F401
         from vfs_spark.queries.registry import QUERIES

@@ -83,7 +83,7 @@ def normalize_url(url: Column | str) -> Column:
     ``www.``/``m.`` host prefix, drop fragment then query string, and
     trim trailing slashes. Pure Catalyst regexp chain — evaluated in
     the scan stage, nothing but the canonical string ever shuffles.
-    The DuckDB twin lives in queries/text.py (_URL_NORM)."""
+    The DuckDB twin lives in queries/text.py (_url_norm_sql)."""
     url = F.col(url) if isinstance(url, str) else url
     u = F.lower(url)
     u = F.regexp_replace(u, r"^https?://", "")

@@ -279,6 +279,8 @@ def minhash_incremental_pairs(
     text_col: str = "text",
     jaccard_threshold: float = 0.3,
     n_hashes: int = 5,
+    skew_threshold: int | None = 100_000,
+    n_salts: int = 8,
 ) -> DataFrame:
     """Incremental MinHash-LSH: near-dup pairs between a NEW batch and
     an accumulated HISTORY corpus — the snapshot-over-snapshot form of
@@ -292,21 +294,64 @@ def minhash_incremental_pairs(
     sides derive from the fixture table.) Exact-Jaccard verify
     recomputes shingles for CANDIDATE ids only via broadcast
     semi-joins into each side's scan — corpus text never shuffles.
+    Hot-band skew (a boilerplate signature shared by thousands of
+    docs on both sides) is salted like the self-join form:
+    history-side bands over ``skew_threshold`` rows scatter across
+    ``n_salts`` reducers with the batch side replicated, so no single
+    reducer sees the full hot product (on by default here, unlike the
+    sibling, because history-side boilerplate is the COMMON case for
+    crawl corpora).
 
     Returns (new_id, hist_id, jaccard >= threshold)."""
-    sn = _minhash_sigs(new_docs, id_col, text_col, n_hashes).alias("a")
-    sh = _minhash_sigs(hist_docs, id_col, text_col, n_hashes).alias("b")
-    cand = (
-        sn.join(
-            sh,
-            (F.col("a.hash_idx") == F.col("b.hash_idx"))
-            & (F.col("a.sig") == F.col("b.sig")),
+    sn = _minhash_sigs(new_docs, id_col, text_col, n_hashes)
+    sh = _minhash_sigs(hist_docs, id_col, text_col, n_hashes)
+
+    def _cross(a_sig, b_sig, extra=None):
+        a, b = a_sig.alias("a"), b_sig.alias("b")
+        cond = (F.col("a.hash_idx") == F.col("b.hash_idx")) & (
+            F.col("a.sig") == F.col("b.sig")
         )
-        .select(
+        if extra is not None:
+            cond = cond & extra
+        return a.join(b, cond).select(
             F.col(f"a.{id_col}").alias("new_id"),
             F.col(f"b.{id_col}").alias("hist_id"),
         )
-        .distinct()
+
+    if skew_threshold is None:
+        pairs = _cross(sn, sh)
+    else:
+        # hot-band protection (the sibling's salted move, adapted to
+        # the two-sided join): a band signature shared by a huge
+        # boilerplate cluster on BOTH sides would otherwise send the
+        # whole |batch_sig| x |hist_sig| product through one reducer.
+        # Scatter the HISTORY side of hot bands over n_salts
+        # deterministic salts, replicate the batch side across them —
+        # each (new, hist) pair still joins exactly once, at the
+        # history row's salt.
+        hot_keys = (
+            sh.groupBy("hash_idx", "sig")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > skew_threshold)
+            .select("hash_idx", "sig")
+        )
+        sn_cold = sn.join(
+            F.broadcast(hot_keys), ["hash_idx", "sig"], "left_anti"
+        )
+        sh_cold = sh.join(
+            F.broadcast(hot_keys), ["hash_idx", "sig"], "left_anti"
+        )
+        sn_hot = sn.join(
+            F.broadcast(hot_keys), ["hash_idx", "sig"], "left_semi"
+        ).withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+        sh_hot = sh.join(
+            F.broadcast(hot_keys), ["hash_idx", "sig"], "left_semi"
+        ).withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+        pairs = _cross(sn_cold, sh_cold).unionByName(
+            _cross(sn_hot, sh_hot, F.col("a._salt") == F.col("b._salt"))
+        )
+    cand = (
+        pairs.distinct()
         .localCheckpoint(eager=True)  # candidates only — never the corpus
     )
     new_ids = cand.select(F.col("new_id").alias(id_col)).distinct()

@@ -1101,7 +1101,12 @@ def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream chunk-level dedup. Pure projection + explode — no
     shuffle, embarrassingly parallel at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens("text").alias("t"))
+    # NULL text: tokens(NULL) is NULL, size -> -1, and the sequence()
+    # grid would emit one bogus chunk row where the DuckDB twin emits
+    # none (generate_series over NULL is empty) — drop NULLs up front
+    t = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens("text").alias("t")
+    )
     c = t.select(
         "doc_id",
         "t",
@@ -1204,7 +1209,12 @@ def q_dedup_chunk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     never chunk text; the HAVING prunes singleton hashes after a
     map-side-combined aggregate."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    t = docs.select("doc_id", tokens("text").alias("t"))
+    # NULL text: tokens(NULL) is NULL, size -> -1, and the sequence()
+    # grid would emit one bogus chunk row where the DuckDB twin emits
+    # none (generate_series over NULL is empty) — drop NULLs up front
+    t = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens("text").alias("t")
+    )
     c = t.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.expr("(size(t) - 1) div 48"))).alias("i"),
@@ -2680,7 +2690,12 @@ def q_text_chunk_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream ops should project chunk_text away before any
     exchange (the plan test pins the no-shuffle shape)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens("text").alias("t"))
+    # NULL text: tokens(NULL) is NULL, size -> -1, and the sequence()
+    # grid would emit one bogus chunk row where the DuckDB twin emits
+    # none (generate_series over NULL is empty) — drop NULLs up front
+    t = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens("text").alias("t")
+    )
     c = t.select(
         "doc_id",
         "t",
@@ -3558,9 +3573,9 @@ def q_pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    t = docs.where(F.col("doc_id") >= 8).select(
-        "doc_id", tokens("text").alias("t")
-    )
+    t = docs.where(
+        (F.col("doc_id") >= 8) & F.col("text").isNotNull()
+    ).select("doc_id", tokens("text").alias("t"))
     c = t.select(
         "doc_id",
         "t",
