@@ -430,3 +430,63 @@ def test_pq_batch_arrow_matches_expr(emb, pq):
     ra = sorted(tuple(r) for r in a.collect())
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb
+
+
+def test_auto_nprobe_monotone_and_bounded(emb):
+    """auto_nprobe (the recall-calibrated serving default, VERDICT r8
+    #2) must return a value in [1, n_clusters], be non-decreasing in
+    the recall target, and be deterministic for a fixed seed."""
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=8)
+    assigned = assigned.cache()
+    assigned.count()
+    np80 = ann_ops.auto_nprobe(km, assigned, recall_target=0.8, k=10)
+    np90 = ann_ops.auto_nprobe(km, assigned, recall_target=0.9, k=10)
+    np99 = ann_ops.auto_nprobe(km, assigned, recall_target=0.99, k=10)
+    assert 1 <= np80 <= np90 <= np99 <= 8
+    assert np90 == ann_ops.auto_nprobe(km, assigned, recall_target=0.9, k=10)
+    assigned.unpersist()
+
+
+def test_auto_nprobe_registered_default_recall(spark, sf_dir, emb):
+    """The REGISTERED IVF operating point (index_store autoprobe at
+    recall_target=0.9, the one ann_ivf/ann_ivf_batch serve) must
+    measure >= 0.9 recall@10 on held-out queries — a serving default
+    under 0.9 is the wrong default (VERDICT r8 #2; the reference's ef
+    knob, ann.rs:754-792, exists to buy recall and must default
+    sanely)."""
+    from vfs_spark.operators import index_store
+
+    km, assigned, nprobe = index_store.load_or_fit_ivf_autoprobe(
+        spark, emb, sf_dir, n_clusters=16, recall_target=0.9
+    )
+    assigned = assigned.cache()
+    assigned.count()
+    recalls = []
+    for r in emb.where(F.col("vec_id") < 8).collect():
+        ex = exact_knn(emb, r["embedding"], k=10)
+        got = ann_ops.ivf_search(km, assigned, r["embedding"], k=10, nprobe=nprobe)
+        recalls.append(ann_ops.recall_at_k(got, ex))
+    assert sum(recalls) / len(recalls) >= 0.9, (nprobe, recalls)
+    assigned.unpersist()
+
+
+def test_ivfpq_single_arrow_matches_expr(emb, pq):
+    """ivfpq_search's Arrow ADC path (default) must return exactly
+    what the Catalyst expr scorer returns — same shortlist, same
+    rounded distances, same (dist, id) ordering (VERDICT r8 #5)."""
+    books, enc = pq
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=8)
+    assigned_enc = assigned.select("vec_id", "cluster_id").join(enc, "vec_id")
+    for r in emb.where(F.col("vec_id") < 3).collect():
+        qvec = r["embedding"]
+        a = ann_ops.ivfpq_search(
+            km, assigned_enc, emb, books, qvec,
+            k=10, nprobe=4, shortlist=50, adc="arrow",
+        ).collect()
+        e = ann_ops.ivfpq_search(
+            km, assigned_enc, emb, books, qvec,
+            k=10, nprobe=4, shortlist=50, adc="expr",
+        ).collect()
+        assert [(x["vec_id"], x["dist"]) for x in a] == [
+            (x["vec_id"], x["dist"]) for x in e
+        ], r["vec_id"]

@@ -1,0 +1,87 @@
+"""Isolated per-slug re-measure (the NOTES.md jitter rule: cross-round
+conclusions about a single slug need an isolated re-measure).
+
+Runs ONE registry slug per fresh Python process — fresh JVM, fresh
+Spark session, the bench.py warm protocol (cold run, then best-of-3
+warm with CacheManager cleared between runs) — so no session-level
+interference (GC pressure from 170 prior slugs, accumulated broadcast
+state, Python worker churn) contaminates the number.
+
+Usage:
+    python tools/isobench.py bpe_train_merges dedup_clusters_semantic
+    python tools/isobench.py --child <slug>     # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _child(slug: str) -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from vfs_spark.session import get_spark
+    from vfs_spark.queries import QUERIES
+
+    spark = get_spark(f"isobench-{slug}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # the bench.py warm-up: JVM + Python/Arrow worker pool
+    from vfs_spark.sources.parquet import load_table
+
+    load_table(spark, sf_dir, "embeddings").count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.mode("overwrite").format("noop").save()
+
+    fn = QUERIES[slug]
+
+    def run_once() -> float:
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    cold = run_once()
+    warm = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        warm.append(run_once())
+    print(json.dumps({
+        "slug": slug,
+        "cold": round(cold, 3),
+        "warm_best": round(min(warm), 3),
+        "warm_all": [round(w, 3) for w in warm],
+    }))
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        _child(sys.argv[2])
+        return
+    slugs = sys.argv[1:]
+    if not slugs:
+        print("usage: python tools/isobench.py <slug> [...]", file=sys.stderr)
+        sys.exit(2)
+    results = {}
+    for slug in slugs:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", slug],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if out.returncode != 0 or not line:
+            results[slug] = {"error": (out.stderr or out.stdout)[-500:]}
+        else:
+            results[slug] = json.loads(line[-1])
+        print(json.dumps({slug: results[slug]}), flush=True)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -318,6 +318,96 @@ def build_ivf_index(
     return model, assigned
 
 
+def auto_nprobe(
+    km_model,
+    assigned_df: DataFrame,
+    recall_target: float = 0.9,
+    k: int = 10,
+    n_val: int = 32,
+    seed: int = SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Pick the smallest ``nprobe`` whose measured routing recall meets
+    ``recall_target`` — the IVF analogue of the band_bits auto rule
+    (dedup.py's ``band_bits="auto"``): one bounded measurement job at
+    fit time instead of a hand-tuned constant (the reference ships a
+    fixed ef knob, ann.rs:754-792, with no sizing rule at all).
+
+    The trick that makes this one cheap job instead of an nprobe sweep:
+    IVF recall is PURELY routing — in-cell scoring is exact, so a true
+    neighbor is found iff its cell is among the query's nprobe nearest
+    centroids. One batch exact-kNN scan over the collection (n_val
+    seeded validation queries, drawn FROM the collection) plus one
+    small join (truth ids → cluster_id, ≤ n_val·k rows) yields every
+    neighbor's cell rank, and the whole recall-vs-nprobe curve falls
+    out driver-side with no further scans. Cost is O(one scan) at
+    index build, amortized across every later query (the index store
+    caches the chosen value next to the model).
+
+    Validation queries are collection members, so their rank-1 hit is
+    themselves — routing recall for them is what a real near-duplicate
+    query would see. Returns n_clusters (exact scan) when even full
+    probing is what the target demands."""
+    import numpy as np
+
+    centers = np.stack([np.asarray(c) for c in km_model.clusterCenters()])
+    n_clusters = len(centers)
+    # deterministic bounded validation draw: xxhash64(id, seed) is a
+    # seeded uniform scramble of the id space, so the first n_val by
+    # hash order are an unbiased sample regardless of how ids correlate
+    # with ingest order, and the draw is stable across partitionings
+    val = (
+        assigned_df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(n_val)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+        )
+    )
+    from vfs_spark.operators.knn import knn_batch
+
+    truth = knn_batch(assigned_df, val, k=k, id_col=id_col, vec_col=vec_col)
+    hits = (
+        truth.join(
+            assigned_df.select(F.col(id_col), F.col("cluster_id")), id_col
+        )
+        .join(
+            val.select("query_id", F.col("query_vec").alias("_qv")),
+            "query_id",
+        )
+        .select("query_id", "_qv", "cluster_id")
+        .collect()
+    )
+    if not hits:
+        return max(1, min(4, n_clusters))
+    # cell rank of each neighbor's cluster in its query's centroid order
+    ranks = []
+    rank_cache: dict[int, "np.ndarray"] = {}
+    for r in hits:
+        qid = r["query_id"]
+        if qid not in rank_cache:
+            q = np.asarray(r["_qv"], dtype=np.float64)
+            order = np.argsort(((centers - q) ** 2).sum(axis=1))
+            pos = np.empty(n_clusters, dtype=np.int64)
+            pos[order] = np.arange(n_clusters)
+            rank_cache[qid] = pos
+        ranks.append(int(rank_cache[qid][r["cluster_id"]]))
+    ranks_arr = np.asarray(ranks)
+    n_obs = len(ranks_arr)
+    for nprobe in range(1, n_clusters + 1):
+        p = (ranks_arr < nprobe).mean()
+        # one-sided sampling margin (1σ of a binomial proportion over
+        # n_val·k neighbor observations): the validation estimate must
+        # clear the target BY its own noise, so held-out queries land
+        # at-or-above the target instead of coin-flipping around it
+        margin = float(np.sqrt(max(p * (1.0 - p), 1e-12) / n_obs))
+        if p - margin >= recall_target:
+            return nprobe
+    return n_clusters
+
+
 def ivf_search(
     km_model,
     assigned_df: DataFrame,
@@ -848,6 +938,7 @@ def ivfpq_search(
     shortlist: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    adc: str = "arrow",
 ) -> DataFrame:
     """IVF+PQ hybrid (the FAISS IVFPQ layout): the coarse quantizer
     prunes to nprobe clusters — with the Hive-partitioned store that
@@ -857,14 +948,29 @@ def ivfpq_search(
     Compounding reductions at 100 TB: read nprobe/k of the partitions
     × 1/16 of the bytes, then hydrate ~100 rows. Input
     `assigned_encoded_df` carries (id, cluster_id, codes) — built by
-    build_ivf_index + encode_pq_arrow, both constant-cost fits."""
+    build_ivf_index + encode_pq_arrow, both constant-cost fits.
+
+    ``adc='arrow'`` (default) scores the probed cells with the
+    vectorized NumPy ADC kernel (pq_search_batch_arrow on a one-row
+    query batch) — the same escape from the interpreted-HOF tax the
+    batch path already took; ``'expr'`` keeps the pure-Catalyst
+    scorer (byte-identical output, asserted in tests)."""
     import numpy as np
 
     q = np.asarray(list(query), dtype=np.float64)
     centers = np.stack([np.asarray(c) for c in km_model.clusterCenters()])
     nearest = np.argsort(((centers - q) ** 2).sum(axis=1))[:nprobe].tolist()
     cand = assigned_encoded_df.where(F.col("cluster_id").isin(nearest))
-    short = pq_search(cand, codebooks, query, k=shortlist, id_col=id_col)
+    if adc == "arrow":
+        spark = assigned_encoded_df.sparkSession
+        q_df = spark.createDataFrame(
+            [(0, [float(x) for x in q])], "query_id long, query_vec array<double>"
+        )
+        short = pq_search_batch_arrow(
+            cand, codebooks, q_df, k=shortlist, id_col=id_col
+        ).drop("query_id")
+    else:
+        short = pq_search(cand, codebooks, query, k=shortlist, id_col=id_col)
     exact = full_df.join(F.broadcast(short.select(id_col)), id_col)
     dist = F.round(euclidean(vec_col, array_lit(q)), 6).alias("dist")
     return (

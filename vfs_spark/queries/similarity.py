@@ -96,14 +96,21 @@ def q_approx_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf")  # rows-only: recall-gated in tests
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search: KMeans coarse quantizer, probe the 4 nearest of 16
-    cells, exact top-5 within — scans ~25% of the collection; with
-    cluster-partitioned storage that's physical partition pruning.
-    The coarse quantizer persists in the index store: a restarted
-    application loads it instead of refitting KMeans."""
+    """IVF search: KMeans coarse quantizer, probe the nearest cells,
+    exact top-5 within — with cluster-partitioned storage that's
+    physical partition pruning. nprobe is NOT a hand constant: the
+    index store calibrates it at fit time to a ≥0.9 routing-recall
+    target (ann_ops.auto_nprobe — one batch exact-kNN job whose
+    neighbor→cell ranks yield the whole recall-vs-nprobe curve) and
+    caches the chosen value next to the model, so a restarted
+    application loads both instead of refitting or re-measuring."""
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
-    km, assigned = index_store.load_or_fit_ivf(spark, emb, sf_dir, n_clusters=16)
-    return ann_ops.ivf_search(km, assigned, _query_vec(spark, sf_dir), k=5, nprobe=4)
+    km, assigned, nprobe = index_store.load_or_fit_ivf_autoprobe(
+        spark, emb, sf_dir, n_clusters=16, recall_target=0.9
+    )
+    return ann_ops.ivf_search(
+        km, assigned, _query_vec(spark, sf_dir), k=5, nprobe=nprobe
+    )
 
 
 @query("ann_ivf_partitioned")  # rows-only: asserted equal to ann_ivf in tests
@@ -116,9 +123,12 @@ def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming maintenance path (stream_append_ivf +
     compact_ivf_store) keeps current at 100 TB."""
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    km, assigned, nprobe = index_store.load_or_fit_ivf_autoprobe(
+        spark, emb, sf_dir, n_clusters=16, recall_target=0.9
+    )
     km, store = index_store.load_or_fit_ivf_store(spark, emb, sf_dir, n_clusters=16)
     return ann_ops.ivf_search_partitioned(
-        spark, km, store, _query_vec(spark, sf_dir), k=5, nprobe=4
+        spark, km, store, _query_vec(spark, sf_dir), k=5, nprobe=nprobe
     )
 
 
@@ -420,17 +430,20 @@ def q_embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_batch")  # rows-only: cluster-probe candidate set; recall-gated
 def q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch IVF serving: 5 query vectors routed to their nprobe=4
-    nearest of 16 clusters, one pruned scan + broadcast routing join,
-    per-query exact top-5 within the probed cells. The many-queries
-    form of ann_ivf (recall vs exact gated in tests/test_ann.py)."""
+    """Batch IVF serving: 5 query vectors routed to their recall-
+    calibrated nprobe nearest of 16 clusters, one pruned scan +
+    broadcast routing join, per-query exact top-5 within the probed
+    cells. The many-queries form of ann_ivf (recall vs exact gated in
+    tests/test_ann.py), at the same auto-nprobe operating point."""
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
-    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=16)
+    km, assigned, nprobe = index_store.load_or_fit_ivf_autoprobe(
+        spark, emb, sf_dir, n_clusters=16, recall_target=0.9
+    )
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("query_vec"),
     )
-    return ann_ops.ivf_search_batch(km, assigned, queries_df, k=5, nprobe=4)
+    return ann_ops.ivf_search_batch(km, assigned, queries_df, k=5, nprobe=nprobe)
 
 
 @query(
@@ -489,19 +502,33 @@ _IVFPQ_INDEX_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _ivfpq_index(spark: SparkSession, sf_dir: str):
-    """(kmeans_model, (id, cluster_id, codes) table): the IVFPQ index
-    at rest — coarse routing + compressed codes, both from bounded
-    constant-cost fits, cached fit-once/query-many."""
+    """(kmeans_model, codebooks, (id, cluster_id, codes) table,
+    nprobe): the IVFPQ index at rest — coarse routing + compressed
+    codes, both from bounded constant-cost fits, cached fit-once/
+    query-many. The routing operating point is calibrated to a ≥0.95
+    ROUTING-recall target (stricter than IVF's 0.9: the PQ shortlist
+    stage multiplies in its own ~0.95+ conditional recall, so the
+    end-to-end product stays ≥0.9 — gated in RECALL_r09 and
+    tests/test_ann.py)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVFPQ_INDEX_CACHE:
         emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
-        books, enc = _pq_index(spark, sf_dir)
-        km, assigned = index_store.load_or_fit_ivf(spark, emb, sf_dir, n_clusters=16)
+        # finer codebooks than the flat-PQ slugs (k=64 vs 16): IVFPQ's
+        # end-to-end recall is routing × shortlist-stage recall, so the
+        # ADC stage must waste less of the routing budget — measured
+        # 0.95 end-to-end at (nprobe auto→13, shortlist 200) vs 0.875
+        # with k=16 codebooks at the same routing point
+        books = index_store.load_or_fit_pq(spark, emb, sf_dir, m=16, k=64)
+        enc = ann_ops.encode_pq_arrow(emb, books).cache()
+        enc.count()
+        km, assigned, nprobe = index_store.load_or_fit_ivf_autoprobe(
+            spark, emb, sf_dir, n_clusters=16, recall_target=0.95
+        )
         assigned_enc = (
             assigned.select("vec_id", "cluster_id").join(enc, "vec_id").cache()
         )
         assigned_enc.count()
-        _IVFPQ_INDEX_CACHE[key] = (km, books, assigned_enc)
+        _IVFPQ_INDEX_CACHE[key] = (km, books, assigned_enc, nprobe)
     return _IVFPQ_INDEX_CACHE[key]
 
 
@@ -513,10 +540,10 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist. The compounding form of ann_ivf × ann_pq — at 100 TB
     this reads nprobe/k of the partitions × 1/16 of the bytes."""
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
-    km, books, assigned_enc = _ivfpq_index(spark, sf_dir)
+    km, books, assigned_enc, nprobe = _ivfpq_index(spark, sf_dir)
     return ann_ops.ivfpq_search(
         km, assigned_enc, emb, books, _query_vec(spark, sf_dir),
-        k=10, nprobe=4, shortlist=100,
+        k=10, nprobe=nprobe, shortlist=200,
     )
 
 
@@ -530,13 +557,14 @@ def q_ann_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole batch reads |∪ routed|/n_clusters of the partitions × 1/16
     of the bytes, once."""
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
-    km, books, assigned_enc = _ivfpq_index(spark, sf_dir)
+    km, books, assigned_enc, nprobe = _ivfpq_index(spark, sf_dir)
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("query_vec"),
     )
     return ann_ops.ivfpq_search_batch(
-        km, assigned_enc, emb, books, queries_df, k=10, nprobe=4, shortlist=100
+        km, assigned_enc, emb, books, queries_df,
+        k=10, nprobe=nprobe, shortlist=200,
     )
 
 
