@@ -223,6 +223,12 @@ BENCH_EXCLUDED = {
         "latency suite; its batch twin pipeline_pretraining_corpus IS "
         "timed"
     ),
+    "stream_curation_full": (
+        "full-corpus streaming drain of the curation stack (URL dedup + "
+        "Gopher + fp dedup + decontam + mixture view) — CORRECTNESS and "
+        "STREAMCHECK territory; its batch twin pipeline_curation_full "
+        "IS timed"
+    ),
 }
 
 

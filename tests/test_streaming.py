@@ -560,3 +560,143 @@ def test_stream_export_shards_rejects_bookkeeping_collision(spark, tmp_path):
             str(tmp_path / "ckpt"),
             rows_per_shard=10,
         ).awaitTermination()
+
+
+def _stage_ordered_files(spark, df, src_dir, splits):
+    """Stage `df` as one parquet FILE per doc_id range, named and
+    mtime'd so the file stream processes them in doc_id order."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(src_dir, exist_ok=True)
+    for i, (lo, hi) in enumerate(splits):
+        tmp = os.path.join(src_dir, f"_stage{i}")
+        df.where(F.col("doc_id").between(lo, hi)).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dest = os.path.join(src_dir, f"{chr(ord('a') + i)}.parquet")
+        os.replace(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+
+def test_stream_curation_matches_batch_multibatch(spark, sf_dir, tmp_path):
+    """The streaming curation stack drained in TWO micro-batches
+    (maxFilesPerTrigger=1, doc_id-ordered files) plus the
+    curation_manifest view must produce exactly the batch
+    pipeline_curation_full answer — cross-batch URL and fp suppression
+    included — and a replay through a fresh checkpoint must add zero
+    store rows."""
+    from pyspark.sql import functions as F
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.schema import DOCUMENTS_SCHEMA
+    from vfs_spark.streaming.ingest import (
+        curation_manifest,
+        stream_curation_ingest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") >= 10)
+    mid = int(corpus.agg(F.expr("percentile(doc_id, 0.5)")).first()[0])
+    src = str(tmp_path / "in")
+    _stage_ordered_files(spark, corpus, src, [(10, mid), (mid + 1, 10**9)])
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dest = str(tmp_path / "curated")
+    q = stream_curation_ingest(
+        stream, dest, str(tmp_path / "ckpt1"),
+        eval_docs=docs.where(F.col("doc_id") < 10),
+    )
+    q.awaitTermination()
+
+    want = {
+        (r["doc_id"], r["source"], r["n_tokens"])
+        for r in QUERIES["pipeline_curation_full"](spark, sf_dir).collect()
+    }
+    got = {
+        (r["doc_id"], r["source"], r["n_tokens"])
+        for r in curation_manifest(spark, dest).collect()
+    }
+    assert got == want and want  # non-degenerate fixture
+
+    n_store = spark.read.parquet(dest).count()
+    stream2 = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = stream_curation_ingest(
+        stream2, dest, str(tmp_path / "ckpt2"),
+        eval_docs=docs.where(F.col("doc_id") < 10),
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(dest).count() == n_store
+
+
+def test_stream_curation_seen_url_blocks_even_if_winner_fails_quality(
+    spark, tmp_path
+):
+    """Batch semantics: the URL keep-min window drops every non-winner
+    REGARDLESS of whether the winner then fails the Gopher gate. The
+    streaming twin must reproduce that across batches — a URL seen in
+    batch 1 (winner quality-failed, so nothing stored) must still
+    block a same-URL refetch arriving in batch 2."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from vfs_spark.schema import DOCUMENTS_SCHEMA
+    from vfs_spark.streaming.ingest import stream_curation_ingest
+
+    good = ("the quick brown fox jumps over a lazy dog and then the "
+            "dog wakes up to chase the fox around of the yard again "
+            "and again until both of them rest under the old tree")
+    # doc_ids ≡ 0 (mod 4) and ≡ 0 (mod 23) -> identical synth URL for
+    # 92 and 184; 92 arrives first with JUNK text (fails quality), 184
+    # arrives later with good text and must STILL be dropped
+    b1 = pd.DataFrame([{
+        "doc_id": 92, "text": "zzzz " * 30, "lang": "en",
+        "source": "web", "n_chars": 150,
+    }])
+    b2 = pd.DataFrame([{
+        "doc_id": 184, "text": good, "lang": "en",
+        "source": "web", "n_chars": len(good),
+    }])
+    src = str(tmp_path / "in")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    for i, pdf in enumerate((b1, b2)):
+        sdf = spark.createDataFrame(pdf)[
+            [f.name for f in DOCUMENTS_SCHEMA.fields]
+        ]
+        tmp = os.path.join(src, f"_s{i}")
+        sdf.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dest_f = os.path.join(src, f"{chr(ord('a') + i)}.parquet")
+        os.replace(os.path.join(tmp, part), dest_f)
+        import shutil
+
+        shutil.rmtree(tmp)
+        os.utime(dest_f, (1_700_000_000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dest = str(tmp_path / "curated")
+    q = stream_curation_ingest(stream, dest, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    import os.path
+
+    landed = (
+        spark.read.parquet(dest).count() if os.path.isdir(dest) and any(
+            f.endswith(".parquet") for f in os.listdir(dest)
+        ) else 0
+    )
+    assert landed == 0  # 92 failed quality; 184 blocked by seen URL

@@ -66,6 +66,11 @@ EXPECTED = {
     # key-only exchange per composed stage (url keep-min, fp keep-min,
     # contamination distinct, source totals) — each documented at its
     # standalone slug
+    # streaming twin's manifest view: the same 1-row (sum_w6,
+    # total_tokens) scalar attach as sample_temperature (the per-doc
+    # stages ran inside foreachBatch; only the mixture view is planned
+    # here):
+    "stream_curation_full": {"bnlj"},
     "text_tfidf_top_terms": {"bnlj", "many"},
     # BM25: 1-row (n_docs, avgdl) scalar attach; exchanges are the
     # query-term-restricted postings aggregate + per-query score sum

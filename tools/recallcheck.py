@@ -96,6 +96,43 @@ def main() -> None:
              "n_queries": len(qrows)},
             10 * len(qrows), sum(rec) / len(rec), time.time() - t)
 
+    # ---- bulk similarity-join multiprobe sweep (VERDICT r8 #6) ----
+    # pair recall vs the exact within-threshold truth set: every
+    # (query, vector) pair at euclidean dist <= threshold counts
+    from vfs_spark.functions.distance import euclidean as _eucl
+
+    q_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    thr = 3.0
+    truth_pairs = {
+        (r["query_id"], r["vec_id"])
+        for r in emb.crossJoin(F.broadcast(q_df))
+        .where(_eucl("embedding", F.col("query_vec")) <= thr)
+        .select("query_id", "vec_id").collect()
+    }
+    model_j, vdf_j = A.build_lsh_index(emb, num_hash_tables=5,
+                                       bucket_length=2.0)
+    vdf_j = vdf_j.cache(); vdf_j.count()
+    iq = vdf_j.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "features")
+    for w in (1, 2):
+        t = time.time()
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in A.approx_knn_join_multiprobe(
+                model_j, vdf_j, iq, threshold=thr, probe_width=w).collect()
+        }
+        add("similarity_join_multiprobe", os.path.basename(ann_sf),
+            {"threshold": thr, "probe_width": w, "num_hash_tables": 5,
+             "n_queries": 8},
+            len(truth_pairs),
+            len(got & truth_pairs) / max(1, len(truth_pairs)),
+            time.time() - t,
+            note="pair recall vs exact within-threshold set; "
+                 "precision structural (exact distance filter)")
+    vdf_j.unpersist()
+
     # ---- IVF nprobe sweep ----
     km, assigned = A.build_ivf_index(emb, n_clusters=8)
     assigned = assigned.cache()

@@ -60,6 +60,7 @@ def main() -> int:
         "driver_slugs": [
             "stream_window_counts",
             "stream_ingest_corpus",
+            "stream_curation_full",
             "stream_cdc_upsert",
         ],
     }

@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vfs_spark.queries.registry import query
-from vfs_spark.queries.text import _FP, _LANG_CASE, _SHINGLES5, _TOKS
+from vfs_spark.queries.text import (
+    _CURATION_FULL_ORACLE,
+    _FP,
+    _LANG_CASE,
+    _SHINGLES5,
+    _TOKS,
+)
 from vfs_spark.sources.parquet import load_table
 
 
@@ -167,6 +173,41 @@ def q_stream_ingest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dest).select(
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
     )
+
+
+@query("stream_curation_full", oracle=_CURATION_FULL_ORACLE)
+def q_stream_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming curation stack (URL dedup → Gopher gate → fp
+    dedup → decontamination, per micro-batch with cross-batch sidecar
+    state) drained over the corpus and finished with the corpus-global
+    temperature-mixture view — hash-checked against the SAME oracle as
+    the batch `pipeline_curation_full` (one shared SQL constant, so the
+    twins can never drift). Multi-batch behavior (cross-batch URL/fp
+    suppression, replay idempotence, quality-failed URL still blocking
+    refetches) is pinned in tests/test_streaming.py; this one drain
+    proves the landed manifest is exactly the batch answer."""
+    from vfs_spark.streaming.ingest import (
+        curation_manifest,
+        read_document_stream,
+        stream_curation_ingest,
+    )
+
+    work = _session_dir("stream_curation_full")
+    src = os.path.join(work, "in")
+    docs = load_table(spark, sf_dir, "documents")
+    _stage_single_file(
+        docs.where(F.col("doc_id") >= 10),
+        os.path.join(src, "documents.parquet"),
+    )
+    dest = os.path.join(work, "curated")
+    q = stream_curation_ingest(
+        read_document_stream(spark, src),
+        dest,
+        os.path.join(work, "ckpt"),
+        eval_docs=docs.where(F.col("doc_id") < 10),
+    )
+    q.awaitTermination()
+    return curation_manifest(spark, dest)
 
 
 @query(

@@ -2814,6 +2814,21 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_pass_cond():
+    """The all-five-rules conjunction over _gopher_metric_cols columns
+    — the ONE place the hard-filter thresholds live, shared by the
+    composed batch curation pipeline and its streaming twin
+    (streaming/ingest.stream_curation_ingest) so the two gates can
+    never drift."""
+    return (
+        F.col("n_tokens").between(10, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("stop_frac") >= 0.02)
+        & (F.col("sym_frac") <= 0.1)
+        & (F.col("distinct_frac") >= 0.3)
+    )
+
+
 def _sqrt_w6(tot):
     """Per-source floor-quantized micro-unit sqrt weights over a
     (source, src_tokens) table — the exact-arithmetic temperature
@@ -3006,9 +3021,11 @@ def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_curation_full",
-    oracle=f"""
+# Shared by pipeline_curation_full AND the streaming twin
+# (stream_curation_full in queries/streaming_queries.py): the two
+# paths claim identical semantics, so they must be held to the SAME
+# oracle, defined once.
+_CURATION_FULL_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, text, source, {_TOKS} AS t,
          {_url_norm_sql(_URL_SYNTH_SQL)} AS u, {_FP} AS fp
@@ -3075,8 +3092,10 @@ cut AS (
 SELECT d.doc_id, d.source, d.n AS n_tokens
 FROM d2 d JOIN cut c USING (source)
 WHERE d.h < c.cutoff
-""",
-)
+"""
+
+
+@query("pipeline_curation_full", oracle=_CURATION_FULL_ORACLE)
 def q_pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-8 curation stack COMPOSED end to end, in the order a
     RefinedWeb/FineWeb-style pipeline actually runs it: URL-level
@@ -3113,14 +3132,7 @@ def q_pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") >= 10
     )
     toks = tokens("text")
-    n = F.size(toks)
-    pass_q = (
-        F.col("n_tokens").between(10, 100000)
-        & F.col("mean_word_len").between(3.0, 10.0)
-        & (F.col("stop_frac") >= 0.02)
-        & (F.col("sym_frac") <= 0.1)
-        & (F.col("distinct_frac") >= 0.3)
-    )
+    pass_q = _gopher_pass_cond()
     slim = docs.select(
         "doc_id",
         "source",

@@ -577,3 +577,177 @@ def stream_export_shards(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_curation_ingest(
+    docs_stream: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+    eval_docs: DataFrame | None = None,
+):
+    """Streaming twin of the FULL curation stack
+    (queries/text.q_pipeline_curation_full), stage for stage and in
+    the same order: URL-level dedup (in-batch keep-min + anti-join
+    against every URL ever SEEN — not just stored: a URL whose winner
+    later failed quality must still block later refetches, exactly as
+    the batch window does) → Gopher rule gate (the SAME
+    _gopher_pass_cond conjunction) → exact fingerprint dedup (in-batch
+    keep-min + anti-join against stored ∪ tombstoned fps) → benchmark
+    decontamination (broadcast eval 5-gram set; dropped fps are
+    tombstoned so a later same-fp copy dies too) → append the slim
+    curated manifest row (doc_id, source, n_tokens, h, fp, u).
+
+    The TEMPERATURE-MIXTURE stage is deliberately NOT per-batch: its
+    cutoffs are a function of the FINAL per-source token totals, so a
+    per-batch application would select early documents against stale
+    totals and diverge from the batch pipeline. The mixture is a
+    constant-cost view over the landed store — `curation_manifest`
+    computes it on demand (the store carries n_tokens + the selection
+    hash precomputed, so the view is one groupBy over slim rows + a
+    broadcast cutoff probe; no text is ever re-read). This split is
+    the honest streaming decomposition: per-document stages stream,
+    corpus-global stages are views.
+
+    Scale shape per batch: every signal (canonical URL, fingerprint,
+    Gopher metrics, selection hash) is computed once in the batch scan
+    and text is carried only as far as the decontamination explode;
+    the cross-batch checks read single key columns of the sidecars
+    (column pruning) and anti-join batch-sized key sets. Sidecar
+    layout: ``<dest>_seen_urls`` (every canonical URL ever seen),
+    ``<dest>_tombstones`` (fps dropped by decontamination).
+
+    Delivery: foreachBatch is at-least-once; a replayed batch dies at
+    the URL anti-join (its URLs are already in seen_urls) or, under a
+    partial-failure interleaving (store written, seen_urls append
+    lost), at the fp anti-join — zero duplicate rows either way
+    (asserted in tests/test_streaming.py).
+
+    Parity caveat (same as stream_corpus_ingest): batch keep-min is
+    MIN(doc_id); the streaming twin keeps the first ARRIVAL, so
+    equality with the batch pipeline requires doc_id-monotone arrival
+    order across batches — the natural order of a partitioned ingest
+    feed. Within a batch, true keep-min is used."""
+    from pyspark.sql.window import Window
+
+    from vfs_spark.functions.text import (
+        fingerprint,
+        normalize_url,
+        tokens,
+        word_shingles,
+    )
+    from vfs_spark.queries.text import (
+        _gopher_metric_cols,
+        _gopher_pass_cond,
+        _synth_url_col,
+    )
+
+    ev = None
+    if eval_docs is not None:
+        ev = (
+            eval_docs.select(F.explode(word_shingles("text", 5)).alias("g"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    seen_urls_dir = dest_dir.rstrip("/") + "_seen_urls"
+    tomb_dir = dest_dir.rstrip("/") + "_tombstones"
+
+    def _read_keys(spark: SparkSession, path: str, col: str):
+        import os
+
+        if not os.path.isdir(path) or not any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            return None
+        return spark.read.parquet(path).select(col)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        toks = tokens("text")
+        slim = batch_df.select(
+            "doc_id",
+            "source",
+            "text",
+            normalize_url(_synth_url_col()).alias("u"),
+            fingerprint("text").alias("fp"),
+            *_gopher_metric_cols(toks),
+            (
+                F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+                % 1000000
+            ).alias("h"),
+        )
+        # URL stage: in-batch keep-min, then anti-join vs every URL
+        # ever seen (pin the batch's URL set BEFORE appending it)
+        wu = Window.partitionBy("u").orderBy("doc_id")
+        u1 = (
+            slim.withColumn("_rn", F.row_number().over(wu))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        seen_u = _read_keys(spark, seen_urls_dir, "u")
+        batch_urls = slim.select("u").distinct().localCheckpoint(eager=True)
+        if seen_u is not None:
+            u1 = u1.join(seen_u, "u", "left_anti")
+        # Gopher gate + fp stage
+        q1 = u1.where(_gopher_pass_cond())
+        wf = Window.partitionBy("fp").orderBy("doc_id")
+        d1 = (
+            q1.withColumn("_rn", F.row_number().over(wf))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        for seen_dir in (dest_dir, tomb_dir):
+            seen = _read_keys(spark, seen_dir, "fp")
+            if seen is not None:
+                d1 = d1.join(seen, "fp", "left_anti")
+        if ev is not None:
+            contaminated = (
+                d1.select(
+                    "doc_id", F.explode(word_shingles("text", 5)).alias("g")
+                )
+                .join(F.broadcast(ev), "g")
+                .select("doc_id")
+                .distinct()
+            )
+            dropped = d1.join(contaminated, "doc_id", "left_semi")
+            dropped.select("fp").write.mode("append").parquet(tomb_dir)
+            d1 = d1.join(contaminated, "doc_id", "left_anti")
+        d1.select("doc_id", "source", "n_tokens", "h", "fp", "u").write.mode(
+            "append"
+        ).parquet(dest_dir)
+        # record the batch's URLs LAST: a crash before this line
+        # replays into the fp anti-join (no duplicates), while an
+        # earlier append would anti-join the batch against itself
+        batch_urls.write.mode("append").parquet(seen_urls_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def curation_manifest(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The corpus-global temperature-mixture stage over a store built
+    by stream_curation_ingest — sqrt-smoothed per-source keep rates
+    against a half-corpus token budget, identical arithmetic to the
+    batch pipeline's final stage (shared _temperature_cutoffs).
+    Constant-cost view: one groupBy over slim manifest rows + a
+    broadcast cutoff probe against the precomputed selection hash."""
+    from vfs_spark.queries.text import _temperature_cutoffs
+
+    d2 = spark.read.parquet(store_dir).select(
+        "doc_id", "source", F.col("n_tokens").alias("n"), "h"
+    )
+    tot = d2.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("src_tokens")
+    )
+    cut = _temperature_cutoffs(tot)
+    return (
+        d2.join(F.broadcast(cut), "source")
+        .where(F.col("h") < F.col("cutoff"))
+        .select("doc_id", "source", F.col("n").alias("n_tokens"))
+    )
