@@ -30,18 +30,27 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    # comma-separated sizes run a LADDER in one session (same-session
+    # comparisons only — the bench-noise rule), e.g. "100000,200000"
+    sizes = [
+        int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "100000").split(",")
+    ]
     group_size = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     max_hamming = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
-    from pyspark.sql import functions as F
-
-    from vfs_spark.operators import multimodal
-    from vfs_spark.operators.dedup import hamming_pairs_banded
     from vfs_spark.session import get_spark
 
     spark = get_spark("image-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    for n_images in sizes:
+        probe(spark, n_images, group_size, max_hamming)
+
+
+def probe(spark, n_images: int, group_size: int, max_hamming: int) -> None:
+    from pyspark.sql import functions as F
+
+    from vfs_spark.operators import multimodal
+    from vfs_spark.operators.dedup import hamming_pairs_banded
 
     t0 = time.time()
     media = multimodal.synth_group_bmps(
@@ -113,6 +122,7 @@ def main() -> None:
         f"recall={recall:.4f}) cross-group={cross}\n"
         f"join_wall={t_join:.1f}s total={t_hash + t_cand + t_join:.1f}s"
     )
+    fp.unpersist()
 
 
 if __name__ == "__main__":

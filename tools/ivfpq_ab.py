@@ -1,0 +1,83 @@
+"""Single-query IVFPQ ADC kernel A/B (VERDICT r8 #5): time
+``ivfpq_search(adc="arrow")`` (the new default — vectorized NumPy ADC
+via pq_search_batch_arrow on a one-row batch) against ``adc="expr"``
+(the pure-Catalyst interpreted-HOF scorer) on the SAME fitted index in
+ONE session, interleaved twice, so the walls are comparable. The
+byte-identical output contract is asserted in tests/test_ann.py; this
+tool records the interpreted-HOF tax the arrow default removes.
+
+Usage: python tools/ivfpq_ab.py [n_vectors] [n_clusters] [nprobe]
+Defaults: 2_000_000, 64, 16 (probe ~25% of cells, the scale shape).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+DIM = 64
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_clusters = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+    from vfs_spark.operators import ann as A
+    from vfs_spark.session import get_spark
+
+    spark = get_spark("ivfpq-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".ivfpq_ab_tmp",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        base = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.randn(seed=j) for j in range(DIM)])
+            .cast("array<double>")
+            .alias("embedding"),
+        )
+        base.write.mode("overwrite").parquet(f"{tmp}/vecs")
+        vecs = spark.read.parquet(f"{tmp}/vecs")
+
+        km, assigned = A.build_ivf_index(vecs, n_clusters=n_clusters)
+        books = A.fit_pq_codebooks(vecs, m=16, k=16)
+        enc = A.encode_pq_arrow(vecs, books)
+        ae = assigned.select("vec_id", "cluster_id").join(enc, "vec_id")
+        ae.write.mode("overwrite").parquet(f"{tmp}/index")
+        ae = spark.read.parquet(f"{tmp}/index")
+        q = vecs.where(F.col("vec_id") == 0).first()["embedding"]
+
+        # warm both paths once (plan compile + python worker spawn)
+        for adc in ("arrow", "expr"):
+            A.ivfpq_search(
+                km, ae, vecs, books, q, k=10, nprobe=nprobe,
+                shortlist=100, adc=adc,
+            ).collect()
+        for rnd in (1, 2):
+            for adc in ("arrow", "expr"):
+                t0 = time.time()
+                rows = A.ivfpq_search(
+                    km, ae, vecs, books, q, k=10, nprobe=nprobe,
+                    shortlist=100, adc=adc,
+                ).collect()
+                print(
+                    f"round{rnd} adc={adc:5s} wall={time.time() - t0:6.2f}s "
+                    f"top1={rows[0]['vec_id']}",
+                    flush=True,
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

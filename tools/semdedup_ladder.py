@@ -1,0 +1,133 @@
+"""SemDeDup registered-default scale ladder (VERDICT r8 #4): run
+``semdedup_pairs(n_clusters="auto")`` — the exact operating point the
+dedup_semdedup slug serves (threshold 0.9, target_cluster_rows=20k,
+row-blocked in-cell kernel) — at two or more sizes in ONE session so
+the walls are comparable, and report the scale exponent
+(log2 of the wall ratio per doubling).
+
+Corpus: the semantic_probe geometry (isotropic dim-64 gaussians + 1%
+planted near-dups at cos ≈ 0.95, threshold 0.9), born distributed and
+persisted so planted copies share exact bits. Expected shape: auto-k
+holds cells at ~target_cluster_rows, so cost = k · rows² = N · rows —
+LINEAR in N at the fixed cell target (exponent ~1).
+
+Usage: python tools/semdedup_ladder.py [sizes_csv]   (default 200000,400000)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+DIM = 64
+THRESH = 0.9
+SIGMA = 0.33  # expected planted cosine ~0.95
+
+
+def build_corpus(spark, tmp: str, n: int):
+    p = n // 100
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.randn(seed=j) for j in range(DIM)])
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    base.write.mode("overwrite").parquet(f"{tmp}/base")
+    dup = (
+        spark.read.parquet(f"{tmp}/base")
+        .where(F.col("vec_id") < p)
+        .select(
+            (F.col("vec_id") + n).alias("vec_id"),
+            F.expr(
+                f"transform(embedding, (x, j) -> "
+                f"cast(x + {SIGMA} * randn(4242) as float))"
+            ).alias("embedding"),
+        )
+    )
+    dup.write.mode("overwrite").parquet(f"{tmp}/dup")
+    corpus = spark.read.parquet(f"{tmp}/base").unionByName(
+        spark.read.parquet(f"{tmp}/dup")
+    )
+    corpus.write.mode("overwrite").parquet(f"{tmp}/corpus")
+
+    from vfs_spark.functions.distance import dot, l2_norm
+
+    a = spark.read.parquet(f"{tmp}/base").where(F.col("vec_id") < p).alias("a")
+    b = (
+        spark.read.parquet(f"{tmp}/dup")
+        .select(
+            (F.col("vec_id") - n).alias("src"),
+            F.col("embedding").alias("e2"),
+        )
+        .alias("b")
+    )
+    planted = (
+        a.join(b, F.col("a.vec_id") == F.col("b.src"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            (F.col("b.src") + n).alias("vb"),
+            (
+                dot(F.col("a.embedding"), F.col("e2"))
+                / (l2_norm(F.col("a.embedding")) * l2_norm(F.col("e2")))
+            ).alias("cs"),
+        )
+        .where(F.col("cs") >= THRESH)
+    )
+    truth = {(r["va"], r["vb"]) for r in planted.collect()}
+    return spark.read.parquet(f"{tmp}/corpus"), truth
+
+
+def main() -> None:
+    sizes = [
+        int(x)
+        for x in (sys.argv[1] if len(sys.argv) > 1 else "200000,400000").split(",")
+    ]
+    from vfs_spark.operators import dedup as D
+    from vfs_spark.session import get_spark
+
+    spark = get_spark("semdedup-ladder")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".semdedup_ladder_tmp",
+    )
+    walls = []
+    try:
+        for n in sizes:
+            shutil.rmtree(tmp, ignore_errors=True)
+            corpus, truth = build_corpus(spark, tmp, n)
+            t0 = time.time()
+            pairs = D.semdedup_pairs(
+                corpus, cos_threshold=THRESH, n_clusters="auto"
+            )
+            got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+            wall = time.time() - t0
+            walls.append(wall)
+            rec = (
+                len(got & truth) / len(truth) if truth else 1.0
+            )
+            print(
+                f"N={n} wall={wall:.1f}s pairs={len(got)} "
+                f"planted_truth={len(truth)} recall={rec:.4f}",
+                flush=True,
+            )
+        for i in range(1, len(walls)):
+            ratio = walls[i] / walls[i - 1]
+            step = math.log2(sizes[i] / sizes[i - 1])
+            print(
+                f"exponent {sizes[i-1]}->{sizes[i]}: "
+                f"{math.log2(ratio) / step:.2f}"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
