@@ -202,6 +202,11 @@ BENCH_QUERIES = [
     "sample_mixture_epochs",
     "pipeline_hybrid_retrieval",
     "dedup_incremental_minhash",
+    # round-9 additions
+    "graph_pagerank_urls",
+    "asof_join_forward_tolerance",
+    "embedding_truncate_renorm",
+    "retrieval_eval_mrr",
 ]
 
 # Registry slugs deliberately NOT in the timed suite — every exclusion

@@ -1,0 +1,46 @@
+"""Graph-operator properties: PageRank mass conservation and an exact
+uniform-distribution anchor (the oracle checks values; these pin the
+invariants that survive any fixture change)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vfs_spark.queries.graph import _edges, pagerank
+from vfs_spark.sources.parquet import load_table
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """With dangling redistribution, total rank mass stays 1.0 after
+    every power iteration (up to float noise)."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _edges(docs).cache()
+    edges.count()
+    for iters in (1, 3):
+        total = pagerank(edges, n_iters=iters).agg(F.sum("r")).first()[0]
+        assert abs(total - 1.0) < 1e-9, (iters, total)
+    edges.unpersist()
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """On a directed cycle every node has in-degree = out-degree = 1,
+    so PageRank is exactly uniform at every iteration — an arithmetic
+    anchor independent of the fixture."""
+    n = 12
+    edges = spark.range(n).select(
+        F.concat(F.lit("n"), F.col("id")).alias("src"),
+        F.concat(F.lit("n"), (F.col("id") + 1) % n).alias("dst"),
+    )
+    got = {r["u"]: r["r"] for r in pagerank(edges, n_iters=3).collect()}
+    assert len(got) == n
+    for v in got.values():
+        assert v == pytest.approx(1.0 / n, abs=1e-12)
+
+
+def test_pagerank_sink_receives_more(spark):
+    """A node everyone links to must out-rank a node nobody links to —
+    the monotonicity PageRank exists to provide."""
+    hub_edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")]
+    edges = spark.createDataFrame(hub_edges, "src string, dst string")
+    got = {r["u"]: r["r"] for r in pagerank(edges, n_iters=3).collect()}
+    assert got["hub"] > got["b"]
+    assert got["hub"] > got["c"]

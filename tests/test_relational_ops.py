@@ -1,0 +1,95 @@
+
+
+def test_asof_forward_tolerance_semantics(spark):
+    """Forward as-of: a purchase AT the view instant matches (>=
+    semantics); the nearest later purchase wins; a purchase beyond the
+    1-hour tolerance yields NULL — pinned on a synthetic frame where
+    every case is hand-checkable."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.relational import q_asof_join_forward_tolerance
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: view at t0, purchases at t0 (exact) and t0+10
+        (1, 1, ts(0), "view", 1.0),
+        (2, 1, ts(0), "purchase", 1.0),
+        (3, 1, ts(10), "purchase", 1.0),
+        # user 2: view at t0, purchase at t0+90 (beyond tolerance)
+        (4, 2, ts(0), "view", 1.0),
+        (5, 2, ts(90), "purchase", 1.0),
+        # user 3: view with no purchase at all
+        (6, 3, ts(0), "view", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="asof_fwd_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["event_id"]: r["next_purchase_ts"]
+        for r in q_asof_join_forward_tolerance(spark, d).collect()
+    }
+    assert got[1] == "2024-01-01 12:00:00.000000"  # exact-instant match
+    assert got[4] is None  # purchase exists but beyond tolerance
+    assert got[6] is None  # no purchase
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_embedding_truncate_renorm_unit_norm(spark, sf_dir):
+    """Truncated prefixes renormalize to unit L2 (within rounding);
+    an all-zeros prefix passes through unscaled, never NULLs."""
+    from pyspark.sql import functions as F
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    out = QUERIES["embedding_truncate_renorm"](spark, sf_dir)
+    norms = out.select(
+        F.aggregate(
+            F.col("vec32"), F.lit(0.0), lambda a, x: a + x * x
+        ).alias("n2")
+    ).collect()
+    assert norms and all(abs(r["n2"] - 1.0) < 1e-4 for r in norms)
+    # zero-prefix guard: synthetic vector whose first 32 dims are 0
+    zero = spark.createDataFrame(
+        [(0, [0.0] * 32 + [1.0] * 32)], "vec_id long, embedding array<double>"
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="trunc_")
+    zero.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    row = QUERIES["embedding_truncate_renorm"](spark, d).first()
+    assert row["vec32"] == [0.0] * 32
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_retrieval_eval_mrr_known_item(spark, sf_dir):
+    """Known-item eval: every query doc should retrieve ITSELF at rank
+    1 on this fixture (its own first-5 tokens score highest on itself
+    in the common case) — require at least half the queries hit rank 1
+    and every rr to be a valid micro-unit reciprocal rank."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    rows = QUERIES["retrieval_eval_mrr"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["rr_u6"] <= 1_000_000
+        assert (r["hit_rank"] == 0) == (r["rr_u6"] == 0)
+    hits_at_1 = sum(1 for r in rows if r["hit_rank"] == 1)
+    assert hits_at_1 >= 4, [(r["query_id"], r["hit_rank"]) for r in rows]

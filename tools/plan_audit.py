@@ -71,6 +71,12 @@ EXPECTED = {
     # stages ran inside foreachBatch; only the mixture view is planned
     # here):
     "stream_curation_full": {"bnlj"},
+    # PageRank: three 1-row dangling-mass attaches (one per power
+    # iteration) + per-iteration key-only contrib shuffles:
+    "graph_pagerank_urls": {"bnlj", "many"},
+    # same scorer as text_bm25_retrieval (1-row stats attach, key-only
+    # postings/score/rank exchanges) + the |queries|-row eval join:
+    "retrieval_eval_mrr": {"bnlj", "many"},
     "text_tfidf_top_terms": {"bnlj", "many"},
     # BM25: 1-row (n_docs, avgdl) scalar attach; exchanges are the
     # query-term-restricted postings aggregate + per-query score sum

@@ -96,6 +96,25 @@ def main() -> None:
              "n_queries": len(qrows)},
             10 * len(qrows), sum(rec) / len(rec), time.time() - t)
 
+    # ---- Matryoshka prefix truncation: top-10 on 32 of 64 dims ----
+    t = time.time()
+    emb32 = emb.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 32).alias(
+            "embedding"
+        ),
+    ).cache()
+    emb32.count()
+    rec = [A.recall_at_k(
+        exact_knn(emb32, list(r["embedding"])[:32], k=10),
+        exacts[r["vec_id"]]) for r in qrows]
+    add("embedding_truncate_renorm (knn@32d)", os.path.basename(ann_sf),
+        {"k": 10, "dims": "32 of 64", "n_queries": len(qrows)},
+        10 * len(qrows), sum(rec) / len(rec), time.time() - t,
+        note="exact top-10 on the truncated prefix vs full-dim exact "
+             "top-10 — the recall cost of halving every scan byte")
+    emb32.unpersist()
+
     # ---- bulk similarity-join multiprobe sweep (VERDICT r8 #6) ----
     # pair recall vs the exact within-threshold truth set: every
     # (query, vector) pair at euclidean dist <= threshold counts

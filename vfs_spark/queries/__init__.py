@@ -15,6 +15,7 @@ import vfs_spark.queries.tpch_ext  # noqa: F401,E402
 import vfs_spark.queries.text  # noqa: F401,E402
 import vfs_spark.queries.similarity  # noqa: F401,E402
 import vfs_spark.queries.streaming_queries  # noqa: F401,E402
+import vfs_spark.queries.graph  # noqa: F401,E402
 
 
 def _is_green_record(rec: dict, oracle_backed: bool) -> bool:

@@ -1,0 +1,157 @@
+"""⊕ Graph operators over the document web — link-graph authority
+scoring, the curation signal pipelines like Common Crawl's ranking
+stack derive from the hyperlink structure (harmonic centrality /
+PageRank) and FineWeb-style pipelines consume as a per-domain quality
+prior. The reference engine has no graph surface (its tables are
+vector stores, /root/reference/vfs/src/vfs/storage_manager.rs); this
+is ⊕ extension territory under SURVEY §2.2's contract: every op is
+oracle-checked against DuckDB on the same fixture.
+
+The fixture's documents table has no link column, so the edge set is
+synthesized DETERMINISTICALLY from (doc_id, canonical URL) — each
+document contributes one outlink from its canonical page to the
+canonical page of a hash-derived partner doc — identically in both
+engines (the dedup_url URL-synthesis discipline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vfs_spark.queries.registry import query
+from vfs_spark.queries.text import _URL_SYNTH_SQL, _synth_url_col, _url_norm_sql
+from vfs_spark.sources.parquet import load_table
+
+DAMPING = 0.85
+N_ITERS = 3
+
+
+def _edges(docs: DataFrame) -> DataFrame:
+    """Deterministic page-level link graph: doc d links its canonical
+    page to the canonical page of doc (d*17 + 13) mod n_docs (doc_ids
+    are dense 0..n-1 in the fixture). DISTINCT + self-loop removal."""
+    from vfs_spark.functions.text import normalize_url
+
+    base = docs.select(
+        "doc_id", normalize_url(_synth_url_col()).alias("u")
+    )
+    n = base.count()  # parquet-footer count, not a scan
+    a = base.alias("a")
+    b = base.select(
+        F.col("doc_id").alias("_pid"), F.col("u").alias("dst")
+    ).alias("b")
+    return (
+        a.join(b, (F.col("a.doc_id") * 17 + 13) % n == F.col("_pid"))
+        .where(F.col("a.u") != F.col("dst"))
+        .select(F.col("a.u").alias("src"), "dst")
+        .distinct()
+    )
+
+
+def pagerank(edges: DataFrame, n_iters: int = N_ITERS, damping: float = DAMPING) -> DataFrame:
+    """Fixed-iteration PageRank with dangling-mass redistribution —
+    fully declarative (ONE lazy plan, no driver-side loop state): each
+    iteration is contribs = edges ⋈ ranks (shuffle on dst, the only
+    data-sized exchange) plus a 1-row dangling-mass broadcast
+    (crossJoin of a global agg — the sample_temperature scalar-attach
+    idiom). At 100 TB the edge table lives partitioned by src so the
+    ranks join co-locates, and iterations reuse that partitioning;
+    n_iters is fixed (the curation-prior use case wants a handful of
+    power iterations, not convergence detection — matching how web
+    pipelines actually budget this job).
+
+    Returns (u, rank) with rank UNROUNDED; callers round once at the
+    boundary (the float policy)."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("u"))
+        .union(edges.select(F.col("dst").alias("u")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    ranks = nodes.select("u", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(n_iters):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["u"])
+            .join(deg, "src")
+            .select(F.col("dst"), (F.col("r") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        dang = (
+            ranks.join(deg, ranks["u"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("m"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["u"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "u",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + damping
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("m") / n_nodes)
+                ).alias("r"),
+            )
+        )
+    return ranks
+
+
+_PR_EDGES_SQL = f"""
+base AS (
+  SELECT doc_id, {_url_norm_sql(_URL_SYNTH_SQL)} AS u FROM documents
+),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT a.u AS src, b.u AS dst
+  FROM base a JOIN nn ON TRUE
+  JOIN base b ON b.doc_id = (a.doc_id * 17 + 13) % nn.n
+  WHERE a.u <> b.u
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT u FROM (SELECT src AS u FROM edges
+                                  UNION SELECT dst FROM edges)),
+nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)
+"""
+
+
+def _pr_iter_sql(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""
+c{k} AS (
+  SELECT e.dst AS u, SUM(r.r / d.outdeg) AS c
+  FROM edges e JOIN {prev} r ON r.u = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+m{k} AS (
+  SELECT COALESCE(SUM(r.r), 0) AS m
+  FROM {prev} r LEFT JOIN deg d ON d.src = r.u WHERE d.src IS NULL
+),
+r{k} AS (
+  SELECT nodes.u,
+         0.15 / nc.n + 0.85 * (COALESCE(c{k}.c, 0) + m{k}.m / nc.n) AS r
+  FROM nodes CROSS JOIN nc CROSS JOIN m{k}
+  LEFT JOIN c{k} ON c{k}.u = nodes.u
+)"""
+
+
+_PR_ORACLE = (
+    "WITH "
+    + _PR_EDGES_SQL
+    + ",\nr0 AS (SELECT u, 1.0 / nc.n AS r FROM nodes CROSS JOIN nc),"
+    + ",".join(_pr_iter_sql(k) for k in (1, 2, 3))
+    + f"\nSELECT u, ROUND(r, 6) AS rank FROM r{N_ITERS}"
+)
+
+
+@query("graph_pagerank_urls", oracle=_PR_ORACLE)
+def q_graph_pagerank_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the synthesized page-level link graph (3 power
+    iterations, damping 0.85, dangling mass redistributed uniformly) —
+    the link-authority quality prior curation pipelines attach per
+    domain/page before sampling. Rounded once at the boundary; the
+    oracle unrolls the same three iterations as CTEs, so the two
+    engines walk identical arithmetic."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    ranks = pagerank(_edges(docs))
+    return ranks.select("u", F.round("r", 6).alias("rank"))

@@ -535,6 +535,75 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_forward_tolerance",
+    oracle="""
+SELECT v.event_id, v.user_id,
+       CASE WHEN np.ts IS NOT NULL
+             AND np.ts <= v.ts + INTERVAL 1 HOUR
+            THEN strftime(np.ts, '%Y-%m-%d %H:%M:%S.%f') END
+         AS next_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN LATERAL (
+  SELECT MIN(p.ts) AS ts FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+    AND p.ts >= v.ts
+) np ON TRUE
+""",
+)
+def q_asof_join_forward_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """⊕ FORWARD as-of join with a tolerance bound — the conversion-
+    attribution direction (for each view, the next purchase by the
+    same user at-or-after it, NULL when none lands within 1 hour).
+    The backward sibling is asof_join_events; together they cover both
+    ASOF directions plus the tolerance knob every as-of engine exposes
+    (pandas merge_asof's direction='forward', tolerance=...).
+
+    Same scalable union-tag shape, mirrored: tag both sides, one
+    shuffle on user_id, first_value(purchase_ts) IGNORE NULLS over the
+    FOLLOWING frame — no pair explosion; the tolerance is a post-hoc
+    CASE on the matched timestamp (cheap, scan-stage), never a range
+    join. Ties: at equal ts the view row (tag 0) sorts before the
+    purchase (tag 1), so a purchase at exactly the view instant IS
+    visible — matching the oracle's `>=`."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.col("ts").alias("p_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = F.first("p_ts", ignorenulls=True).over(w)
+    return (
+        views.union(purchases)
+        .withColumn("_np", nxt)
+        .where(F.col("tag") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(
+                F.col("_np") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+                F.date_format("_np", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            ).alias("next_purchase_ts"),
+        )
+    )
+
+
+@query(
     "sessionize_events",
     oracle="""
 WITH flagged AS (

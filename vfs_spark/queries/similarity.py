@@ -342,6 +342,65 @@ def q_knn_batch_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_truncate_renorm",
+    oracle="""
+WITH cut AS (
+  SELECT vec_id,
+         list_transform(embedding[1:32], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+  FROM cut
+)
+SELECT vec_id,
+       CASE WHEN n = 0 THEN list_transform(v, x -> ROUND(x, 6))
+            ELSE list_transform(v, x -> ROUND(x / n, 6)) END AS vec32
+FROM nrm
+""",
+)
+def q_embedding_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ Matryoshka-style prefix truncation (Kusupati et al. 2022,
+    arXiv:2205.13147): keep the first 32 of 64 dims and L2-renormalize
+    — the embedding-compression step MRL-trained models support
+    natively, halving every downstream scan/shuffle byte count (a
+    64→32 cut halves the ANN index and doubles effective cache).
+    Cosine on the truncated prefix approximates full-dim cosine FOR
+    MRL-TRAINED embeddings (information concentrated in the prefix —
+    the operator's deployment precondition). RECALL_r09 measures the
+    worst case instead: on this fixture's isotropic-random vectors
+    every dim is equally informative, so truncated top-10 recall is
+    0.26 — the floor an untrained embedding pays, which is exactly
+    why the op exists only for models trained with prefix loss.
+
+    Shape: pure scan-stage Catalyst — slice + one sequential fold for
+    the norm + transform for the scale; no shuffle, no Python. The
+    norm folds left-to-right in BOTH engines (F.aggregate / list_sum
+    over identical element order), so round-6 output hash-matches.
+    Zero-norm prefixes pass through unscaled (a legal all-zeros head
+    must not become NULLs)."""
+    from vfs_spark.functions.distance import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    v = F.slice(F.col("embedding").cast("array<double>"), 1, 32)
+    out = emb.select("vec_id", v.alias("v")).withColumn(
+        "_n", l2_norm(F.col("v"))
+    )
+    return out.select(
+        "vec_id",
+        F.when(
+            F.col("_n") == 0.0,
+            F.transform(F.col("v"), lambda x: F.round(x, 6)),
+        )
+        .otherwise(
+            F.transform(F.col("v"), lambda x: F.round(x / F.col("_n"), 6))
+        )
+        .alias("vec32"),
+    )
+
+
+@query(
     "embedding_centroid",
     oracle="""
 SELECT label, CAST(i AS INTEGER) AS i,

@@ -3283,6 +3283,154 @@ def q_text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "retrieval_eval_mrr",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, {_SHINGLES5} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id >= 8)
+),
+q AS (
+  SELECT DISTINCT doc_id AS query_id,
+         unnest([array_to_string(toks[i:i+4], ' ')
+                 for i in range(1, 4)]) AS term
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+        WHERE doc_id >= 10 AND doc_id < 18 AND len({_TOKS}) >= 7)
+),
+postings AS (
+  SELECT doc_id, term, CAST(1 AS BIGINT) AS tf,
+         CAST(MAX(dl) AS BIGINT) AS dl
+  FROM (SELECT doc_id, len(sh) AS dl, unnest(sh) AS term FROM corpus)
+  WHERE term IN (SELECT term FROM q)
+  GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM postings GROUP BY term
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(sh)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM corpus
+),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(ROUND(
+           (1000000.0
+            * LN(1 + CAST(2 * (n_docs - df) + 1 AS DOUBLE)
+                     / CAST(2 * df + 1 AS DOUBLE))
+            * (22 * tf))
+           / (10 * tf + 3 + (9 * dl) / avgdl), 0) AS BIGINT)) AS BIGINT)
+           AS score_u6
+  FROM postings JOIN q USING (term) JOIN dfs USING (term), stats
+  GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score_u6 DESC, doc_id) AS rnk
+  FROM scored
+),
+hits AS (
+  SELECT query_id, rnk FROM ranked WHERE rnk <= 10 AND doc_id = query_id
+)
+SELECT qq.query_id, CAST(COALESCE(h.rnk, 0) AS INTEGER) AS hit_rank,
+       CAST(COALESCE(CAST(ROUND(1000000.0 / h.rnk, 0) AS BIGINT), 0)
+            AS BIGINT) AS rr_u6
+FROM (SELECT DISTINCT query_id FROM q) qq
+LEFT JOIN hits h USING (query_id)
+""",
+)
+def q_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ Known-item retrieval evaluation — per-query reciprocal rank
+    of PHRASE-BM25 top-10 where each query is the first three 5-token
+    shingles OF a corpus document and the relevant answer IS that
+    document (the standard known-item protocol when no labeled
+    relevance exists). Shingle queries, not unigrams, deliberately:
+    the fixture vocabulary is 31 words, so every unigram appears in
+    ~every doc (idf ~ 0) and unigram known-item is structurally
+    impossible — 5-gram phrases are near-unique even over a tiny
+    vocabulary, exactly why passage-retrieval stacks index phrases.
+    hit_rank 0 is the miss sentinel; rr is exact integer micro-units.
+
+    Shape: same discipline as text_bm25_retrieval with shingles as
+    terms — the postings explode (word_shingles, already DISTINCT per
+    doc, so tf ≡ 1) is restricted in the scan stage by a broadcast
+    semi-join on the |queries|·3 phrase set; df/stats broadcast back;
+    one map-side-combined score SUM; rank window; |queries|-row eval
+    join. Eval cost = serving cost + nothing."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    corpus = docs.where(F.col("doc_id") >= 8)
+    toks = tokens("text")
+    # first three 5-gram phrases, POSITIONAL (pre-dedup: slicing a
+    # distinct-set would depend on engine dedup order)
+    qt = (
+        docs.where(
+            F.col("doc_id").between(10, 17) & (F.size(toks) >= 7)
+        )
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(3)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i, 5)
+                    ),
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    sh = word_shingles("text", 5)
+    postings = (
+        corpus.select(
+            "doc_id",
+            F.size(sh).alias("dl"),
+            F.explode(sh).alias("term"),
+        )
+        .join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(
+            F.lit(1).cast("bigint").alias("tf"),
+            F.max("dl").cast("bigint").alias("dl"),
+        )
+    )
+    dfs = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    stats = corpus.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum(F.size(sh)).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    term_u6 = _bm25_term_u6("n_docs")
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", term_u6.alias("term_u6"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_u6").cast("bigint").alias("score_u6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u6").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    hits = ranked.where(
+        (F.col("rnk") <= 10) & (F.col("doc_id") == F.col("query_id"))
+    ).select("query_id", "rnk")
+    queries = qt.select("query_id").distinct()
+    return queries.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("rnk"), F.lit(0)).cast("int").alias("hit_rank"),
+        F.coalesce(
+            F.round(1000000.0 / F.col("rnk"), 0).cast("bigint"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rr_u6"),
+    )
+
+
 def _bm25_term_u6(n_col: str):
     """The ONE place the BM25 scoring discipline lives (k1=1.2, b=0.75
     in scaled-integer form; idf = LN of an exact-integer rational;
