@@ -1,0 +1,131 @@
+"""Scale points for the round-9 operators — TWO sizes per op in ONE
+session so each gets a same-protocol doubling and an exponent
+(the round-9 ladder discipline; cross-session walls are not
+comparable, NOTES.md).
+
+Ops and their probe corpora:
+- graph pagerank (operators path via queries/graph.pagerank): a
+  hash-derived link graph with 4 out-edges per node; cost per power
+  iteration is the edges⋈ranks shuffle — linear in |E|.
+- asof_join_forward_tolerance: synthetic events (10% purchases), the
+  union-tag window shuffles once on user_id.
+- embedding_truncate_renorm: scan-stage only — the flat-op anchor.
+- retrieval_eval_mrr: the shared stress corpus (curation_ab
+  builders); the cost is the shingle-postings explode.
+
+Usage: python tools/r9op_stress.py [sizes_csv]   (default 2500000,5000000)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sizes = [
+        int(x)
+        for x in (sys.argv[1] if len(sys.argv) > 1 else "2500000,5000000").split(",")
+    ]
+    from tools.curation_ab import build_corpus, build_embeddings
+    from vfs_spark.queries.graph import pagerank
+    from vfs_spark.session import get_spark
+
+    spark = get_spark("r9op-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".r9op_stress_tmp",
+    )
+    walls: dict[str, list[float]] = {}
+
+    def timed(name, n, fn):
+        t0 = time.time()
+        out = fn()
+        w = time.time() - t0
+        walls.setdefault(name, []).append(w)
+        print(f"{name:30s} n={n:>9d} {w:8.2f}s  -> {out}", flush=True)
+
+    try:
+        for n in sizes:
+            shutil.rmtree(tmp, ignore_errors=True)
+            build_corpus(spark, tmp, n)
+            build_embeddings(spark, tmp, n)
+
+            # --- pagerank over a 4-out-degree hash graph (|E| = 4n) ---
+            nodes = spark.range(n).select(F.col("id").alias("nid"))
+            edges = nodes.select(
+                F.col("nid").alias("src"),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, 4), j -> "
+                        f"abs(xxhash64(nid * 11 + j)) % {n})"
+                    )
+                ).alias("dst"),
+            ).where(F.col("src") != F.col("dst"))
+            edges.write.mode("overwrite").parquet(f"{tmp}/edges")
+            e = spark.read.parquet(f"{tmp}/edges")
+            timed(
+                "graph_pagerank (3 iters)", n,
+                lambda: pagerank(e.select(
+                    F.col("src").cast("string"), F.col("dst").cast("string")
+                ), n_iters=3).agg(F.sum("r")).first()[0],
+            )
+
+            # --- forward as-of over synthetic events ---
+            ev = spark.range(n).select(
+                F.col("id").alias("event_id"),
+                (F.abs(F.xxhash64("id")) % (n // 20 + 1)).alias("user_id"),
+                F.timestamp_micros(
+                    (F.lit(1700000000000000)
+                     + (F.abs(F.xxhash64(F.col("id") * 3)) % 864000000000))
+                    .cast("long")
+                ).alias("ts"),
+                F.when(
+                    F.abs(F.xxhash64(F.col("id") * 7)) % 10 == 0, "purchase"
+                ).otherwise("view").alias("event_type"),
+                F.lit(1.0).alias("value"),
+            )
+            ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+            import vfs_spark.queries  # noqa: F401
+            from vfs_spark.queries.registry import QUERIES
+
+            timed(
+                "asof_join_forward_tolerance", n,
+                lambda: QUERIES["asof_join_forward_tolerance"](spark, tmp)
+                .where(F.col("next_purchase_ts").isNotNull())
+                .count(),
+            )
+
+            # --- truncate+renorm (scan-only anchor) ---
+            timed(
+                "embedding_truncate_renorm", n,
+                lambda: QUERIES["embedding_truncate_renorm"](spark, tmp)
+                .write.mode("overwrite").format("noop").save(),
+            )
+
+            # --- known-item MRR over the stress corpus ---
+            timed(
+                "retrieval_eval_mrr", n,
+                lambda: QUERIES["retrieval_eval_mrr"](spark, tmp)
+                .agg(F.sum("rr_u6")).first()[0],
+            )
+        for name, ws in walls.items():
+            if len(ws) >= 2 and ws[0] > 0:
+                step = math.log2(sizes[1] / sizes[0])
+                print(
+                    f"exponent {name}: {math.log2(ws[1] / ws[0]) / step:.2f}"
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
