@@ -1,0 +1,19 @@
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from vfs_spark.session import get_spark
+from vfs_spark.functions.text import tokens, word_shingles
+
+spark = get_spark("mrr-plan")
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+corpus = docs.where(F.col("doc_id") >= 8)
+toks = tokens("text")
+qt = (docs.where(F.col("doc_id").between(10, 17) & (F.size(toks) >= 7))
+      .select(F.explode(F.transform(F.sequence(F.lit(1), F.lit(3)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))).alias("term"))
+      .distinct())
+sh = word_shingles("text", 5)
+postings = (corpus.select("doc_id", F.size(sh).alias("dl"), F.explode(sh).alias("term"))
+    .join(F.broadcast(qt), "term"))
+postings.explain("formatted")

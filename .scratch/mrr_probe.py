@@ -1,0 +1,18 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from vfs_spark.session import get_spark
+from tools.curation_ab import build_corpus
+import shutil
+
+spark = get_spark("mrr-probe")
+spark.sparkContext.setLogLevel("ERROR")
+tmp = "/root/repo/.mrr_probe_tmp"
+shutil.rmtree(tmp, ignore_errors=True)
+build_corpus(spark, tmp, 200_000)
+import vfs_spark.queries
+from vfs_spark.queries.registry import QUERIES
+t0=time.time()
+out = QUERIES["retrieval_eval_mrr"](spark, tmp).agg(F.sum("rr_u6")).first()[0]
+print("mrr 200k:", out, round(time.time()-t0,1), flush=True)
+shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,38 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from vfs_spark.session import get_spark
+from tools.curation_ab import build_corpus
+from vfs_spark.functions.text import tokens, word_shingles
+import shutil
+
+spark = get_spark("mrr-stages")
+spark.sparkContext.setLogLevel("ERROR")
+tmp = "/root/repo/.mrr_probe_tmp"
+shutil.rmtree(tmp, ignore_errors=True)
+build_corpus(spark, tmp, 200_000)
+docs = spark.read.parquet(f"{tmp}/documents.parquet")
+corpus = docs.where(F.col("doc_id") >= 8)
+toks = tokens("text")
+
+t0=time.time()
+qt = (docs.where(F.col("doc_id").between(10, 17) & (F.size(toks) >= 7))
+      .select(F.col("doc_id").alias("query_id"),
+              F.explode(F.transform(F.sequence(F.lit(1), F.lit(3)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))).alias("term"))
+      .distinct())
+qt = qt.cache(); print("qt", qt.count(), round(time.time()-t0,1), flush=True)
+
+sh = word_shingles("text", 5)
+t0=time.time()
+postings = (corpus.select("doc_id", F.size(sh).alias("dl"), F.explode(sh).alias("term"))
+    .join(F.broadcast(qt.select("term").distinct()), "term")
+    .groupBy("doc_id", "term")
+    .agg(F.lit(1).cast("bigint").alias("tf"), F.max("dl").cast("bigint").alias("dl")))
+postings = postings.cache(); print("postings", postings.count(), round(time.time()-t0,1), flush=True)
+
+t0=time.time()
+stats = corpus.agg(F.count("*").cast("bigint").alias("n_docs"),
+    (F.sum(F.size(sh)).cast("double")/F.count("*")).alias("avgdl"))
+print("stats", stats.first(), round(time.time()-t0,1), flush=True)
+shutil.rmtree(tmp, ignore_errors=True)

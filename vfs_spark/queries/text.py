@@ -3383,25 +3383,37 @@ def q_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sh = word_shingles("text", 5)
+    # dl is computed BELOW the generate, in the same projection that
+    # materializes the shingle array: putting size(sh) next to
+    # explode(sh) in ONE select lets CollapseProject inline the whole
+    # tokenize+shingle expression into the POST-generate projection,
+    # re-evaluating it once per exploded row — measured 75 s vs 6 s at
+    # 200k docs (the split() tax multiplies by shingles-per-doc).
+    # A Generate node is a projection barrier; staging through it is
+    # the general fix for any expensive-array explode+size pair.
+    sh_base = corpus.select(
+        "doc_id", F.size(sh).alias("dl"), sh.alias("_sh")
+    )
     postings = (
-        corpus.select(
-            "doc_id",
-            F.size(sh).alias("dl"),
-            F.explode(sh).alias("term"),
-        )
+        sh_base.select("doc_id", "dl", F.explode("_sh").alias("term"))
         .join(F.broadcast(qt.select("term").distinct()), "term")
         .groupBy("doc_id", "term")
         .agg(
             F.lit(1).cast("bigint").alias("tf"),
             F.max("dl").cast("bigint").alias("dl"),
         )
+        # two consumers (dfs and the score join) — without the pin the
+        # corpus shingle explode re-runs per branch; post-join postings
+        # is candidate-bounded (|query phrases| x docs-containing), so
+        # the cache is tiny and lazy (populated at first action)
+        .persist()
     )
     dfs = postings.groupBy("term").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df")
     )
-    stats = corpus.agg(
+    stats = sh_base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        (F.sum(F.size(sh)).cast("double") / F.count("*")).alias("avgdl"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     term_u6 = _bm25_term_u6("n_docs")
     scored = (
@@ -3468,27 +3480,35 @@ def _bm25_doc_scored(spark, sf_dir):
         )
         .distinct()
     )
+    # stage dl + the token array through a pre-generate projection —
+    # size(toks) beside explode(toks) in one select gets collapsed
+    # into the POST-generate projection and re-tokenizes per exploded
+    # row (the retrieval_eval_mrr lesson: ~tokens-per-doc× scan tax)
+    tok_base = corpus.select(
+        "doc_id",
+        F.size(tokens("text")).alias("dl"),
+        tokens("text").alias("_toks"),
+    )
     postings = (
-        corpus.select(
-            "doc_id",
-            F.size(tokens("text")).alias("dl"),
-            F.explode(tokens("text")).alias("term"),
-        )
+        tok_base.select("doc_id", "dl", F.explode("_toks").alias("term"))
         .join(F.broadcast(qt.select("term").distinct()), "term")
         .groupBy("doc_id", "term")
         .agg(
             F.count("*").cast("bigint").alias("tf"),
             F.max("dl").cast("bigint").alias("dl"),
         )
+        # same pin as retrieval_eval_mrr: dfs + the score join both
+        # consume postings; the post-semi-join table is candidate-
+        # bounded, so a lazy persist trades a tiny cache for a whole
+        # corpus token-explode pass
+        .persist()
     )
     dfs = postings.groupBy("term").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df")
     )
-    stats = corpus.agg(
+    stats = tok_base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        (F.sum(F.size(tokens("text"))).cast("double") / F.count("*")).alias(
-            "avgdl"
-        ),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     term_u6 = _bm25_term_u6("n_docs")
     scored = (
