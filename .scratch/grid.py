@@ -1,0 +1,35 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from vfs_spark.session import get_spark
+from vfs_spark.functions.text import tokens, word_shingles
+from vfs_spark.sources.parquet import load_table
+spark = get_spark("grid")
+spark.sparkContext.setLogLevel("ERROR")
+sf="/root/testdata/sf0.1"
+docs = load_table(spark, sf, "documents", fan_out=True)
+docs.count()
+corpus = docs.where(F.col("doc_id") >= 8)
+sh = word_shingles("text", 5)
+sh_base = corpus.select("doc_id", F.size(sh).alias("dl"), sh.alias("_sh"))
+
+def t(name, df):
+    t0=time.time(); n=df.count(); print(f"{name:36s} {n} {round(time.time()-t0,2)}s", flush=True)
+
+for aqe in ("true","false"):
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    t(f"baseline aqe={aqe}", sh_base.select("doc_id","dl",F.explode("_sh").alias("term")))
+
+spark.conf.set("spark.sql.adaptive.enabled","true")
+# cheap shingle: array_join(slice(toks,i,5)) over concrete toks
+tokb = corpus.select("doc_id", tokens("text").alias("toks"))
+sh_cheap = F.when(F.size("toks") < 5, F.array().cast("array<string>")).otherwise(
+    F.array_distinct(F.transform(F.sequence(F.lit(1), F.size("toks")-4),
+        lambda i: F.array_join(F.slice("toks", i, 5), " "))))
+base2 = tokb.select("doc_id", F.size(sh_cheap).alias("dl"), sh_cheap.alias("_sh"))
+t("concrete-toks slice+join", base2.select("doc_id","dl",F.explode("_sh").alias("term")))
+# explode WITHOUT dl
+t("no-dl baseline", sh_base.select("doc_id", F.explode("_sh").alias("term")))
+t("no-dl cheap", base2.select("doc_id", F.explode("_sh").alias("term")))
+# repartition AFTER projection
+t("cheap + repartition post", base2.repartition(32).select("doc_id","dl",F.explode("_sh").alias("term")))

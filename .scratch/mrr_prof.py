@@ -1,0 +1,18 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from vfs_spark.session import get_spark
+from vfs_spark.functions.text import word_shingles
+from vfs_spark.sources.parquet import load_table
+spark = get_spark("mrr-prof")
+spark.sparkContext.setLogLevel("ERROR")
+sf="/root/testdata/sf0.1"
+docs = load_table(spark, sf, "documents", fan_out=True)
+docs.count()
+corpus = docs.where(F.col("doc_id") >= 8)
+sh = word_shingles("text", 5)
+sh_base = corpus.select("doc_id", F.size(sh).alias("dl"), sh.alias("_sh"))
+for i in range(6):
+    t0=time.time()
+    sh_base.select("doc_id","dl",F.explode("_sh").alias("term")).count()
+    print("iter", i, round(time.time()-t0,2), flush=True)

@@ -1,0 +1,17 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from vfs_spark.session import get_spark
+spark = get_spark("mrr-sf01")
+spark.sparkContext.setLogLevel("ERROR")
+import vfs_spark.queries
+from vfs_spark.queries.registry import QUERIES
+sf="/root/testdata/sf0.1"
+# warm
+QUERIES["text_bm25_retrieval"](spark, sf).write.mode("overwrite").format("noop").save()
+for name in ("text_bm25_retrieval","retrieval_eval_mrr"):
+    for rep in (1,2):
+        spark.catalog.clearCache()
+        t0=time.time()
+        QUERIES[name](spark, sf).write.mode("overwrite").format("noop").save()
+        print(name, rep, round(time.time()-t0,2), flush=True)

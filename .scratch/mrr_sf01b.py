@@ -1,0 +1,30 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from vfs_spark.session import get_spark
+from vfs_spark.functions.text import tokens, word_shingles
+from vfs_spark.sources.parquet import load_table
+spark = get_spark("mrr-sf01b")
+spark.sparkContext.setLogLevel("ERROR")
+sf="/root/testdata/sf0.1"
+docs = load_table(spark, sf, "documents", fan_out=True)
+docs.count()
+corpus = docs.where(F.col("doc_id") >= 8)
+toks = tokens("text")
+t0=time.time()
+qt = (docs.where(F.col("doc_id").between(10, 17) & (F.size(toks) >= 7))
+      .select(F.col("doc_id").alias("query_id"),
+              F.explode(F.transform(F.sequence(F.lit(1), F.lit(3)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))).alias("term"))
+      .distinct())
+print("qt", qt.count(), round(time.time()-t0,2), flush=True)
+sh = word_shingles("text", 5)
+t0=time.time()
+sh_base = corpus.select("doc_id", F.size(sh).alias("dl"), sh.alias("_sh"))
+postings = (sh_base.select("doc_id","dl",F.explode("_sh").alias("term"))
+    .join(F.broadcast(qt.select("term").distinct()), "term")
+    .groupBy("doc_id","term")
+    .agg(F.lit(1).cast("bigint").alias("tf"), F.max("dl").cast("bigint").alias("dl")))
+print("postings", postings.count(), round(time.time()-t0,2), flush=True)
+t0=time.time()
+print("stats", sh_base.agg(F.count("*"), F.sum("dl")).first(), round(time.time()-t0,2), flush=True)

@@ -1,0 +1,32 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from vfs_spark.session import get_spark
+from vfs_spark.functions.text import tokens, word_shingles
+from vfs_spark.sources.parquet import load_table
+spark = get_spark("mrr-sf01c")
+spark.sparkContext.setLogLevel("ERROR")
+sf="/root/testdata/sf0.1"
+docs = load_table(spark, sf, "documents", fan_out=True)
+docs.count()
+corpus = docs.where(F.col("doc_id") >= 8)
+toks = tokens("text")
+sh = word_shingles("text", 5)
+sh_base = corpus.select("doc_id", F.size(sh).alias("dl"), sh.alias("_sh"))
+t0=time.time()
+print("explode only", sh_base.select("doc_id","dl",F.explode("_sh").alias("term")).count(), round(time.time()-t0,2), flush=True)
+qt = (docs.where(F.col("doc_id").between(10, 17) & (F.size(toks) >= 7))
+      .select(F.col("doc_id").alias("query_id"),
+              F.explode(F.transform(F.sequence(F.lit(1), F.lit(3)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))).alias("term"))
+      .distinct())
+qterms = qt.select("term").distinct()
+t0=time.time(); qlist=[r["term"] for r in qterms.collect()]; print("qt collect", len(qlist), round(time.time()-t0,2), flush=True)
+t0=time.time()
+n = (sh_base.select("doc_id","dl",F.explode("_sh").alias("term"))
+     .join(F.broadcast(qterms), "term").count())
+print("explode+bjoin", n, round(time.time()-t0,2), flush=True)
+t0=time.time()
+n = (sh_base.select("doc_id","dl",F.explode("_sh").alias("term"))
+     .where(F.col("term").isin(qlist)).count())
+print("explode+isin", n, round(time.time()-t0,2), flush=True)

@@ -1,0 +1,30 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from vfs_spark.session import get_spark
+from vfs_spark.functions.text import tokens, word_shingles
+from vfs_spark.sources.parquet import load_table
+spark = get_spark("mrr-sf01d")
+spark.sparkContext.setLogLevel("ERROR")
+sf="/root/testdata/sf0.1"
+docs = load_table(spark, sf, "documents", fan_out=True)
+docs.count()
+corpus = docs.where(F.col("doc_id") >= 8)
+
+def shingles_from(col):
+    return F.when(F.size(col) < 5, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(col) - 4),
+            lambda i: F.concat_ws(" ",
+                F.element_at(col, i), F.element_at(col, i+1),
+                F.element_at(col, i+2), F.element_at(col, i+3),
+                F.element_at(col, i+4)))))
+
+tok_base = corpus.select("doc_id", tokens("text").alias("toks"))
+sh2 = shingles_from(F.col("toks"))
+t0=time.time()
+staged = tok_base.select("doc_id", F.size(sh2).alias("dl"), sh2.alias("_sh"))
+n = staged.select("doc_id","dl",F.explode("_sh").alias("term")).count()
+print("two-stage explode", n, round(time.time()-t0,2), flush=True)
+# how many partitions?
+print("parts", corpus.rdd.getNumPartitions(), flush=True)

@@ -1,0 +1,22 @@
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from vfs_spark.session import get_spark
+from tools.curation_ab import build_corpus
+import shutil
+spark = get_spark("shingle-win")
+spark.sparkContext.setLogLevel("ERROR")
+tmp = "/root/repo/.shingle_win_tmp"
+shutil.rmtree(tmp, ignore_errors=True)
+build_corpus(spark, tmp, 2_500_000)
+import vfs_spark.queries
+from vfs_spark.queries.registry import QUERIES
+for name, action in (
+    ("decontaminate_report", lambda df: df.agg(F.sum("n_shared_shingles")).first()[0]),
+    ("pipeline_curation_full", lambda df: df.count()),
+    ("retrieval_eval_mrr", lambda df: df.agg(F.sum("rr_u6")).first()[0]),
+):
+    t0=time.time()
+    out = action(QUERIES[name](spark, tmp))
+    print(f"{name:28s} 2500k {round(time.time()-t0,2)}s -> {out}", flush=True)
+shutil.rmtree(tmp, ignore_errors=True)

@@ -107,7 +107,16 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     yield an EMPTY array: without the CASE guard, sequence(1, n-k+1)
     with n<k produces a descending array containing 0 and
     element_at(toks, 0) throws (SQL arrays are 1-based); a downstream
-    filter would not help because the projection evaluates first."""
+    filter would not help because the projection evaluates first.
+
+    The lambda is ONE array_join(slice(toks, i, k)) — not k
+    element_at calls: HOF lambdas evaluate INTERPRETED, and when
+    `toks` is the inlined tokenize expression each element_at
+    re-splits the text, i.e. k re-tokenizations per shingle (5x
+    measured on the shingle-explode stage at k=5; jstack showed every
+    busy worker inside UTF8String.split). Output is identical:
+    array_join and concat_ws agree on non-null string arrays, and
+    split never yields nulls."""
     toks = tokens(text)
     idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
     return F.when(
@@ -116,9 +125,7 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
         F.array_distinct(
             F.transform(
                 idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(k)]
-                ),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
             )
         )
     )
@@ -127,7 +134,9 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
 def word_ngrams(text: Column | str, k: int = 3) -> Column:
     """ALL k-word n-grams in order (with repeats — the multiset the
     repetition-quality score needs; `word_shingles` is the distinct
-    set). Same short-doc guard: fewer than k tokens → empty array."""
+    set). Same short-doc guard: fewer than k tokens → empty array;
+    same single-slice lambda as word_shingles (k element_at calls
+    re-tokenize per shingle under interpreted HOF evaluation)."""
     toks = tokens(text)
     idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
     return F.when(
@@ -135,9 +144,7 @@ def word_ngrams(text: Column | str, k: int = 3) -> Column:
     ).otherwise(
         F.transform(
             idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
-            ),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
         )
     )
 
