@@ -413,14 +413,26 @@ def _report(sf_dir, times, errors, times_cold=None) -> None:
     # Full per-query breakdown goes to a FILE: r2's single in-line
     # breakdown outgrew the driver's stdout tail capture, which
     # truncated the line from the FRONT and lost the headline number.
+    # MERGE, don't overwrite: auxiliary evidence blocks (e.g. the
+    # isolated re-measure protocol results) live in the same file and
+    # a plain rewrite silently destroyed one once.
     try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-            ),
-            "w",
-        ) as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        merged = {}
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            if isinstance(prev, dict):
+                merged = {
+                    k: v for k, v in prev.items() if k not in detail
+                }
+        except (OSError, ValueError):
+            pass
+        merged.update(detail)
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
     except OSError:
         pass  # the printed line below is the artifact that matters
     # The printed line stays small and parse-proof: value first, then
