@@ -175,8 +175,14 @@ def load_or_fit_ivf_autoprobe(
         "recall_target": recall_target,
         "k": k,
     }
-    np_path = os.path.join(art, "nprobe.json")
-    if _meta_matches(os.path.join(art, "nprobe_meta.json"), meta):
+    # the (target, k) pair is part of the ARTIFACT NAME, not just the
+    # meta: ann_ivf (0.9) and the IVFPQ index (0.95) share one model
+    # dir, and a single shared sidecar would thrash — each caller
+    # invalidating the other's meta and re-paying the measurement job
+    # on every alternation (code-review r9 finding)
+    tag = f"nprobe_r{recall_target}_k{k}"
+    np_path = os.path.join(art, f"{tag}.json")
+    if _meta_matches(os.path.join(art, f"{tag}_meta.json"), meta):
         try:
             with open(np_path) as fh:
                 return km, assigned, int(json.load(fh)["nprobe"])
@@ -192,7 +198,7 @@ def load_or_fit_ivf_autoprobe(
         with open(tmp, "w") as fh:
             json.dump({"nprobe": nprobe}, fh)
         os.replace(tmp, np_path)
-        _write_meta(os.path.join(art, "nprobe_meta.json"), meta)
+        _write_meta(os.path.join(art, f"{tag}_meta.json"), meta)
 
     _try_persist(_persist)
     return km, assigned, nprobe
@@ -204,16 +210,24 @@ def load_or_fit_ivf_store(
     sf_dir: str,
     vec_col: str = "embedding",
     n_clusters: int = 16,
+    preloaded: tuple | None = None,
 ):
     """(kmeans_model, partitioned_store_path): the IVF index AT REST —
     one Hive partition per cluster — written once per dataset
     fingerprint and reused by every later application. Queries
     against the returned path get physical partition pruning
     (ivf_search_partitioned); this is the layout `stream_append_ivf`
-    maintains incrementally and `compact_ivf_store` folds."""
-    km, assigned = load_or_fit_ivf(
-        spark, df, sf_dir, vec_col=vec_col, n_clusters=n_clusters
-    )
+    maintains incrementally and `compact_ivf_store` folds.
+
+    ``preloaded``: a (km_model, assigned_df) pair the caller already
+    holds (e.g. from load_or_fit_ivf_autoprobe) — skips the second
+    load/fit path so one query never runs the IVF machinery twice."""
+    if preloaded is not None:
+        km, assigned = preloaded
+    else:
+        km, assigned = load_or_fit_ivf(
+            spark, df, sf_dir, vec_col=vec_col, n_clusters=n_clusters
+        )
     art = _artifact_dir(sf_dir, f"ivf_{n_clusters}")
     store = os.path.join(art, "store")
     meta_path = os.path.join(art, "store_meta.json")

@@ -111,6 +111,13 @@ def pagerank(edges: DataFrame, n_iters: int = N_ITERS, damping: float = DAMPING)
             )
             .localCheckpoint(eager=True)
         )
+    # the final frontier is eagerly materialized with truncated
+    # lineage, so the input pins are no longer needed — release them
+    # (persisting the CALLER's edges object is a side effect that must
+    # not outlive the call; repeated invocations would otherwise
+    # accumulate cache entries until a session clearCache)
+    for pinned in (edges, deg, nodes):
+        pinned.unpersist()
     return ranks
 
 
@@ -133,6 +140,10 @@ nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)
 
 
 def _pr_iter_sql(k: int) -> str:
+    # the literals interpolate from the SAME module constants the
+    # Spark side uses — hardcoding 0.85/0.15 or the iteration tuple
+    # would leave N_ITERS/DAMPING decorative and silently diverge the
+    # engines when changed (code-review r9 finding)
     prev = f"r{k - 1}"
     return f"""
 c{k} AS (
@@ -146,7 +157,8 @@ m{k} AS (
 ),
 r{k} AS (
   SELECT nodes.u,
-         0.15 / nc.n + 0.85 * (COALESCE(c{k}.c, 0) + m{k}.m / nc.n) AS r
+         {1.0 - DAMPING!r} / nc.n
+           + {DAMPING!r} * (COALESCE(c{k}.c, 0) + m{k}.m / nc.n) AS r
   FROM nodes CROSS JOIN nc CROSS JOIN m{k}
   LEFT JOIN c{k} ON c{k}.u = nodes.u
 )"""
@@ -156,7 +168,7 @@ _PR_ORACLE = (
     "WITH "
     + _PR_EDGES_SQL
     + ",\nr0 AS (SELECT u, 1.0 / nc.n AS r FROM nodes CROSS JOIN nc),"
-    + ",".join(_pr_iter_sql(k) for k in (1, 2, 3))
+    + ",".join(_pr_iter_sql(k) for k in range(1, N_ITERS + 1))
     + f"\nSELECT u, ROUND(r, 6) AS rank FROM r{N_ITERS}"
 )
 

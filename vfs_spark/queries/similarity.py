@@ -126,7 +126,9 @@ def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     km, assigned, nprobe = index_store.load_or_fit_ivf_autoprobe(
         spark, emb, sf_dir, n_clusters=16, recall_target=0.9
     )
-    km, store = index_store.load_or_fit_ivf_store(spark, emb, sf_dir, n_clusters=16)
+    km, store = index_store.load_or_fit_ivf_store(
+        spark, emb, sf_dir, n_clusters=16, preloaded=(km, assigned)
+    )
     return ann_ops.ivf_search_partitioned(
         spark, km, store, _query_vec(spark, sf_dir), k=5, nprobe=nprobe
     )
@@ -578,8 +580,11 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
         # 0.95 end-to-end at (nprobe auto→13, shortlist 200) vs 0.875
         # with k=16 codebooks at the same routing point
         books = index_store.load_or_fit_pq(spark, emb, sf_dir, m=16, k=64)
-        enc = ann_ops.encode_pq_arrow(emb, books).cache()
-        enc.count()
+        # enc stays UNcached: its only consumer is the assigned_enc
+        # join below, which is itself cached — a second pinned copy of
+        # the codes table would sit in executor memory for the whole
+        # application (code-review r9 finding)
+        enc = ann_ops.encode_pq_arrow(emb, books)
         km, assigned, nprobe = index_store.load_or_fit_ivf_autoprobe(
             spark, emb, sf_dir, n_clusters=16, recall_target=0.95
         )
@@ -593,11 +598,14 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
 
 @query("ann_ivfpq")  # rows-only: recall-gated in tests/test_ann.py
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFPQ: coarse-quantizer routing prunes to 4 of 16 clusters
-    (partition pruning in the at-rest layout), ADC scores only the
-    probed cells' 16-byte codes, exact rerank hydrates a 100-row
-    shortlist. The compounding form of ann_ivf × ann_pq — at 100 TB
-    this reads nprobe/k of the partitions × 1/16 of the bytes."""
+    """IVFPQ: coarse-quantizer routing prunes to the recall-calibrated
+    nprobe of 16 clusters (auto rule at the 0.95 routing target — on
+    this unclustered fixture that measures ~13/16; on real clustered
+    embeddings the fraction is small), ADC scores only the probed
+    cells' 16-byte codes, exact rerank hydrates a 200-row shortlist.
+    The compounding form of ann_ivf × ann_pq — at 100 TB this reads
+    nprobe/n_clusters of the partitions × 1/16 of the bytes, with
+    nprobe bought by measured recall, not guessed."""
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     km, books, assigned_enc, nprobe = _ivfpq_index(spark, sf_dir)
     return ann_ops.ivfpq_search(
@@ -608,10 +616,11 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivfpq_batch")  # rows-only: recall-gated + matches-single in tests
 def q_ann_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch IVFPQ serving: 5 queries routed driver-side to 4/16
-    cells each, ONE scan of the union of routed cells reading only
-    the code column, per-query routing mask inside the Arrow ADC
-    kernel, exact rerank on |Q|·shortlist hydrated pairs. The
+    """Batch IVFPQ serving: 5 queries routed driver-side to their
+    recall-calibrated nprobe cells each, ONE scan of the union of
+    routed cells reading only the code column, per-query routing mask
+    inside the Arrow ADC kernel, exact rerank on |Q|·shortlist
+    hydrated pairs. The
     compounding form of ann_ivf_batch × ann_pq_batch — at 100 TB the
     whole batch reads |∪ routed|/n_clusters of the partitions × 1/16
     of the bytes, once."""

@@ -679,7 +679,11 @@ def stream_curation_ingest(
             ).alias("h"),
         )
         # URL stage: in-batch keep-min, then anti-join vs every URL
-        # ever seen (pin the batch's URL set BEFORE appending it)
+        # ever seen (pin the batch's NEW URLs BEFORE appending them —
+        # and only the new ones: re-appending already-seen URLs would
+        # grow the sidecar O(docs ever ingested) instead of O(distinct
+        # URLs) on exactly the refetch-heavy feeds URL dedup exists
+        # for)
         wu = Window.partitionBy("u").orderBy("doc_id")
         u1 = (
             slim.withColumn("_rn", F.row_number().over(wu))
@@ -687,9 +691,11 @@ def stream_curation_ingest(
             .drop("_rn")
         )
         seen_u = _read_keys(spark, seen_urls_dir, "u")
-        batch_urls = slim.select("u").distinct().localCheckpoint(eager=True)
+        new_urls = slim.select("u").distinct()
         if seen_u is not None:
             u1 = u1.join(seen_u, "u", "left_anti")
+            new_urls = new_urls.join(seen_u, "u", "left_anti")
+        new_urls = new_urls.localCheckpoint(eager=True)
         # Gopher gate + fp stage
         q1 = u1.where(_gopher_pass_cond())
         wf = Window.partitionBy("fp").orderBy("doc_id")
@@ -702,25 +708,33 @@ def stream_curation_ingest(
             seen = _read_keys(spark, seen_dir, "fp")
             if seen is not None:
                 d1 = d1.join(seen, "fp", "left_anti")
+        # pin the survivors: with eval_docs set, d1 feeds THREE actions
+        # (tombstone write, store write, and two DAG branches inside
+        # the contamination join) — unpinned, the whole batch scan +
+        # Gopher HOFs re-run per action (the q_pipeline_curation_full
+        # d2.persist() lesson, applied to the streaming twin)
+        d1p = d1.persist()
+        out = d1p
         if ev is not None:
             contaminated = (
-                d1.select(
+                d1p.select(
                     "doc_id", F.explode(word_shingles("text", 5)).alias("g")
                 )
                 .join(F.broadcast(ev), "g")
                 .select("doc_id")
                 .distinct()
             )
-            dropped = d1.join(contaminated, "doc_id", "left_semi")
+            dropped = d1p.join(contaminated, "doc_id", "left_semi")
             dropped.select("fp").write.mode("append").parquet(tomb_dir)
-            d1 = d1.join(contaminated, "doc_id", "left_anti")
-        d1.select("doc_id", "source", "n_tokens", "h", "fp", "u").write.mode(
+            out = d1p.join(contaminated, "doc_id", "left_anti")
+        out.select("doc_id", "source", "n_tokens", "h", "fp", "u").write.mode(
             "append"
         ).parquet(dest_dir)
+        d1p.unpersist()
         # record the batch's URLs LAST: a crash before this line
         # replays into the fp anti-join (no duplicates), while an
         # earlier append would anti-join the batch against itself
-        batch_urls.write.mode("append").parquet(seen_urls_dir)
+        new_urls.write.mode("append").parquet(seen_urls_dir)
 
     return (
         docs_stream.writeStream.foreachBatch(_apply)
