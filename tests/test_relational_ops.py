@@ -49,19 +49,21 @@ def test_asof_forward_tolerance_semantics(spark):
 
 
 def test_embedding_truncate_renorm_unit_norm(spark, sf_dir):
-    """Truncated prefixes renormalize to unit L2 (within rounding);
-    an all-zeros prefix passes through unscaled, never NULLs."""
-    from pyspark.sql import functions as F
+    """Truncated prefixes renormalize to unit L2 — the in-plan
+    norm2_u6 summary must read exactly 1_000_000 micro-units for
+    every nonzero prefix; an all-zeros prefix passes through
+    unscaled (all summaries 0), never NULLs."""
     import vfs_spark.queries  # noqa: F401
     from vfs_spark.queries.registry import QUERIES
 
-    out = QUERIES["embedding_truncate_renorm"](spark, sf_dir)
-    norms = out.select(
-        F.aggregate(
-            F.col("vec32"), F.lit(0.0), lambda a, x: a + x * x
-        ).alias("n2")
-    ).collect()
-    assert norms and all(abs(r["n2"] - 1.0) < 1e-4 for r in norms)
+    rows = QUERIES["embedding_truncate_renorm"](spark, sf_dir).collect()
+    assert rows and all(r["norm2_u6"] == 1_000_000 for r in rows)
+    assert all(r["n_u6"] > 0 for r in rows)
+    # micro-unit element summaries stay inside the unit ball
+    assert all(
+        abs(r["first_u6"]) <= 1_000_000 and abs(r["last_u6"]) <= 1_000_000
+        for r in rows
+    )
     # zero-prefix guard: synthetic vector whose first 32 dims are 0
     zero = spark.createDataFrame(
         [(0, [0.0] * 32 + [1.0] * 32)], "vec_id long, embedding array<double>"
@@ -72,7 +74,13 @@ def test_embedding_truncate_renorm_unit_norm(spark, sf_dir):
     d = tempfile.mkdtemp(prefix="trunc_")
     zero.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
     row = QUERIES["embedding_truncate_renorm"](spark, d).first()
-    assert row["vec32"] == [0.0] * 32
+    assert (
+        row["n_u6"] == 0
+        and row["sum_u6"] == 0
+        and row["first_u6"] == 0
+        and row["last_u6"] == 0
+        and row["norm2_u6"] == 0
+    )
     import shutil
 
     shutil.rmtree(d, ignore_errors=True)

@@ -355,11 +355,25 @@ nrm AS (
   SELECT vec_id, v,
          sqrt(list_sum(list_transform(v, x -> x * x))) AS n
   FROM cut
+),
+ren AS (
+  SELECT vec_id, n,
+         CASE WHEN n = 0 THEN v ELSE list_transform(v, x -> x / n) END AS u
+  FROM nrm
+),
+mu AS (
+  SELECT vec_id, n, u,
+         list_transform(u, x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS ue6
+  FROM ren
 )
 SELECT vec_id,
-       CASE WHEN n = 0 THEN list_transform(v, x -> ROUND(x, 6))
-            ELSE list_transform(v, x -> ROUND(x / n, 6)) END AS vec32
-FROM nrm
+       CAST(ROUND(n * 1000000) AS BIGINT) AS n_u6,
+       CAST(list_sum(ue6) AS BIGINT) AS sum_u6,
+       ue6[1] AS first_u6,
+       ue6[len(ue6)] AS last_u6,
+       CAST(ROUND(list_sum(list_transform(u, x -> x * x)) * 1000000)
+            AS BIGINT) AS norm2_u6
+FROM mu
 """,
 )
 def q_embedding_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,12 +390,21 @@ def q_embedding_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.26 — the floor an untrained embedding pays, which is exactly
     why the op exists only for models trained with prefix loss.
 
+    Driver contract: array columns stay out of the hash compare
+    (queries/core.py quantize_vec precedent), so the renormalized
+    prefix is summarized as integer micro-unit scalars — pre-renorm
+    norm `n_u6`, element micro-units summed exactly as integers
+    (`sum_u6`), the first/last elements (`first_u6`/`last_u6`), and
+    the post-renorm squared norm `norm2_u6` (= 1_000_000 whenever
+    n > 0 — the unit-norm property evaluated in-plan; 0 for a legal
+    all-zeros head, which passes through unscaled, never NULLs).
+
     Shape: pure scan-stage Catalyst — slice + one sequential fold for
-    the norm + transform for the scale; no shuffle, no Python. The
-    norm folds left-to-right in BOTH engines (F.aggregate / list_sum
-    over identical element order), so round-6 output hash-matches.
-    Zero-norm prefixes pass through unscaled (a legal all-zeros head
-    must not become NULLs)."""
+    the norm + transform for the scale; no shuffle, no Python. Every
+    fold runs left-to-right in BOTH engines (F.aggregate / list_sum
+    over identical element order), and the per-element micro-unit
+    rounding happens BEFORE the sum, so the compare is exact integer
+    arithmetic."""
     from vfs_spark.functions.distance import l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
@@ -389,16 +412,33 @@ def q_embedding_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = emb.select("vec_id", v.alias("v")).withColumn(
         "_n", l2_norm(F.col("v"))
     )
+    u = F.when(F.col("_n") == 0.0, F.col("v")).otherwise(
+        F.transform(F.col("v"), lambda x: x / F.col("_n"))
+    )
+    out = out.withColumn("u", u).withColumn(
+        "ue6",
+        F.transform(
+            F.col("u"), lambda x: F.round(x * F.lit(1e6)).cast("bigint")
+        ),
+    )
     return out.select(
         "vec_id",
-        F.when(
-            F.col("_n") == 0.0,
-            F.transform(F.col("v"), lambda x: F.round(x, 6)),
+        F.round(F.col("_n") * F.lit(1e6)).cast("bigint").alias("n_u6"),
+        F.aggregate(
+            F.col("ue6"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_u6"),
+        F.element_at(F.col("ue6"), 1).alias("first_u6"),
+        F.element_at(F.col("ue6"), -1).alias("last_u6"),
+        F.round(
+            F.aggregate(
+                F.col("u"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+            * F.lit(1e6)
         )
-        .otherwise(
-            F.transform(F.col("v"), lambda x: F.round(x / F.col("_n"), 6))
-        )
-        .alias("vec32"),
+        .cast("bigint")
+        .alias("norm2_u6"),
     )
 
 
