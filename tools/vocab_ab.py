@@ -1,0 +1,148 @@
+"""A/B probe for the text_vocab_coverage round-11 rewrite: the old
+|vocab|-sized global rank window vs the TakeOrderedAndProject top-k.
+
+The standard stress corpus (tools/curation_ab.build_corpus) has only
+~1005 token TYPES, which never stresses a |vocab|-row window — so this
+probe builds a WIDE-vocab variant: 2.5M docs x 30 tokens drawn from a
+20M-type space (~hash-uniform), yielding a vocabulary in the tens of
+millions — the regime the round-10 verdict named as the scale-killer
+("at web scale |vocab| is tens of millions of (token, count) rows
+forced through a single partition").
+
+Both forms run in ONE session back-to-back (the same-session A/B
+discipline, NOTES.md): `before` is an inline replica of the pre-r11
+shape (row_number + running sum over Window.orderBy with no
+partitionBy, filtered to rnk <= 200); `after` is the registered
+QUERIES["text_vocab_coverage"]. Output equality is asserted on the
+full 200-row result before timings are reported.
+
+Usage: python tools/vocab_ab.py [n_docs] [vocab_space]
+       (defaults 2500000 20000000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def build_wide_vocab_corpus(spark, tmp: str, n_docs: int, vocab_space: int):
+    """2.5M-doc corpus whose token space is `vocab_space` hash-derived
+    types plus 5 high-frequency stopwords (so the top-200 head is
+    stable and the tail is enormous — the Zipf shape that makes
+    coverage curves worth computing)."""
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, 30), i -> "
+            "CASE WHEN abs(xxhash64(id * 31 + i)) % 7 = 0 THEN "
+            "element_at(array('the','a','of','and','to'), "
+            "cast(abs(xxhash64(id * 17 + i)) % 5 + 1 as int)) "
+            f"ELSE concat('w', cast(abs(xxhash64(id * 31 + i)) "
+            f"% {vocab_space} as string)) END), ' ')"
+        ).alias("text"),
+        F.lit("web").alias("source"),
+        F.lit("en").alias("lang"),
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+
+
+def vocab_coverage_global_window(spark, sf_dir: str):
+    """The pre-round-11 shape, verbatim: rank + running sum over an
+    UNPARTITIONED window on the full (token, count) aggregate."""
+    from pyspark.sql.window import Window
+
+    from vfs_spark.queries.text import tokens
+    from vfs_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    v = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = v.agg(F.sum("cnt").cast("bigint").alias("t"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = v.select(
+        "token",
+        "cnt",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cnt").over(wc).alias("cum"),
+    ).where(F.col("rnk") <= 200)
+    return r.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.round(F.col("cum").cast("double") / F.col("t"), 6).alias(
+            "cum_coverage"
+        ),
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_500_000
+    vocab_space = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000
+
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.session import get_spark
+
+    spark = get_spark("vocab-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".vocab_ab_tmp",
+    )
+    try:
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_wide_vocab_corpus(spark, tmp, n_docs, vocab_space)
+
+        # vocab cardinality, for the record (one cheap agg)
+        from vfs_spark.queries.text import tokens
+        from vfs_spark.sources.parquet import load_table
+
+        n_types = (
+            load_table(spark, tmp, "documents")
+            .select(F.explode(tokens("text")).alias("token"))
+            .agg(F.approx_count_distinct("token").alias("n"))
+            .first()["n"]
+        )
+
+        def timed(fn):
+            t0 = time.time()
+            rows = fn(spark, tmp).collect()
+            return time.time() - t0, rows
+
+        w_before, rows_before = timed(vocab_coverage_global_window)
+        w_after, rows_after = timed(QUERIES["text_vocab_coverage"])
+
+        canon = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+        assert canon(rows_before) == canon(rows_after), (
+            "A/B outputs diverge — rewrite is NOT value-identical"
+        )
+        print(
+            json.dumps(
+                {
+                    "n_docs": n_docs,
+                    "vocab_types_approx": int(n_types),
+                    "before_global_window_s": round(w_before, 2),
+                    "after_take_ordered_s": round(w_after, 2),
+                    "speedup": round(w_before / w_after, 2),
+                    "identical_output": True,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1149,9 +1149,15 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     with rank and CUMULATIVE token-mass coverage — the curve a
     tokenizer team reads to size a vocab ("how many types cover 95%
     of tokens?"). Scale: the explode+count is map-side combined (only
-    (token, count) pairs shuffle); the rank/running-sum window runs
-    over the |vocab| aggregate, not the corpus — at 100 TB vocab is
-    millions of rows while the corpus is trillions of tokens. The
+    (token, count) pairs shuffle); the top-k is ``orderBy().limit(k)``
+    which Catalyst plans as TakeOrderedAndProject — every partition
+    keeps its LOCAL top-200 in a bounded heap and only k·|partitions|
+    (token, count) pairs ever concentrate, so NO |vocab|-sized global
+    window exists anywhere in the plan (at 100 TB vocab is tens of
+    millions of types; ranking them all through one partition was the
+    prior shape, removed round 11). The rank/running-sum window that
+    remains runs over the ≤200-row take-ordered result — bounded by
+    the CONSTANT k, not by any corpus-derived cardinality. The
     coverage ratio is one exact-int/exact-int division, stable across
     engines at 6 decimals."""
     from pyspark.sql.window import Window
@@ -1163,14 +1169,15 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     tot = v.agg(F.sum("cnt").cast("bigint").alias("t"))
+    top = v.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(200)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r = v.select(
+    r = top.select(
         "token",
         "cnt",
         F.row_number().over(w).alias("rnk"),
         F.sum("cnt").over(wc).alias("cum"),
-    ).where(F.col("rnk") <= 200)
+    )
     return r.crossJoin(F.broadcast(tot)).select(
         "token",
         F.col("cnt").cast("bigint").alias("cnt"),
