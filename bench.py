@@ -207,6 +207,9 @@ BENCH_QUERIES = [
     "asof_join_forward_tolerance",
     "embedding_truncate_renorm",
     "retrieval_eval_mrr",
+    # round-11 additions (VERDICT r10 #6, #7)
+    "pipeline_curation_ranked",
+    "retrieval_eval_ndcg",
 ]
 
 # Registry slugs deliberately NOT in the timed suite — every exclusion

@@ -60,6 +60,124 @@ def test_simhash_near_identical_docs_within_hamming(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_hamming_banded_and_equals_or_form(spark):
+    """The AND-composed band-pair join must return EXACTLY the pairs
+    the single-band form returns (both are pigeonhole-complete for
+    the budget and verify hamming exactly) — including pairs whose
+    errors land to leave only ONE clean band-PAIR, and excluding
+    pairs one bit over budget."""
+    from pyspark.sql import functions as F
+
+    # synthetic 64-bit fingerprints with planted hamming distances:
+    # base vs base^(3 spread bits) = 3 (inside budget), base^(1<<40)
+    # = 1, far = random-looking constant ~32 bits away
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, base),
+        (2, base ^ 0x0000100000400001),  # bits 0, 22, 44 → hamming 3
+        (3, base ^ (1 << 40)),           # hamming 1
+        (4, base ^ 0x00000000000000FF),  # hamming 8 → out of budget
+        (5, 0x5A5A5A5A5A5A5A5A),         # unrelated
+    ]
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+    or_pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup_ops.hamming_pairs_banded(fp, max_hamming=3).collect()
+    }
+    and_pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup_ops.hamming_pairs_banded_and(
+            fp, max_hamming=3
+        ).collect()
+    }
+    assert and_pairs == or_pairs
+    assert (1, 2, 3) in and_pairs and (1, 3, 1) in and_pairs
+    assert not any(a == 4 or b == 4 for a, b, _ in and_pairs)
+
+
+def test_hamming_banded_and_candidate_reduction(spark):
+    """On a population where ONE 16-bit band is shared (low entropy)
+    but the rest of the hash is distinct, the single-band key buckets
+    everyone together (quadratic candidates) while the band-pair key
+    needs a SECOND band to also agree — candidates collapse. Verified
+    outputs must still be identical (here: empty — the planted rows
+    are far apart in hamming)."""
+    from pyspark.sql import functions as F
+
+    # 300 fingerprints: low 16 bits identical, upper 48 bits unique
+    # per row (spread patterns, pairwise hamming >> 3)
+    def to_i64(v):
+        v &= 0xFFFFFFFFFFFFFFFF
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [
+        (i, to_i64(((i * 0x9E3779B97F4A7C15) & ~0xFFFF) | 0xBEEF))
+        for i in range(300)
+    ]
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    def cand_count(keys_df, group_cols):
+        return (
+            keys_df.groupBy(*group_cols)
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p"))
+            .first()["p"]
+        )
+
+    # single-band candidate volume (4 x 16-bit bands, budget 3)
+    or_bands = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_no", "b.band_val")
+    or_cand = cand_count(or_bands, ["band_no", "band_val"])
+    assert or_cand >= 300 * 299 / 2  # the shared band buckets everyone
+
+    # band-pair candidate volume (5 bands, C(5,2) pairs, budget 3)
+    widths = [13, 13, 13, 13, 12]
+    offs = [0, 13, 26, 39, 52]
+    combos = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    and_bands = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("pair_no"),
+                        F.shiftrightunsigned("simhash", offs[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("v1"),
+                        F.shiftrightunsigned("simhash", offs[j])
+                        .bitwiseAND(F.lit((1 << widths[j]) - 1))
+                        .alias("v2"),
+                    )
+                    for c, (i, j) in enumerate(combos)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.pair_no", "b.v1", "b.v2")
+    and_cand = cand_count(and_bands, ["pair_no", "v1", "v2"])
+    assert and_cand < or_cand / 10, (and_cand, or_cand)
+
+    # verified outputs identical (both complete; here both empty)
+    or_out = {tuple(r) for r in dedup_ops.hamming_pairs_banded(
+        fp, max_hamming=3).collect()}
+    and_out = {tuple(r) for r in dedup_ops.hamming_pairs_banded_and(
+        fp, max_hamming=3).collect()}
+    assert or_out == and_out == set()
+
+
 def test_exact_dedup_keeps_lowest_id(spark):
     rows = [
         (10, "same words here"),

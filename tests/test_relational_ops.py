@@ -101,3 +101,51 @@ def test_retrieval_eval_mrr_known_item(spark, sf_dir):
         assert (r["hit_rank"] == 0) == (r["rr_u6"] == 0)
     hits_at_1 = sum(1 for r in rows if r["hit_rank"] == 1)
     assert hits_at_1 >= 4, [(r["query_id"], r["hit_rank"]) for r in rows]
+
+
+def test_retrieval_eval_ndcg_planted_cluster(spark, tmp_path):
+    """Graded-relevance eval on a planted fixture: doc 20 is a
+    near-dup of query doc 10 (same text + tail → same cluster, shares
+    all query phrases → retrieved), so query 10's qrels gain one
+    rel-1 member and its ideal ordering is achieved exactly (itself
+    at 1, the near-dup at 2) → ndcg == 1.0 with idcg = G2[1] + G1[2].
+    Queries with no cluster members degenerate to known-item: idcg =
+    G2[1] and ndcg == 1.0 iff they rank themselves first."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.queries.text import _NDCG_G1, _NDCG_G2, _NDCG_S1
+
+    words = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+        "uniform victor whiskey xray yankee zulu apple banana cherry dates",
+        "eagle falcon hawk osprey kestrel merlin harrier kite buzzard owl",
+        "maple oak birch cedar spruce willow aspen alder rowan elm",
+        "copper iron zinc nickel cobalt silver tin lead chrome gold",
+        "river lake pond creek brook marsh fjord delta2 bay lagoon",
+        "violin cello viola flute oboe clarinet bassoon horn tuba drum",
+    ]
+    rows = [(10 + i, t, "web", "en", len(t)) for i, t in enumerate(words)]
+    # near-dup of doc 10: same text + tail (distinct fingerprint,
+    # high 3-gram jaccard, contains doc 10's query phrases verbatim)
+    rows.append((20, words[0] + " trailing pad words", "web", "en", 99))
+    d = str(tmp_path / "ndcg")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["query_id"]: r
+        for r in QUERIES["retrieval_eval_ndcg"](spark, d).collect()
+    }
+    assert set(got) == set(range(10, 18))
+    q10 = got[10]
+    assert q10["n_rel"] == 1
+    assert q10["idcg_u6"] == _NDCG_G2[0] + _NDCG_S1[1]
+    assert q10["ndcg"] == 1.0
+    assert q10["dcg_u6"] == _NDCG_G2[0] + _NDCG_G1[1]
+    for qid in range(11, 18):
+        r = got[qid]
+        assert r["n_rel"] == 0 and r["idcg_u6"] == _NDCG_G2[0]
+        assert 0.0 <= r["ndcg"] <= 1.0

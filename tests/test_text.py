@@ -857,6 +857,40 @@ def test_pipeline_curation_full_stages(spark, tmp_path):
     assert kept == again
 
 
+def test_pipeline_curation_ranked_stages(spark, tmp_path):
+    """The rank-weighted pipeline keeps every upstream stage's
+    behavior (URL/exact dedup, gopher gate, decontamination) and
+    attaches a non-negative micro-unit page rank to each kept doc;
+    output is deterministic across invocations."""
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+
+    good = "the quick brown fox jumps over a lazy dog of the north plain "
+    rows = [
+        (0, "alpha beta gamma delta epsilon benchmark item", "eval", "e", 40),
+        (10, (good * 2).strip(), "web", "en", 80),
+        (11, (good + "extra tail words here the of and").strip(), "web", "en", 90),
+        (21, (good * 2).strip(), "web", "en", 80),
+        (12, (good + "alpha beta gamma delta epsilon close").strip(), "web", "en", 90),
+        (13, "zeta eta theta iota kappa lambdaa mu nu xi omicron", "web", "en", 50),
+    ]
+    d = str(tmp_path / "cur_ranked")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = QUERIES["pipeline_curation_ranked"](spark, d)
+    assert set(out.columns) == {"doc_id", "source", "n_tokens", "rank_u6"}
+    got = out.collect()
+    kept = {r["doc_id"] for r in got}
+    assert 21 not in kept and 12 not in kept and 13 not in kept and 0 not in kept
+    assert kept <= {10, 11}
+    assert all(r["rank_u6"] >= 0 for r in got)
+    again = {r["doc_id"] for r in QUERIES["pipeline_curation_ranked"](spark, d).collect()}
+    assert kept == again
+
+
 def test_bm25_retrieval_planted_relevance(spark, tmp_path):
     """BM25 must rank the doc matching all query terms first, rank a
     rare-term match above an everywhere-term match, and never return

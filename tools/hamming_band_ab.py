@@ -1,0 +1,191 @@
+"""Banding-keying A/B on a UNIFORM-entropy fingerprint space (round
+11, VERDICT r10 #9 follow-through): the real-kernel phash ladder
+(tools/image_scale_probe.py) cannot show a sub-quadratic candidate
+curve because the synthetic images' TRUE hamming-<=3 pair set is
+itself quadratic (low phash entropy — SCALE.md round-8 note); this
+probe isolates the banding property on fingerprints where the truth
+is LINEAR: one planted near-dup pair per 2-row group over uniform
+xxhash64 base hashes (cross-group hamming ~32), ~94% of pairs within
+the budget (1-3 flipped bits) and ~6% planted OVER budget (6 flips)
+so the recall readout is non-trivial.
+
+Measured per size, for both keyings at max_hamming=3:
+  - candidate pairs (bucket-count formula, pre-verify)
+  - verified pair count + recall vs the planted truth
+The single-band key (4 x 16 bits) collides at n^2/2^16 per band —
+quadratic dominates once n >> 2^16. The AND band-pair key (C(5,2)
+~25-bit composites) pushes random collisions to n^2/2^25 — below the
+linear true-pair term until n ~ 10M: the sub-quadratic regime.
+
+All fingerprints are hash-derived (deterministic, engine-side
+expressions — the corpus is never driver-materialized).
+
+Usage: python tools/hamming_band_ab.py [sizes_csv]  (default 100000,200000,400000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def build_fp(spark, n: int):
+    """n fingerprints in groups of 2: member 0 = xxhash64(group),
+    member 1 = member 0 with f bits flipped (f in {1,2,3} for ~94% of
+    groups, 6 for ~6%). Flip positions are hash-derived; XOR-composed
+    so position collisions cancel in parity — the truth below uses
+    the ACTUAL bit_count, never the nominal f."""
+    return (
+        spark.range(n)
+        .selectExpr("id", "id DIV 2 AS g", "id % 2 AS m")
+        .selectExpr(
+            "id",
+            "g",
+            "m",
+            "xxhash64(g) AS fp0",
+            "CASE WHEN pmod(xxhash64(g, 13), 100) < 6 THEN 6 "
+            "ELSE 1 + CAST(pmod(xxhash64(g, 7), 3) AS INT) END AS f",
+        )
+        .selectExpr(
+            "id",
+            "g",
+            "m",
+            "fp0",
+            "CASE WHEN m = 0 THEN fp0 ELSE fp0 ^ aggregate("
+            "  sequence(1, f), 0L, (acc, j) -> "
+            "  acc ^ shiftleft(1L, CAST(pmod(xxhash64(g, 100 + j), 64)"
+            "  AS INT))) END AS fp",
+        )
+    )
+
+
+def cand_count_or(fp, max_hamming: int):
+    n_bands = max_hamming + 1
+    w = 64 // n_bands
+    bands = fp.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("b"),
+                        F.shiftrightunsigned("fp", i * w)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("v"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("k")
+    ).select("k.b", "k.v")
+    return int(
+        bands.groupBy("b", "v")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p"))
+        .first()["p"]
+    )
+
+
+def cand_count_and(fp, max_hamming: int):
+    n_bands = max_hamming + 2
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1 if i < rem else base for i in range(n_bands)]
+    offs = [sum(widths[:i]) for i in range(n_bands)]
+    combos = [(i, j) for i in range(n_bands) for j in range(i + 1, n_bands)]
+    bands = fp.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("b"),
+                        F.shiftrightunsigned("fp", offs[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("v1"),
+                        F.shiftrightunsigned("fp", offs[j])
+                        .bitwiseAND(F.lit((1 << widths[j]) - 1))
+                        .alias("v2"),
+                    )
+                    for c, (i, j) in enumerate(combos)
+                ]
+            )
+        ).alias("k")
+    ).select("k.b", "k.v1", "k.v2")
+    return int(
+        bands.groupBy("b", "v1", "v2")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p"))
+        .first()["p"]
+    )
+
+
+def main() -> None:
+    sizes = [
+        int(x)
+        for x in (sys.argv[1] if len(sys.argv) > 1 else
+                  "100000,200000,400000").split(",")
+    ]
+    max_hamming = 3
+
+    from vfs_spark.operators.dedup import (
+        hamming_pairs_banded,
+        hamming_pairs_banded_and,
+    )
+    from vfs_spark.session import get_spark
+
+    spark = get_spark("hamming-band-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for n in sizes:
+        fp = build_fp(spark, n).select("id", "g", "fp").cache()
+        fp.count()
+        # planted truth from ACTUAL hamming (position collisions cancel)
+        a = fp.where(F.col("id") % 2 == 0).select(
+            "g", F.col("fp").alias("fa")
+        )
+        b = fp.where(F.col("id") % 2 == 1).select(
+            "g", F.col("fp").alias("fb")
+        )
+        ham = a.join(b, "g").select(
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("h")
+        )
+        n_planted = n // 2
+        truth = ham.where(F.col("h") <= max_hamming).count()
+
+        out = {"n": n, "planted_pairs": n_planted,
+               "truth_within_budget": truth}
+        for mode, pair_fn, cand_fn in (
+            ("or", hamming_pairs_banded, cand_count_or),
+            ("and", hamming_pairs_banded_and, cand_count_and),
+        ):
+            t0 = time.time()
+            cand = cand_fn(fp, max_hamming)
+            pairs = pair_fn(
+                fp, id_col="id", hash_col="fp", max_hamming=max_hamming,
+                out_a="ia", out_b="ib",
+            )
+            found = (
+                pairs.where(
+                    (F.col("ia") / 2).cast("long")
+                    == (F.col("ib") / 2).cast("long")
+                ).count()
+            )
+            wall = time.time() - t0
+            out[mode] = {
+                "cand_pairs": cand,
+                "cand_per_row": round(cand / n, 2),
+                "found_planted": found,
+                "recall_vs_truth": round(found / max(truth, 1), 4),
+                "recall_vs_planted": round(found / n_planted, 4),
+                "wall_s": round(wall, 1),
+            }
+        print(json.dumps(out))
+        fp.unpersist()
+
+
+if __name__ == "__main__":
+    main()

@@ -16,8 +16,11 @@ Candidate volume is measured separately (the banded equi-join COUNT
 before the hamming filter) so the join's selectivity at scale is on
 record — the number that decides whether the banding survives 100 TB.
 
-Usage: python tools/image_scale_probe.py [n_images] [group_size] [max_hamming]
-Defaults: 100_000 images, groups of 8, hamming budget 10.
+Usage: python tools/image_scale_probe.py [n_images] [group_size] [max_hamming] [mode]
+Defaults: 100_000 images, groups of 8, hamming budget 10, mode=or.
+mode=and uses the round-11 AND-composed band-pair keying
+(dedup.hamming_pairs_banded_and — C(h+2,2) ~25-bit composite keys
+instead of h+1 16-bit bands; same pigeonhole completeness).
 """
 from __future__ import annotations
 
@@ -37,20 +40,25 @@ def main() -> None:
     ]
     group_size = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     max_hamming = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    mode = sys.argv[4] if len(sys.argv) > 4 else "or"
 
     from vfs_spark.session import get_spark
 
     spark = get_spark("image-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     for n_images in sizes:
-        probe(spark, n_images, group_size, max_hamming)
+        probe(spark, n_images, group_size, max_hamming, mode)
 
 
-def probe(spark, n_images: int, group_size: int, max_hamming: int) -> None:
+def probe(spark, n_images: int, group_size: int, max_hamming: int,
+          mode: str = "or") -> None:
     from pyspark.sql import functions as F
 
     from vfs_spark.operators import multimodal
-    from vfs_spark.operators.dedup import hamming_pairs_banded
+    from vfs_spark.operators.dedup import (
+        hamming_pairs_banded,
+        hamming_pairs_banded_and,
+    )
 
     t0 = time.time()
     media = multimodal.synth_group_bmps(
@@ -61,25 +69,53 @@ def probe(spark, n_images: int, group_size: int, max_hamming: int) -> None:
     t_hash = time.time() - t0
 
     # candidate volume: the banded equi-join size BEFORE the exact
-    # hamming verify (same banding as hamming_pairs_banded)
-    n_bands = max_hamming + 1
-    band_width = 64 // n_bands
-    bands = fp.select(
-        "media_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_no"),
-                        F.shiftrightunsigned(F.col("phash"), i * band_width)
-                        .bitwiseAND(F.lit((1 << band_width) - 1))
-                        .alias("band_val"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("media_id", "band.band_no", "band.band_val")
+    # hamming verify (same keying as the selected pair generator)
+    if mode == "and":
+        n_bands = max_hamming + 2
+        base, rem = divmod(64, n_bands)
+        widths = [base + 1 if i < rem else base for i in range(n_bands)]
+        offs = [sum(widths[:i]) for i in range(n_bands)]
+        combos = [(i, j) for i in range(n_bands)
+                  for j in range(i + 1, n_bands)]
+        bands = fp.select(
+            "media_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("band_no"),
+                            (
+                                F.shiftrightunsigned("phash", offs[i])
+                                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                                * (1 << widths[j])
+                                + F.shiftrightunsigned("phash", offs[j])
+                                .bitwiseAND(F.lit((1 << widths[j]) - 1))
+                            ).alias("band_val"),
+                        )
+                        for c, (i, j) in enumerate(combos)
+                    ]
+                )
+            ).alias("band"),
+        ).select("media_id", "band.band_no", "band.band_val")
+    else:
+        n_bands = max_hamming + 1
+        band_width = 64 // n_bands
+        bands = fp.select(
+            "media_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_no"),
+                            F.shiftrightunsigned(F.col("phash"), i * band_width)
+                            .bitwiseAND(F.lit((1 << band_width) - 1))
+                            .alias("band_val"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select("media_id", "band.band_no", "band.band_val")
     t0 = time.time()
     cand = (
         bands.groupBy("band_no", "band_val")
@@ -90,7 +126,8 @@ def probe(spark, n_images: int, group_size: int, max_hamming: int) -> None:
     t_cand = time.time() - t0
 
     t0 = time.time()
-    pairs = hamming_pairs_banded(
+    pair_fn = hamming_pairs_banded_and if mode == "and" else hamming_pairs_banded
+    pairs = pair_fn(
         fp,
         id_col="media_id",
         hash_col="phash",
@@ -115,7 +152,7 @@ def probe(spark, n_images: int, group_size: int, max_hamming: int) -> None:
     recall = within / truth if truth else 1.0
 
     print(
-        f"n_images={n_images} groups={n_groups} fp_rows={n_fp}\n"
+        f"mode={mode} n_images={n_images} groups={n_groups} fp_rows={n_fp}\n"
         f"hash_wall={t_hash:.1f}s cand_pairs={int(cand)} "
         f"(cand_wall={t_cand:.1f}s, ratio={cand / n_images:.2f}x rows)\n"
         f"verified: within-group={within} (truth={truth}, "

@@ -71,12 +71,20 @@ EXPECTED = {
     # stages ran inside foreachBatch; only the mixture view is planned
     # here):
     "stream_curation_full": {"bnlj"},
+    # curation_full's stages + PageRank's per-iteration 1-row dangling
+    # attaches; the pagerank frontier is eagerly checkpointed so the
+    # audited plan carries the ckpt-stub marker too:
+    "pipeline_curation_ranked": {"bnlj", "many"},
     # PageRank: three 1-row dangling-mass attaches (one per power
     # iteration) + per-iteration key-only contrib shuffles:
     "graph_pagerank_urls": {"bnlj", "many"},
     # same scorer as text_bm25_retrieval (1-row stats attach, key-only
     # postings/score/rank exchanges) + the |queries|-row eval join:
     "retrieval_eval_mrr": {"bnlj", "many"},
+    # same serving CTEs as retrieval_eval_mrr plus the dedup_clusters
+    # qrel pipeline (lang-blocked jaccard self-join + iterative CC,
+    # eagerly checkpointed → ckpt-stub):
+    "retrieval_eval_ndcg": {"bnlj", "many"},
     "text_tfidf_top_terms": {"bnlj", "many"},
     # BM25: 1-row (n_docs, avgdl) scalar attach; exchanges are the
     # query-term-restricted postings aggregate + per-query score sum

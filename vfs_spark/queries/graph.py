@@ -184,3 +184,274 @@ def q_graph_pagerank_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     ranks = pagerank(_edges(docs))
     return ranks.select("u", F.round("r", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank prior composed into the curation pipeline (round-11, VERDICT
+# r10 task #6): the temperature mixture's per-source weights are scaled
+# by the mean link-authority of each source's SURVIVING pages — how
+# production curation stacks actually consume a rank signal (FineWeb /
+# Common Crawl rank priors weight the sampler, they don't hard-filter).
+# The oracle splices the graph_pagerank_urls CTE chain (renamed to
+# avoid colliding with the curation `base` CTE) in front of
+# pipeline_curation_full's stage CTEs, so both priors stay pinned to
+# the exact arithmetic their standalone slugs already hash-check.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from vfs_spark.queries.text import _FP, _SHINGLES5, _STOP, _TOKS
+
+# The rank floor for pages ABSENT from the link graph (no in/out
+# edges survive self-loop removal): PageRank's teleport mass (1-d)/n,
+# expressed RELATIVE to the uniform rank 1/n — i.e. (1-d) — in
+# integer micro-units. Relative ranks make the mixture arithmetic
+# scale-free (an average page reads ~1e6 at any graph size, where an
+# absolute rank shrinks as 1/n_pages) and keep every source weight
+# strictly positive.
+_RANK_FLOOR_U6 = int(round((1.0 - DAMPING) * 1_000_000))
+
+
+def _curation_ranked_oracle() -> str:
+    pr_ctes = (
+        _re.sub(r"\bbase\b", "prbase", _PR_EDGES_SQL)
+        + ",\nr0 AS (SELECT u, 1.0 / nc.n AS r FROM nodes CROSS JOIN nc),"
+        + ",".join(_pr_iter_sql(k) for k in range(1, N_ITERS + 1))
+    )
+    return (
+        "WITH "
+        + pr_ctes
+        + f""",
+pr AS (
+  SELECT u, CAST(ROUND(r * nc.n * 1000000, 0) AS BIGINT) AS rank_u6
+  FROM r{N_ITERS} CROSS JOIN nc
+),
+base AS (
+  SELECT doc_id, text, source, {_TOKS} AS t,
+         {_url_norm_sql(_URL_SYNTH_SQL)} AS u, {_FP} AS fp
+  FROM documents WHERE doc_id >= 10
+),
+u1 AS (
+  SELECT b.* FROM base b
+  JOIN (SELECT u, MIN(doc_id) AS doc_id FROM base GROUP BY u) ku
+    USING (u, doc_id)
+),
+q1 AS (
+  SELECT doc_id, text, source, u, t, fp FROM u1
+  WHERE CAST(len(t) AS BIGINT) BETWEEN 10 AND 100000
+    AND (CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t))
+          BETWEEN 3.0 AND 10.0
+    AND CAST(len(list_filter(t, x -> x IN {_STOP})) AS DOUBLE) / len(t)
+          >= 0.02
+    AND CAST(len(list_filter(t, x -> regexp_matches(x, '[^a-z0-9]')))
+             AS DOUBLE) / len(t) <= 0.1
+    AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.3
+),
+d1 AS (
+  SELECT q.* FROM q1 q
+  JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM q1 GROUP BY fp) kf
+    USING (fp, doc_id)
+),
+ev AS (
+  SELECT DISTINCT unnest({_SHINGLES5}) AS g
+  FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id < 10)
+),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({_SHINGLES5}) AS g
+        FROM (SELECT doc_id, t AS toks FROM d1)) c
+  JOIN ev USING (g)
+),
+d2 AS (
+  SELECT d.doc_id, d.source, CAST(len(d.t) AS BIGINT) AS n,
+         CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) % 1000000 AS h,
+         COALESCE(pr.rank_u6, {_RANK_FLOOR_U6}) AS rank_u6
+  FROM d1 d LEFT JOIN pr ON pr.u = d.u
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+tot AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS src_tokens,
+         CAST(SUM(rank_u6) AS BIGINT) AS rank_mass_u6,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM d2 GROUP BY source
+),
+w AS (
+  SELECT source, src_tokens,
+         CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE))
+              * (CAST(rank_mass_u6 AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+              AS BIGINT) AS w6
+  FROM tot
+),
+tw AS (
+  SELECT CAST(SUM(w6) AS BIGINT) AS sum_w6,
+         CAST(SUM(src_tokens) AS BIGINT) AS total_tokens
+  FROM w
+),
+cut AS (
+  SELECT source,
+         LEAST(CAST(1000000 AS BIGINT),
+               CAST(ROUND(1000000.0 * ((CAST(w6 AS DOUBLE) / sum_w6)
+                          * (CAST(total_tokens AS DOUBLE) * 0.5)
+                          / src_tokens), 0) AS BIGINT)) AS cutoff
+  FROM w, tw
+)
+SELECT d.doc_id, d.source, d.n AS n_tokens, d.rank_u6
+FROM d2 d JOIN cut c USING (source)
+WHERE d.h < c.cutoff
+"""
+    )
+
+
+@query("pipeline_curation_ranked", oracle=_curation_ranked_oracle())
+def q_pipeline_curation_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_curation_full with the PageRank link prior composed
+    into the temperature mixture: after URL dedup → Gopher gate →
+    exact dedup → decontamination (stage-for-stage identical to the
+    batch pipeline, queries/text.py), each source's sampling weight
+    becomes sqrt(src_tokens) × mean RELATIVE page-rank of its
+    SURVIVING documents' canonical pages. Relative rank = r × n_pages
+    (~1e6 micro-units for an average page at ANY graph size — the
+    scale-free form; an absolute rank shrinks as 1/n_pages and would
+    make the weight arithmetic graph-size-dependent), rounded ONCE at
+    the PageRank boundary — the graph_pagerank_urls rounding
+    discipline — so the rank mass sums exactly. Pages absent from the
+    link graph floor at the teleport mass (1-d)·1e6 = 150_000
+    (_RANK_FLOOR_U6), keeping every source weight strictly positive.
+    A source whose surviving pages carry more link authority gets
+    proportionally more of the half-corpus token budget; the cutoff
+    arithmetic is byte-identical to _temperature_cutoffs' double
+    expression, both engines evaluating the same operations in the
+    same order. Precondition: a non-empty link graph (any real crawl;
+    the URL synthesis guarantees it on the fixture).
+
+    Scale shape: the rank join adds ONE key-only shuffle of
+    (u, rank_u6) against the slim survivor manifest — at 100 TB the
+    rank table is |pages|-sized (not broadcastable) but the join
+    carries ids and 8-byte ranks, never text; every other stage keeps
+    pipeline_curation_full's documented exchanges.
+    Output: the loader manifest (doc_id, source, n_tokens, rank_u6)."""
+    from pyspark.sql.window import Window
+
+    from vfs_spark.functions.text import (
+        fingerprint,
+        normalize_url,
+        tokens,
+        word_shingles,
+    )
+    from vfs_spark.queries.text import (
+        _gopher_metric_cols,
+        _gopher_pass_cond,
+        _synth_url_col,
+    )
+
+    docs_all = load_table(spark, sf_dir, "documents", fan_out=True)
+    docs = docs_all.where(F.col("doc_id") >= 10)
+    toks = tokens("text")
+    pass_q = _gopher_pass_cond()
+    slim = docs.select(
+        "doc_id",
+        "source",
+        normalize_url(_synth_url_col()).alias("u"),
+        fingerprint("text").alias("fp"),
+        *_gopher_metric_cols(toks),
+        (
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+            % 1000000
+        ).alias("h"),
+    )
+    wu = Window.partitionBy("u").orderBy("doc_id")
+    q1 = (
+        slim.withColumn("rn", F.row_number().over(wu))
+        .where((F.col("rn") == 1) & pass_q)
+        .select("doc_id", "source", "u", "fp", "n_tokens", "h")
+    )
+    wf = Window.partitionBy("fp").orderBy("doc_id")
+    d1 = (
+        q1.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    ev = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 10)
+        .select(F.explode(word_shingles("text", 5)).alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        docs.select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
+        .join(F.broadcast(ev), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    pr = pagerank(_edges(docs_all))
+    # one |nodes|-count over the eagerly-materialized frontier — the
+    # relative-rank scale factor (rank × n_pages: scale-free, ~1e6
+    # for an average page; see _RANK_FLOOR_U6)
+    n_nodes = pr.count()
+    ranks = pr.select(
+        "u",
+        F.round(F.col("r") * F.lit(float(n_nodes)) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("rank_u6"),
+    )
+    # same persist rationale as pipeline_curation_full: d2 feeds the
+    # mixture totals AND the final selection — cache the slim manifest
+    # so the contamination explode and the rank join run exactly once
+    d2 = (
+        d1.join(contaminated, "doc_id", "left_anti")
+        .join(ranks, "u", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").alias("n"),
+            "h",
+            F.coalesce(F.col("rank_u6"), F.lit(_RANK_FLOOR_U6))
+            .cast("bigint")
+            .alias("rank_u6"),
+        )
+        .persist()
+    )
+    tot = d2.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("src_tokens"),
+        F.sum("rank_u6").cast("bigint").alias("rank_mass_u6"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    w = tot.select(
+        "source",
+        "src_tokens",
+        F.floor(
+            F.sqrt(F.col("src_tokens").cast("double"))
+            * (
+                F.col("rank_mass_u6").cast("double")
+                / F.col("n_docs").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("w6"),
+    )
+    tw = w.agg(
+        F.sum("w6").cast("bigint").alias("sum_w6"),
+        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
+    )
+    cut = w.crossJoin(F.broadcast(tw)).select(
+        "source",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.round(
+                1000000.0
+                * (
+                    (F.col("w6").cast("double") / F.col("sum_w6"))
+                    * (F.col("total_tokens").cast("double") * 0.5)
+                    / F.col("src_tokens")
+                ),
+                0,
+            ).cast("bigint"),
+        ).alias("cutoff"),
+    )
+    return (
+        d2.join(F.broadcast(cut), "source")
+        .where(F.col("h") < F.col("cutoff"))
+        .select(
+            "doc_id", "source", F.col("n").alias("n_tokens"), "rank_u6"
+        )
+    )

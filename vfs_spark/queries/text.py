@@ -3290,10 +3290,10 @@ def q_text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "retrieval_eval_mrr",
-    oracle=f"""
-WITH corpus AS (
+# Shared serving CTEs for the retrieval evals (MRR and nDCG): the
+# phrase-BM25 pipeline the Spark helper _phrase_bm25_ranked mirrors —
+# one definition so the two eval oracles can never drift on scoring.
+_PHRASE_BM25_RANKED_SQL = f"""corpus AS (
   SELECT doc_id, {_SHINGLES5} AS sh
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id >= 8)
 ),
@@ -3336,7 +3336,13 @@ ranked AS (
   SELECT query_id, doc_id, ROW_NUMBER() OVER (
            PARTITION BY query_id ORDER BY score_u6 DESC, doc_id) AS rnk
   FROM scored
-),
+)"""
+
+
+@query(
+    "retrieval_eval_mrr",
+    oracle=f"""
+WITH {_PHRASE_BM25_RANKED_SQL},
 hits AS (
   SELECT query_id, rnk FROM ranked WHERE rnk <= 10 AND doc_id = query_id
 )
@@ -3365,6 +3371,30 @@ def q_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join on the |queries|·3 phrase set; df/stats broadcast back;
     one map-side-combined score SUM; rank window; |queries|-row eval
     join. Eval cost = serving cost + nothing."""
+    qt, ranked = _phrase_bm25_ranked(spark, sf_dir)
+    hits = ranked.where(
+        (F.col("rnk") <= 10) & (F.col("doc_id") == F.col("query_id"))
+    ).select("query_id", "rnk")
+    queries = qt.select("query_id").distinct()
+    return queries.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("rnk"), F.lit(0)).cast("int").alias("hit_rank"),
+        F.coalesce(
+            F.round(1000000.0 / F.col("rnk"), 0).cast("bigint"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rr_u6"),
+    )
+
+
+def _phrase_bm25_ranked(spark, sf_dir):
+    """Shared phrase-BM25 serving pipeline for the retrieval evals
+    (MRR and nDCG): known-item queries = the first three 5-token
+    shingles of docs 10..17, corpus = doc_id >= 8, scored with
+    _bm25_term_u6 and ranked per query. Returns (qt, ranked) where qt
+    is the (query_id, term) phrase table and ranked carries
+    (query_id, doc_id, score_u6, rnk). One definition so the two
+    eval metrics can never drift on the serving side."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
@@ -3435,18 +3465,196 @@ def q_retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_u6").desc(), F.col("doc_id").asc()
     )
     ranked = scored.withColumn("rnk", F.row_number().over(w))
-    hits = ranked.where(
-        (F.col("rnk") <= 10) & (F.col("doc_id") == F.col("query_id"))
-    ).select("query_id", "rnk")
-    queries = qt.select("query_id").distinct()
-    return queries.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("rnk"), F.lit(0)).cast("int").alias("hit_rank"),
-        F.coalesce(
-            F.round(1000000.0 / F.col("rnk"), 0).cast("bigint"), F.lit(0)
+    return qt, ranked
+
+
+# nDCG@10 gain tables, precomputed ONCE in Python and interpolated as
+# literals into BOTH engines — log2 never evaluates inside either
+# engine, so there is zero float-divergence surface. Gain(rank, rel)
+# = (2^rel - 1) / log2(rank + 1) in integer micro-units; _NDCG_S1[j]
+# is the ideal-ranking prefix sum of rel-1 gains at ranks 2..j (the
+# rel-2 known item always occupies ideal rank 1).
+import math as _math  # noqa: E402
+
+_NDCG_K = 10
+_NDCG_G1 = [
+    int(round(1_000_000.0 / _math.log2(i + 1))) for i in range(1, _NDCG_K + 1)
+]
+_NDCG_G2 = [
+    int(round(3_000_000.0 / _math.log2(i + 1))) for i in range(1, _NDCG_K + 1)
+]
+_NDCG_S1 = []
+_acc = 0
+for _j in range(1, _NDCG_K + 1):
+    if _j >= 2:
+        _acc += _NDCG_G1[_j - 1]
+    _NDCG_S1.append(_acc)
+del _acc, _j
+
+
+@query(
+    "retrieval_eval_ndcg",
+    oracle=f"""
+WITH RECURSIVE {_PHRASE_BM25_RANKED_SQL},
+fp AS (SELECT doc_id, {_FP} AS f FROM documents),
+fpe AS (SELECT f, MIN(doc_id) AS root FROM fp GROUP BY f),
+e1 AS (SELECT fp.doc_id AS u, fpe.root AS v
+       FROM fp JOIN fpe USING (f) WHERE fp.doc_id <> fpe.root),
+shn AS MATERIALIZED (
+  SELECT doc_id, lang, {_SHINGLES} AS shingles
+  FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+),
+e2 AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM shn a JOIN shn b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE {_JACC} >= 0.3
+),
+edges AS MATERIALIZED (
+  SELECT u, v FROM e1 UNION SELECT v, u FROM e1
+  UNION SELECT u, v FROM e2 UNION SELECT v, u FROM e2
+),
+cc AS (
+  SELECT doc_id AS node, doc_id AS comp FROM documents
+  UNION
+  SELECT e.v AS node, cc.comp FROM cc JOIN edges e ON cc.node = e.u
+  WHERE cc.comp < e.v
+),
+clus AS (SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+         FROM cc GROUP BY node),
+qids AS (SELECT DISTINCT query_id FROM q),
+qc AS (SELECT qids.query_id, clus.cluster_id
+       FROM qids JOIN clus ON clus.doc_id = qids.query_id),
+members AS (
+  SELECT qc.query_id, clus.doc_id
+  FROM qc JOIN clus USING (cluster_id)
+  WHERE clus.doc_id >= 8 AND clus.doc_id <> qc.query_id
+),
+n1 AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+       FROM members GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, r.rnk,
+         CASE WHEN r.doc_id = r.query_id THEN 2
+              WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM ranked r LEFT JOIN members m
+    ON m.query_id = r.query_id AND m.doc_id = r.doc_id
+  WHERE r.rnk <= {_NDCG_K}
+),
+dcg AS (
+  SELECT query_id,
+         CAST(SUM(CASE rel
+             WHEN 2 THEN list_extract({_NDCG_G2}, rnk)
+             WHEN 1 THEN list_extract({_NDCG_G1}, rnk)
+             ELSE 0 END) AS BIGINT) AS dcg_u6
+  FROM hits GROUP BY query_id
+),
+per AS (
+  SELECT qids.query_id,
+         CAST(COALESCE(n1.n_rel, 0) AS BIGINT) AS n_rel,
+         CAST(COALESCE(dcg.dcg_u6, 0) AS BIGINT) AS dcg_u6,
+         CAST({_NDCG_G2[0]} + list_extract({_NDCG_S1},
+              LEAST({_NDCG_K}, CAST(COALESCE(n1.n_rel, 0) AS INTEGER) + 1))
+              AS BIGINT) AS idcg_u6
+  FROM qids LEFT JOIN n1 USING (query_id) LEFT JOIN dcg USING (query_id)
+)
+SELECT query_id, n_rel, dcg_u6, idcg_u6,
+       ROUND(CAST(dcg_u6 AS DOUBLE) / idcg_u6, 6) AS ndcg
+FROM per
+""",
+)
+def q_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ Graded-relevance retrieval eval (nDCG@10) — the known-item
+    protocol of retrieval_eval_mrr extended with PARTIAL qrels mined
+    from the corpus's own near-duplicate structure: the query document
+    itself is relevance 2, every other member of its dedup cluster
+    (dedup_clusters semantics — exact-fingerprint groups UNION
+    lang-blocked 3-gram jaccard >= 0.3, closed under connectivity) is
+    relevance 1. That is how graded qrels are bootstrapped when no
+    human labels exist: near-dups of the answer are partially right,
+    and a retriever that surfaces them should score above one that
+    surfaces noise, which binary MRR cannot distinguish.
+
+    Arithmetic: gain tables (2^rel - 1)/log2(rank+1) are precomputed
+    in PYTHON as integer micro-units and interpolated as literals
+    into both engines (_NDCG_G1/_NDCG_G2/_NDCG_S1) — DCG and IDCG are
+    exact integer sums; the single nDCG division rounds once at the
+    boundary. IDCG places the rel-2 known item at ideal rank 1 (it is
+    always in the corpus by construction) and the n_rel cluster
+    members at ranks 2..min(10, n_rel+1) via the prefix-sum lookup.
+
+    Shape: serving is _phrase_bm25_ranked (shared with MRR — eval
+    cost = serving cost); qrels add the dedup_clusters pipeline whose
+    scale story is documented at its own slug, then one key-only join
+    of (cluster_id) and a |queries|-bounded membership join against
+    the top-10 rows. Nothing here shuffles text or vectors."""
+    cc = q_dedup_clusters(spark, sf_dir)
+    qt, ranked = _phrase_bm25_ranked(spark, sf_dir)
+    qids = qt.select("query_id").distinct()
+    qc = qids.join(
+        cc.withColumnRenamed("doc_id", "query_id"), "query_id"
+    )
+    members = (
+        qc.join(cc, "cluster_id")
+        .where((F.col("doc_id") >= 8) & (F.col("doc_id") != F.col("query_id")))
+        .select("query_id", "doc_id")
+    )
+    n1 = members.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_rel")
+    )
+    g1 = F.array(*[F.lit(x) for x in _NDCG_G1])
+    g2 = F.array(*[F.lit(x) for x in _NDCG_G2])
+    s1 = F.array(*[F.lit(x) for x in _NDCG_S1])
+    hits = (
+        ranked.where(F.col("rnk") <= _NDCG_K)
+        .join(
+            members.withColumn("_rel1", F.lit(1)),
+            ["query_id", "doc_id"],
+            "left",
         )
-        .cast("bigint")
-        .alias("rr_u6"),
+        .select(
+            "query_id",
+            F.when(
+                F.col("doc_id") == F.col("query_id"),
+                F.element_at(g2, F.col("rnk")),
+            )
+            .when(F.col("_rel1").isNotNull(), F.element_at(g1, F.col("rnk")))
+            .otherwise(F.lit(0))
+            .alias("gain_u6"),
+        )
+    )
+    dcg = hits.groupBy("query_id").agg(
+        F.sum("gain_u6").cast("bigint").alias("dcg_u6")
+    )
+    per = (
+        qids.join(n1, "query_id", "left")
+        .join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint").alias("n_rel"),
+            F.coalesce(F.col("dcg_u6"), F.lit(0))
+            .cast("bigint")
+            .alias("dcg_u6"),
+            (
+                F.lit(_NDCG_G2[0])
+                + F.element_at(
+                    s1,
+                    F.least(
+                        F.lit(_NDCG_K),
+                        (F.coalesce(F.col("n_rel"), F.lit(0)) + 1).cast("int"),
+                    ),
+                )
+            )
+            .cast("bigint")
+            .alias("idcg_u6"),
+        )
+    )
+    return per.select(
+        "query_id",
+        "n_rel",
+        "dcg_u6",
+        "idcg_u6",
+        F.round(F.col("dcg_u6").cast("double") / F.col("idcg_u6"), 6).alias(
+            "ndcg"
+        ),
     )
 
 
