@@ -1,0 +1,111 @@
+"""Isolated scale ladder for retrieval_eval_mrr (round 11, VERDICT
+r10 #4): the SCALE.md round-9 exponent (1.32 over 2.5M -> 5M docs)
+predates the shingle-consumer rewrite (commit 7a6b6d4) and was
+measured inside a shared session carrying the documented jitter
+envelope. This ladder re-anchors it under the ISOBENCH protocol: one
+size per FRESH process (fresh JVM, fresh Spark session), JVM +
+Python/Arrow worker warm-up, cold run + best-of-3 warm with the
+CacheManager cleared between runs — so the rung-to-rung slope is
+slug cost, not session contamination.
+
+Corpus: the shared stress builders (tools/curation_ab.build_corpus —
+the same corpus every SCALE.md text rung uses).
+
+Usage: python tools/mrr_ladder.py [sizes_csv]   (default 2500000,5000000)
+       python tools/mrr_ladder.py --child <n>   # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _child(n: int) -> None:
+    from pyspark.sql import functions as F
+
+    from tools.curation_ab import build_corpus
+    from vfs_spark.queries import QUERIES
+    from vfs_spark.session import get_spark
+
+    spark = get_spark(f"mrr-ladder-{n}")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = os.path.join(REPO, f".mrr_ladder_tmp_{n}")
+    try:
+        shutil.rmtree(tmp, ignore_errors=True)
+        t0 = time.time()
+        build_corpus(spark, tmp, n)
+        t_build = time.time() - t0
+
+        # isobench warm-up: JVM codegen + Python/Arrow worker pool
+        spark.read.parquet(f"{tmp}/documents.parquet").count()
+        spark.range(32).repartition(32).mapInPandas(
+            lambda it: (pdf for pdf in it), "id long"
+        ).write.mode("overwrite").format("noop").save()
+
+        def run_once() -> float:
+            t0 = time.time()
+            QUERIES["retrieval_eval_mrr"](spark, tmp).agg(
+                F.sum("rr_u6")
+            ).first()
+            return time.time() - t0
+
+        cold = run_once()
+        warm = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            warm.append(run_once())
+        print(json.dumps({
+            "n_docs": n,
+            "build_s": round(t_build, 1),
+            "cold": round(cold, 2),
+            "warm_best": round(min(warm), 2),
+            "warm_all": [round(w, 2) for w in warm],
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        _child(int(sys.argv[2]))
+        return
+    sizes = [
+        int(x)
+        for x in (sys.argv[1] if len(sys.argv) > 1 else
+                  "2500000,5000000").split(",")
+    ]
+    results = []
+    for n in sizes:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if out.returncode != 0 or not lines:
+            results.append({"n_docs": n,
+                            "error": (out.stderr or out.stdout)[-500:]})
+        else:
+            results.append(json.loads(lines[-1]))
+        print(json.dumps(results[-1]), flush=True)
+    ok = [r for r in results if "error" not in r]
+    if len(ok) >= 2:
+        import math
+
+        for a, b in zip(ok, ok[1:]):
+            exp = math.log(b["warm_best"] / a["warm_best"]) / math.log(
+                b["n_docs"] / a["n_docs"]
+            )
+            print(f"exponent {a['n_docs']}->{b['n_docs']}: {exp:.2f} "
+                  f"(warm_best {a['warm_best']} -> {b['warm_best']})")
+
+
+if __name__ == "__main__":
+    main()

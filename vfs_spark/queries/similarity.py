@@ -875,7 +875,13 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_hamming=3 gives 4×16-bit bands, 55× fewer candidates, 2.7×
     lower wall, recall 0.94 on noise-0.02 re-encodes. The wide budget
     is affordable only at this fixture's 64 images; at corpus scale
-    keep max_hamming ≤ 3-4 for a 64-bit phash."""
+    keep max_hamming ≤ 3-4 for a 64-bit phash — and once bucket sizes
+    grow, switch to the AND-composed band-pair keying
+    (dedup.hamming_pairs_banded_and, round 11): same pigeonhole
+    completeness with ~25-bit composite keys, 3.9× fewer candidates
+    on this generator at 400k images and a measured sub-quadratic
+    (exponent ~1.05) candidate ladder on uniform-entropy fingerprints
+    at recall 0.94 (SCALE.md round-11 tables)."""
     from vfs_spark.operators.dedup import hamming_pairs_banded
 
     media = _synth_bmp_media(spark, sf_dir)
