@@ -1,0 +1,104 @@
+"""Round-11 10M-row ladder rungs (VERDICT r10 #10): pagerank and
+dedup_clusters_banded at sizes where fixed setup no longer dominates
+the slope. Same-session ladder discipline (one Spark session runs
+every size of one op — cross-session walls are not comparable,
+NOTES.md); ann_ivf_partitioned's 10M rung runs through the existing
+same-protocol tools/crossover.py instead (its table in SCALE.md).
+
+Ops:
+- pagerank: the r9op_stress hash graph (4 out-edges/node, |E| = 4n),
+  3 power iterations through queries/graph.pagerank — the cost per
+  iteration is the edges⋈ranks shuffle.
+- clusters_banded: tools/curation_ab.build_corpus (1% planted exact
+  dups) through QUERIES["dedup_clusters_banded"] — banded MinHash
+  candidates + exact verify + connected components.
+
+Usage: python tools/r11_ladder.py pagerank [sizes_csv]
+       python tools/r11_ladder.py clusters [sizes_csv]
+Default sizes: 5000000,10000000
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def run_pagerank(spark, tmp: str, n: int) -> dict:
+    from vfs_spark.queries.graph import pagerank
+
+    nodes = spark.range(n).select(F.col("id").alias("nid"))
+    edges = nodes.select(
+        F.col("nid").alias("src"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, 4), j -> "
+                f"abs(xxhash64(nid * 11 + j)) % {n})"
+            )
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    edges.write.mode("overwrite").parquet(f"{tmp}/edges")
+    e = spark.read.parquet(f"{tmp}/edges")
+    n_edges = e.count()
+    t0 = time.time()
+    mass = pagerank(
+        e.select(F.col("src").cast("string"), F.col("dst").cast("string")),
+        n_iters=3,
+    ).agg(F.sum("r")).first()[0]
+    return {"n": n, "n_edges": n_edges, "wall_s": round(time.time() - t0, 1),
+            "mass": round(float(mass), 9)}
+
+
+def run_clusters(spark, tmp: str, n: int) -> dict:
+    from tools.curation_ab import build_corpus
+    from vfs_spark.queries import QUERIES
+
+    build_corpus(spark, tmp, n)
+    t0 = time.time()
+    n_rows = QUERIES["dedup_clusters_banded"](spark, tmp).count()
+    return {"n": n, "rows": n_rows, "wall_s": round(time.time() - t0, 1)}
+
+
+def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] not in ("pagerank", "clusters"):
+        sys.exit("usage: r11_ladder.py pagerank|clusters [sizes_csv]")
+    op = sys.argv[1]
+    sizes = [
+        int(x)
+        for x in (sys.argv[2] if len(sys.argv) > 2 else
+                  "5000000,10000000").split(",")
+    ]
+    from vfs_spark.session import get_spark
+
+    spark = get_spark(f"r11-ladder-{op}")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = os.path.join(REPO, f".r11_ladder_tmp_{op}")
+    results = []
+    try:
+        for n in sizes:
+            shutil.rmtree(tmp, ignore_errors=True)
+            r = (run_pagerank if op == "pagerank" else run_clusters)(
+                spark, tmp, n
+            )
+            results.append(r)
+            print(json.dumps(r), flush=True)
+        for a, b in zip(results, results[1:]):
+            exp = math.log(b["wall_s"] / a["wall_s"]) / math.log(
+                b["n"] / a["n"]
+            )
+            print(f"exponent {a['n']}->{b['n']}: {exp:.2f}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
