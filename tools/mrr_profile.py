@@ -1,0 +1,131 @@
+"""Stage-level profile for retrieval_eval_mrr's superlinear wall
+(round 11: isolated ladder measured exponent 1.35 over 2.5M -> 5M,
+warm spread ±0.3% — real, not jitter). Times each sub-DAG of the
+phrase-BM25 pipeline separately per size, one FRESH process per size
+(isobench protocol), so the superlinear stage can be NAMED.
+
+Sub-DAGs timed (cumulative prefixes of the real plan):
+  explode   — shingle explode + broadcast phrase filter + count
+  postings  — + the (doc_id, term) aggregate
+  stats     — the SECOND corpus pass (dl per doc) alone
+  scored    — postings x q x dfs x stats score sum
+  full      — the registered query end-to-end
+
+Usage: python tools/mrr_profile.py [sizes_csv]   (default 2500000,5000000)
+       python tools/mrr_profile.py --child <n>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _child(n: int) -> None:
+    from pyspark.sql import functions as F
+
+    from tools.curation_ab import build_corpus
+    from vfs_spark.functions.text import tokens, word_shingles
+    from vfs_spark.queries import QUERIES
+    from vfs_spark.session import get_spark
+    from vfs_spark.sources.parquet import load_table
+
+    spark = get_spark(f"mrr-profile-{n}")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = os.path.join(REPO, f".mrr_profile_tmp_{n}")
+    out = {"n_docs": n}
+    try:
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_corpus(spark, tmp, n)
+        spark.read.parquet(f"{tmp}/documents.parquet").count()
+        spark.range(32).repartition(32).mapInPandas(
+            lambda it: (pdf for pdf in it), "id long"
+        ).write.mode("overwrite").format("noop").save()
+
+        docs = load_table(spark, tmp, "documents", fan_out=True)
+        corpus = docs.where(F.col("doc_id") >= 8)
+        toks = tokens("text")
+        qt = (
+            docs.where(F.col("doc_id").between(10, 17) & (F.size(toks) >= 7))
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(3)),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+                    )
+                ).alias("term"),
+            )
+            .distinct()
+        )
+        sh = word_shingles("text", 5)
+        sh_base = corpus.select(
+            "doc_id", F.size(sh).alias("dl"), sh.alias("_sh")
+        )
+
+        def timed(name, fn):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn()
+            out[name] = round(time.time() - t0, 2)
+            print(f"  {name}: {out[name]}s", flush=True)
+
+        exploded = sh_base.select(
+            "doc_id", "dl", F.explode("_sh").alias("term")
+        ).join(F.broadcast(qt.select("term").distinct()), "term")
+        timed("explode_filter", lambda: exploded.count())
+
+        postings = exploded.groupBy("doc_id", "term").agg(
+            F.lit(1).cast("bigint").alias("tf"),
+            F.max("dl").cast("bigint").alias("dl"),
+        )
+        timed("postings", lambda: postings.count())
+
+        timed(
+            "stats_pass",
+            lambda: sh_base.agg(
+                F.count("*"), (F.sum("dl") / F.count("*"))
+            ).first(),
+        )
+
+        timed(
+            "full_query",
+            lambda: QUERIES["retrieval_eval_mrr"](spark, tmp)
+            .agg(F.sum("rr_u6"))
+            .first(),
+        )
+        print(json.dumps(out), flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        _child(int(sys.argv[2]))
+        return
+    sizes = [
+        int(x)
+        for x in (sys.argv[1] if len(sys.argv) > 1 else
+                  "2500000,5000000").split(",")
+    ]
+    for n in sizes:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        for ln in out.stdout.splitlines():
+            if ln.startswith(("  ", "{")):
+                print(ln, flush=True)
+        if out.returncode != 0:
+            print((out.stderr or "")[-500:], flush=True)
+
+
+if __name__ == "__main__":
+    main()
