@@ -323,6 +323,30 @@ def test_minhash_finds_all_banded_candidates(spark, sf_dir):
     assert (1, 2) in pairs, pairs
 
 
+def test_minhash_band_r2_finds_planted_near_dups(spark):
+    """Signature-PAIR banding (band_r=2, n_hashes=8) must still find
+    high-Jaccard planted near-dups (P(miss) ~ (1-J²)^28 ≈ 0 at
+    J≥0.5) and must never emit a pair below the verify threshold —
+    the same contract as the single-hash banding, cheaper background."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " omega"),          # high-J near-dup of 1
+        (3, "totally different words here now appearing in this text"),
+        (4, "more unrelated filler body content words across topics"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ops.minhash_native_pairs(
+            df, jaccard_threshold=0.5, n_hashes=8, band_r=2
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert all(j >= 0.5 for j in got.values())
+    assert not any(3 in p or 4 in p for p in got)
+
+
 def test_minhash_salted_skew_path_matches_plain(spark):
     """A hot band bucket (here: a 20-doc identical cluster — every
     signature collides, the straggler-reducer shape) routed through

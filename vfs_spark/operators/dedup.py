@@ -474,6 +474,7 @@ def minhash_native_pairs(
     n_hashes: int = 5,
     skew_threshold: int | None = None,
     n_salts: int = 8,
+    band_r: int = 1,
 ) -> DataFrame:
     """Pure-Catalyst MinHash-LSH — no MLlib, no vector conversion, no
     corpus-sized cache:
@@ -506,17 +507,69 @@ def minhash_native_pairs(
     generation over n_salts reducers. Cold buckets keep the plain
     equi-join; candidates are unioned before verify.
 
+    Banding order (``band_r``, round 11): with band_r=1 (default) a
+    pair is a candidate if ANY single signature matches — P(cand) =
+    1-(1-J)^n, which ALSO fires at ~n·J on the low-J background of a
+    real corpus: every unrelated pair sharing one common-shingle min
+    becomes a candidate, and buckets keyed by ONE min value grow as a
+    constant FRACTION of n (the 1.58-exponent wall the round-11
+    clusters ladder measured). band_r=2 AND-composes signature PAIRS
+    (the hamming_pairs_banded_and move applied to MinHash): candidate
+    iff any of C(n_hashes, 2) hash-PAIRS matches — P(cand) =
+    1-(1-J²)^C(n,2), so the low-J background collapses quadratically
+    (J=0.001 → ~3e-5·C(n,2)) while recall at the dedup threshold
+    RISES with a modestly larger n_hashes (n=8, r=2: 0.93 at J=0.3
+    vs 0.83 for the n=5, r=1 default). C(n,2)·rows of 16-byte keys
+    shuffle instead of n·rows of 8-byte keys — the trade that buys a
+    near-linear candidate curve on low-Jaccard corpora.
+
     Same contract as minhash_near_dup_pairs."""
-    sig = _minhash_sigs(docs, id_col, text_col, n_hashes)
+    if band_r not in (1, 2):
+        raise ValueError("band_r must be 1 or 2")
+    ex = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col)).alias("_s")
+    )
+    sig_wide = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("_s", F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    if band_r == 1:
+        structs = [
+            F.struct(
+                F.lit(i).alias("band_no"),
+                F.col(f"h{i}").alias("k1"),
+                F.lit(0).cast("bigint").alias("k2"),
+            )
+            for i in range(n_hashes)
+        ]
+    else:
+        combos = [
+            (i, j) for i in range(n_hashes) for j in range(i + 1, n_hashes)
+        ]
+        structs = [
+            F.struct(
+                F.lit(c).alias("band_no"),
+                F.col(f"h{i}").alias("k1"),
+                F.col(f"h{j}").alias("k2"),
+            )
+            for c, (i, j) in enumerate(combos)
+        ]
+    sig = sig_wide.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("b")
+    ).select(id_col, "b.band_no", "b.k1", "b.k2")
+    key = ["band_no", "k1", "k2"]
+
+    def _key_eq(a: str, b: str):
+        cond = F.col(f"{a}.{id_col}") < F.col(f"{b}.{id_col}")
+        for k in key:
+            cond = cond & (F.col(f"{a}.{k}") == F.col(f"{b}.{k}"))
+        return cond
 
     def _band_pairs(s: DataFrame) -> DataFrame:
         a, b = s.alias("a"), s.alias("b")
-        return a.join(
-            b,
-            (F.col("a.hash_idx") == F.col("b.hash_idx"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
+        return a.join(b, _key_eq("a", "b")).select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
         )
@@ -525,13 +578,13 @@ def minhash_native_pairs(
         pairs = _band_pairs(sig)
     else:
         hot_keys = (
-            sig.groupBy("hash_idx", "sig")
+            sig.groupBy(*key)
             .agg(F.count("*").alias("_n"))
             .where(F.col("_n") > skew_threshold)
-            .select("hash_idx", "sig")
+            .select(*key)
         )
-        cold = sig.join(F.broadcast(hot_keys), ["hash_idx", "sig"], "left_anti")
-        hot = sig.join(F.broadcast(hot_keys), ["hash_idx", "sig"], "left_semi")
+        cold = sig.join(F.broadcast(hot_keys), key, "left_anti")
+        hot = sig.join(F.broadcast(hot_keys), key, "left_semi")
         # salted self-join: scatter side a over n_salts deterministic
         # salts, replicate side b across all of them — every (a, b)
         # pair joins exactly once, at a's salt, but the hot bucket's
@@ -544,10 +597,7 @@ def minhash_native_pairs(
         ).alias("b")
         hot_pairs = ha.join(
             hb,
-            (F.col("a.hash_idx") == F.col("b.hash_idx"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a._salt") == F.col("b._salt"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            _key_eq("a", "b") & (F.col("a._salt") == F.col("b._salt")),
         ).select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),

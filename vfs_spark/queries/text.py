@@ -671,7 +671,17 @@ def q_dedup_clusters_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact jaccard inside minhash_native_pairs, so precision
     is exact; recall is the LSH banding guarantee (tested). This is
     the pair the 100 TB pipeline runs; dedup_clusters is its
-    oracle-checked twin."""
+    oracle-checked twin.
+
+    Round 11: banding switched to signature-PAIR keys (band_r=2 over
+    8 hashes, C(8,2)=28 bands) after the isolated ladder caught the
+    single-hash OR-banding at exponent 1.58 over 2.5M→5M docs — one
+    shared common-shingle min value bucketed a constant FRACTION of
+    the corpus (operators/dedup.minhash_native_pairs docstring). The
+    pair keys collapse the low-J background quadratically AND raise
+    recall at the 0.3 threshold (0.93 vs 0.83); skew_threshold stays
+    on as the belt for genuine giant near-dup clusters. Ladder after
+    the switch: SCALE.md round-11 clusters table."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     from vfs_spark.operators.dedup import (
         connected_components,
@@ -685,9 +695,13 @@ def q_dedup_clusters_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") != F.col("root"))
         .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
     )
-    e2 = minhash_native_pairs(docs, jaccard_threshold=0.3).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    e2 = minhash_native_pairs(
+        docs,
+        jaccard_threshold=0.3,
+        n_hashes=8,
+        band_r=2,
+        skew_threshold=10000,
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     cc = connected_components(docs.select("doc_id"), e1.union(e2), id_col="doc_id")
     return cc.select("doc_id", F.col("cluster_id").cast("bigint"))
 
