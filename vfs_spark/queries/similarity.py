@@ -384,11 +384,16 @@ def q_embedding_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     64→32 cut halves the ANN index and doubles effective cache).
     Cosine on the truncated prefix approximates full-dim cosine FOR
     MRL-TRAINED embeddings (information concentrated in the prefix —
-    the operator's deployment precondition). RECALL_r09 measures the
-    worst case instead: on this fixture's isotropic-random vectors
-    every dim is equally informative, so truncated top-10 recall is
-    0.26 — the floor an untrained embedding pays, which is exactly
-    why the op exists only for models trained with prefix loss.
+    the operator's deployment precondition). RECALL_r09/r11 measure
+    the worst case on this fixture's isotropic-random vectors (every
+    dim equally informative → truncated top-10 recall 0.26, the floor
+    an untrained embedding pays), and RECALL_r11 now also measures
+    the TRAINED-prefix regime on an anisotropic fixture (spectrum
+    i^-0.75 mixed by a random rotation): naive prefix of the rotated
+    coords recalls 0.55, while rotating through
+    embedding_pca_project's eigenbasis BEFORE truncating recalls
+    0.9375 — the regime MRL training buys, reproduced by the repo's
+    own PCA operator (tools/recallcheck.py, anisotropic section).
 
     Driver contract: array columns stay out of the hash compare
     (queries/core.py quantize_vec precedent), so the renormalized
