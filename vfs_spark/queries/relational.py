@@ -1219,8 +1219,9 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded. At 100 TB (or with a skewed blocking key) use the BANDED
     twin instead: generate candidates with a band equi-join the way
     the dedup family does — character-n-gram shingles through
-    minhash_native_pairs (operators/dedup.py:220, which also salts
-    hot buckets via skew_threshold) or dedup_ngram_jaccard's shingle
+    minhash_native_pairs (operators/dedup.py:469, which also salts
+    hot buckets via skew_threshold and AND-composes signature pairs
+    via band_r=2) or dedup_ngram_jaccard's shingle
     join — then verify ONLY candidates with levenshtein. Same
     banded-candidates → exact-verify pattern, shuffle bands·n rows
     instead of Σ|block|²."""
