@@ -237,6 +237,11 @@ BENCH_EXCLUDED = {
         "STREAMCHECK territory; its batch twin pipeline_curation_full "
         "IS timed"
     ),
+    "stream_curation_ranked": (
+        "full-corpus streaming drain finished with the rank-weighted "
+        "mixture view — CORRECTNESS territory; its batch twin "
+        "pipeline_curation_ranked IS timed"
+    ),
 }
 
 

@@ -639,6 +639,52 @@ def test_stream_curation_matches_batch_multibatch(spark, sf_dir, tmp_path):
     assert spark.read.parquet(dest).count() == n_store
 
 
+def test_stream_curation_ranked_matches_batch_two_batches(
+    spark, sf_dir, tmp_path
+):
+    """The rank-weighted mixture view over a TWO-micro-batch drained
+    store must produce exactly the batch pipeline_curation_ranked
+    answer, rank_u6 included — the PageRank prologue and the weight
+    arithmetic are shared helpers, so any divergence would be a
+    streaming-stage bug."""
+    from pyspark.sql import functions as F
+    import vfs_spark.queries  # noqa: F401
+    from vfs_spark.queries.registry import QUERIES
+    from vfs_spark.schema import DOCUMENTS_SCHEMA
+    from vfs_spark.streaming.ingest import (
+        curation_manifest_ranked,
+        stream_curation_ingest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") >= 10)
+    mid = int(corpus.agg(F.expr("percentile(doc_id, 0.5)")).first()[0])
+    src = str(tmp_path / "in")
+    _stage_ordered_files(spark, corpus, src, [(10, mid), (mid + 1, 10**9)])
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dest = str(tmp_path / "curated")
+    q = stream_curation_ingest(
+        stream, dest, str(tmp_path / "ckpt1"),
+        eval_docs=docs.where(F.col("doc_id") < 10),
+    )
+    q.awaitTermination()
+
+    want = {
+        (r["doc_id"], r["source"], r["n_tokens"], r["rank_u6"])
+        for r in QUERIES["pipeline_curation_ranked"](spark, sf_dir).collect()
+    }
+    got = {
+        (r["doc_id"], r["source"], r["n_tokens"], r["rank_u6"])
+        for r in curation_manifest_ranked(spark, dest, docs).collect()
+    }
+    assert got == want and want
+
+
 def test_stream_curation_seen_url_blocks_even_if_winner_fails_quality(
     spark, tmp_path
 ):

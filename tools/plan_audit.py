@@ -75,6 +75,10 @@ EXPECTED = {
     # attaches; the pagerank frontier is eagerly checkpointed so the
     # audited plan carries the ckpt-stub marker too:
     "pipeline_curation_ranked": {"bnlj", "many"},
+    # the streaming twin's manifest view: the rank join + the same
+    # 1-row mixture attaches over the landed store (per-doc stages ran
+    # inside foreachBatch; PageRank's frontier is checkpointed):
+    "stream_curation_ranked": {"bnlj", "many"},
     # PageRank: three 1-row dangling-mass attaches (one per power
     # iteration) + per-iteration key-only contrib shuffles:
     "graph_pagerank_urls": {"bnlj", "many"},

@@ -383,20 +383,7 @@ def q_pipeline_curation_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    pr = pagerank(_edges(docs_all))
-    # one |nodes|-count over the eagerly-materialized frontier — the
-    # relative-rank scale factor (rank × n_pages: scale-free, ~1e6
-    # for an average page; see _RANK_FLOOR_U6)
-    n_nodes = pr.count()
-    ranks = pr.select(
-        "u",
-        F.round(F.col("r") * F.lit(float(n_nodes)) * 1000000.0, 0)
-        .cast("bigint")
-        .alias("rank_u6"),
-    )
-    # same persist rationale as pipeline_curation_full: d2 feeds the
-    # mixture totals AND the final selection — cache the slim manifest
-    # so the contamination explode and the rank join run exactly once
+    ranks = relative_rank_u6(docs_all)
     d2 = (
         d1.join(contaminated, "doc_id", "left_anti")
         .join(ranks, "u", "left")
@@ -409,8 +396,38 @@ def q_pipeline_curation_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rank_u6"),
         )
-        .persist()
     )
+    return ranked_mixture_manifest(d2)
+
+
+def relative_rank_u6(docs_all: DataFrame) -> DataFrame:
+    """(u, rank_u6) over the synthesized page link graph, in RELATIVE
+    integer micro-units (r × n_pages × 1e6 — scale-free: an average
+    page reads ~1e6 at any graph size; see _RANK_FLOOR_U6). The ONE
+    place the ranked-curation twins (batch pipeline_curation_ranked
+    and the streaming manifest view) get their rank table, so the two
+    can never drift. The |nodes| count rides the eagerly-materialized
+    PageRank frontier — one cheap job."""
+    pr = pagerank(_edges(docs_all))
+    n_nodes = pr.count()
+    return pr.select(
+        "u",
+        F.round(F.col("r") * F.lit(float(n_nodes)) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("rank_u6"),
+    )
+
+
+def ranked_mixture_manifest(d2: DataFrame) -> DataFrame:
+    """Rank-weighted temperature mixture over a slim survivor
+    manifest (doc_id, source, n, h, rank_u6): per-source weight
+    w6 = floor(sqrt(src_tokens) × mean relative rank), then the
+    standard half-corpus cutoff arithmetic (_temperature_cutoffs'
+    exact double expression with the rank-scaled w6). Shared by the
+    batch pipeline and the streaming manifest view. The input feeds
+    the totals AND the final selection, so it is persisted here —
+    same rationale as pipeline_curation_full's d2 pin."""
+    d2 = d2.persist()
     tot = d2.groupBy("source").agg(
         F.sum("n").cast("bigint").alias("src_tokens"),
         F.sum("rank_u6").cast("bigint").alias("rank_mass_u6"),
@@ -455,3 +472,9 @@ def q_pipeline_curation_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", F.col("n").alias("n_tokens"), "rank_u6"
         )
     )
+
+
+# exported for the streaming twin (queries/streaming_queries.py) so
+# both engines' twins are held to the SAME oracle, defined once —
+# the stream_curation_full/_CURATION_FULL_ORACLE discipline
+CURATION_RANKED_ORACLE = _curation_ranked_oracle()

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vfs_spark.queries.registry import query
+from vfs_spark.queries.graph import CURATION_RANKED_ORACLE as _CURATION_RANKED_ORACLE
 from vfs_spark.queries.text import (
     _CURATION_FULL_ORACLE,
     _FP,
@@ -208,6 +209,43 @@ def q_stream_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return curation_manifest(spark, dest)
+
+
+@query("stream_curation_ranked", oracle=_CURATION_RANKED_ORACLE)
+def q_stream_curation_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming curation stack finished with the RANK-WEIGHTED
+    mixture view (pipeline_curation_ranked's final stage): the same
+    stream_curation_ingest drain as stream_curation_full, then
+    curation_manifest_ranked joins the landed canonical URLs to a
+    batch PageRank prologue and applies the rank-scaled temperature
+    cutoffs — hash-checked against the SAME oracle as the batch
+    pipeline_curation_ranked (one shared SQL constant from
+    queries/graph.py, the stream_curation_full discipline). The
+    honest streaming decomposition one more time: per-document stages
+    stream; PageRank and the mixture are corpus-global and run as a
+    view over the landed store."""
+    from vfs_spark.streaming.ingest import (
+        curation_manifest_ranked,
+        read_document_stream,
+        stream_curation_ingest,
+    )
+
+    work = _session_dir("stream_curation_ranked")
+    src = os.path.join(work, "in")
+    docs = load_table(spark, sf_dir, "documents")
+    _stage_single_file(
+        docs.where(F.col("doc_id") >= 10),
+        os.path.join(src, "documents.parquet"),
+    )
+    dest = os.path.join(work, "curated")
+    q = stream_curation_ingest(
+        read_document_stream(spark, src),
+        dest,
+        os.path.join(work, "ckpt"),
+        eval_docs=docs.where(F.col("doc_id") < 10),
+    )
+    q.awaitTermination()
+    return curation_manifest_ranked(spark, dest, docs)
 
 
 @query(

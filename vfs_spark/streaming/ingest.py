@@ -765,3 +765,40 @@ def curation_manifest(spark: SparkSession, store_dir: str) -> DataFrame:
         .where(F.col("h") < F.col("cutoff"))
         .select("doc_id", "source", F.col("n").alias("n_tokens"))
     )
+
+
+def curation_manifest_ranked(
+    spark: SparkSession, store_dir: str, docs_all: DataFrame
+) -> DataFrame:
+    """The rank-weighted mixture view over a store built by
+    stream_curation_ingest — pipeline_curation_ranked's final stage
+    applied to the landed manifest. PageRank is a BATCH prologue over
+    the full document table (link structure is corpus-global state, a
+    static side input like the eval shingle set — iterative power
+    steps do not stream), joined to the store on the canonical URL
+    the ingest already landed; weights and cutoffs come from the
+    SHARED helpers (queries/graph.relative_rank_u6 /
+    ranked_mixture_manifest), so the streaming twin cannot drift from
+    the batch pipeline's arithmetic. Same honest decomposition as
+    curation_manifest: per-document stages stream, corpus-global
+    stages are views."""
+    from vfs_spark.queries.graph import (
+        _RANK_FLOOR_U6,
+        ranked_mixture_manifest,
+        relative_rank_u6,
+    )
+
+    d2 = spark.read.parquet(store_dir).select(
+        "doc_id", "source", F.col("n_tokens").alias("n"), "h", "u"
+    )
+    ranks = relative_rank_u6(docs_all)
+    d2r = d2.join(ranks, "u", "left").select(
+        "doc_id",
+        "source",
+        "n",
+        "h",
+        F.coalesce(F.col("rank_u6"), F.lit(_RANK_FLOOR_U6))
+        .cast("bigint")
+        .alias("rank_u6"),
+    )
+    return ranked_mixture_manifest(d2r)
