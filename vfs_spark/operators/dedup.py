@@ -204,7 +204,11 @@ def hamming_pairs_banded(
         ).alias("band"),
     ).select(id_col, "_h", "band.band_no", "band.band_val")
     # cache: both sides of the self-join read `bands`; without it the
-    # upstream fingerprint pass runs twice over the corpus.
+    # upstream fingerprint pass runs twice over the corpus. Released
+    # before returning — the verified-pairs result (small: true
+    # near-dups) is eagerly checkpointed so its lineage no longer
+    # references `bands`, and repeated calls (cluster loops, ladders)
+    # don't accumulate executor storage (code-review r11 finding).
     bands = bands.cache()
     bands.count()  # materialize before the self-join (see minhash note)
     a = bands.alias("a")
@@ -225,11 +229,14 @@ def hamming_pairs_banded(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    pairs = (
         cand.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select(out_a, out_b, "hamming")
+        .localCheckpoint(eager=True)
     )
+    bands.unpersist()
+    return pairs
 
 
 def hamming_pairs_banded_and(
@@ -288,8 +295,10 @@ def hamming_pairs_banded_and(
             )
         ).alias("bp"),
     ).select(id_col, "_h", "bp.pair_no", "bp.v1", "bp.v2")
-    # same cache rationale as hamming_pairs_banded: both join sides
-    # read `bands`; without the pin the fingerprint pass runs twice.
+    # same cache rationale (and same release discipline) as
+    # hamming_pairs_banded: both join sides read `bands`; without the
+    # pin the fingerprint pass runs twice. Released via the eager
+    # checkpoint of the verified-pairs result below.
     bands = bands.cache()
     bands.count()
     a = bands.alias("a")
@@ -311,11 +320,14 @@ def hamming_pairs_banded_and(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    pairs = (
         cand.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select(out_a, out_b, "hamming")
+        .localCheckpoint(eager=True)
     )
+    bands.unpersist()
+    return pairs
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -121,15 +121,22 @@ def pagerank(edges: DataFrame, n_iters: int = N_ITERS, damping: float = DAMPING)
     return ranks
 
 
-_PR_EDGES_SQL = f"""
-base AS (
+def _pr_edges_sql(base_cte: str = "base") -> str:
+    """The PageRank prologue CTE chain. `base_cte` names the
+    URL-normalization CTE so composers (the ranked-curation oracle,
+    which has its own `base`) can pick a non-colliding name at build
+    time — a textual post-hoc rename of the token `base` would
+    silently rewrite any future occurrence inside the interpolated
+    URL-synthesis / normalizer SQL (code-review r11 finding)."""
+    return f"""
+{base_cte} AS (
   SELECT doc_id, {_url_norm_sql(_URL_SYNTH_SQL)} AS u FROM documents
 ),
 nn AS (SELECT COUNT(*) AS n FROM documents),
 edges AS (
   SELECT DISTINCT a.u AS src, b.u AS dst
-  FROM base a JOIN nn ON TRUE
-  JOIN base b ON b.doc_id = (a.doc_id * 17 + 13) % nn.n
+  FROM {base_cte} a JOIN nn ON TRUE
+  JOIN {base_cte} b ON b.doc_id = (a.doc_id * 17 + 13) % nn.n
   WHERE a.u <> b.u
 ),
 deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
@@ -137,6 +144,9 @@ nodes AS (SELECT DISTINCT u FROM (SELECT src AS u FROM edges
                                   UNION SELECT dst FROM edges)),
 nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)
 """
+
+
+_PR_EDGES_SQL = _pr_edges_sql()
 
 
 def _pr_iter_sql(k: int) -> str:
@@ -198,8 +208,6 @@ def q_graph_pagerank_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the exact arithmetic their standalone slugs already hash-check.
 # ---------------------------------------------------------------------------
 
-import re as _re
-
 from vfs_spark.queries.text import _FP, _SHINGLES5, _STOP, _TOKS
 
 # The rank floor for pages ABSENT from the link graph (no in/out
@@ -214,7 +222,7 @@ _RANK_FLOOR_U6 = int(round((1.0 - DAMPING) * 1_000_000))
 
 def _curation_ranked_oracle() -> str:
     pr_ctes = (
-        _re.sub(r"\bbase\b", "prbase", _PR_EDGES_SQL)
+        _pr_edges_sql("prbase")
         + ",\nr0 AS (SELECT u, 1.0 / nc.n AS r FROM nodes CROSS JOIN nc),"
         + ",".join(_pr_iter_sql(k) for k in range(1, N_ITERS + 1))
     )
@@ -426,7 +434,12 @@ def ranked_mixture_manifest(d2: DataFrame) -> DataFrame:
     exact double expression with the rank-scaled w6). Shared by the
     batch pipeline and the streaming manifest view. The input feeds
     the totals AND the final selection, so it is persisted here —
-    same rationale as pipeline_curation_full's d2 pin."""
+    same rationale as pipeline_curation_full's d2 pin. The pin is
+    RELEASED before returning (pagerank's eager-frontier idiom): the
+    final manifest is eagerly localCheckpointed, truncating its
+    lineage off d2, so repeated invocations (batch + streaming twins
+    per session; ladder/probe loops) don't accumulate executor
+    storage until a session clearCache (code-review r11 finding)."""
     d2 = d2.persist()
     tot = d2.groupBy("source").agg(
         F.sum("n").cast("bigint").alias("src_tokens"),
@@ -465,13 +478,16 @@ def ranked_mixture_manifest(d2: DataFrame) -> DataFrame:
             ).cast("bigint"),
         ).alias("cutoff"),
     )
-    return (
+    manifest = (
         d2.join(F.broadcast(cut), "source")
         .where(F.col("h") < F.col("cutoff"))
         .select(
             "doc_id", "source", F.col("n").alias("n_tokens"), "rank_u6"
         )
+        .localCheckpoint(eager=True)
     )
+    d2.unpersist()
+    return manifest
 
 
 # exported for the streaming twin (queries/streaming_queries.py) so
