@@ -998,3 +998,114 @@ def test_minhash_incremental_salted_equals_plain(spark):
     }
     assert plain  # the planted boilerplate must generate pairs
     assert salted == plain
+
+
+def test_jaccard_prefix_equals_quadratic_on_fixture(spark, sf_dir):
+    """The prefix-filtered similarity join (round 12) is EXACT: its
+    output — pairs AND raw jaccard values — must equal the
+    lang-blocked all-pairs self-join it replaced in dedup_clusters /
+    dedup_ngram_jaccard. This is the gate that lets those slugs keep
+    their quadratic recursive-CTE oracles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id", "lang", word_shingles("text").alias("shingles")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    j = jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    truth = {
+        (r["da"], r["db"], round(r["j"], 9))
+        for r in a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            j.alias("j"),
+        )
+        .where(F.col("j") >= 0.3)
+        .collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dedup_ops.jaccard_pairs_prefix(sh, threshold=0.3)
+        .where(F.col("jaccard") >= 0.3)
+        .collect()
+    }
+    assert truth, "fixture should contain planted near-dups"
+    assert got == truth
+
+
+def test_jaccard_prefix_threshold_boundaries(spark):
+    """Adversarial boundary sets: pairs with jaccard exactly AT, just
+    BELOW, and just ABOVE the threshold, plus size-ratio extremes —
+    the prefix-length arithmetic (floor vs ceil, the relaxed pruning
+    bound) must never drop a qualifying pair."""
+    rows = [
+        # J(1,2) = 3/10 = 0.3 exactly (|a|=6, |b|=7, inter=3)
+        (1, "x", ["a", "b", "c", "d", "e", "f"]),
+        (2, "x", ["a", "b", "c", "g", "h", "i", "j"]),
+        # J(3,4) = 2/10 = 0.2 (below threshold — must be excluded)
+        (3, "x", ["k", "l", "m", "n", "o", "p"]),
+        (4, "x", ["k", "l", "q", "r", "s", "t"]),
+        # J(5,6) = 1.0 (identical sets)
+        (5, "x", ["u", "v", "w"]),
+        (6, "x", ["u", "v", "w"]),
+        # J(7,8): size-ratio extreme — |a|=3 subset of |b|=10,
+        # J = 3/10 = 0.3 exactly
+        (7, "x", ["p1", "p2", "p3"]),
+        (8, "x", ["p1", "p2", "p3", "p4", "p5", "p6", "p7", "p8", "p9", "p10"]),
+        # different block: same sets as 5/6 but must NOT pair with them
+        (9, "y", ["u", "v", "w"]),
+        # singleton sets, J(10,11) = 1.0
+        (10, "x", ["solo"]),
+        (11, "x", ["solo"]),
+    ]
+    sh = spark.createDataFrame(
+        rows, "doc_id long, lang string, shingles array<string>"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ops.jaccard_pairs_prefix(sh, threshold=0.3)
+        .where(F.col("jaccard") >= 0.3)
+        .collect()
+    }
+    assert got == {(1, 2), (5, 6), (7, 8), (10, 11)}
+
+
+def test_banded_clusters_band_r2_operating_point(spark, sf_dir):
+    """Regression gate for dedup_clusters_banded's round-11 operating
+    point (n_hashes=8, band_r=2, skew_threshold=10000): on the fixture
+    the banded candidate generator must reproduce the EXACT unblocked
+    jaccard>=0.3 pair set — recall 1.0 on planted near-dups and exact
+    precision from the verify step. A future banding change that
+    silently shifts which near-dup edges (hence which cluster
+    assignments) the slug emits fails here, not in a bench artifact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select("doc_id", word_shingles("text").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    j = jaccard(F.col("a.sh"), F.col("b.sh"))
+    truth = {
+        (r["da"], r["db"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            j.alias("j"),
+        )
+        .where(F.col("j") >= 0.3)
+        .collect()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ops.minhash_native_pairs(
+            docs,
+            jaccard_threshold=0.3,
+            n_hashes=8,
+            band_r=2,
+            skew_threshold=10000,
+        ).collect()
+    }
+    assert truth, "fixture should contain planted near-dups"
+    assert banded == truth

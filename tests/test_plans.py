@@ -121,11 +121,37 @@ def test_rollup_single_scan(spark, sf_dir):
 
 
 def test_simhash_band_join_no_cartesian(spark, sf_dir):
-    from vfs_spark.queries.registry import QUERIES
+    """The registered slug eagerly checkpoints its verified pairs (the
+    cache-release discipline), so its visible plan is a ckpt stub —
+    inspect the LAZY plan via materialize=False to assert the banded
+    self-join is an equi hash/merge join, never a cartesian."""
+    from vfs_spark.operators.dedup import simhash_near_dup_pairs
+    from vfs_spark.sources.parquet import load_table
 
-    df = QUERIES["dedup_simhash"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    df = simhash_near_dup_pairs(docs, max_hamming=3, materialize=False)
     plan = ex.formatted_plan(df)
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_jaccard_prefix_join_no_cartesian(spark, sf_dir):
+    """The exact prefix-filtered similarity join (round 12) must plan
+    its candidate generation as an equi join on (block, element) —
+    never a cartesian/nested-loop pair explosion — and its final
+    predicate must verify with the exact jaccard."""
+    from vfs_spark.functions.text import word_shingles
+    from vfs_spark.operators.dedup import jaccard_pairs_prefix
+    from vfs_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang", word_shingles("text").alias("shingles")
+    )
+    df = jaccard_pairs_prefix(sh, threshold=0.3, materialize=False)
+    plan = ex.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 

@@ -145,6 +145,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     impl: str = "udf",
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
 
@@ -160,7 +161,11 @@ def simhash_near_dup_pairs(
     }[impl]
     fp = fingerprints(docs, id_col, text_col)
     return hamming_pairs_banded(
-        fp, id_col=id_col, hash_col="simhash", max_hamming=max_hamming
+        fp,
+        id_col=id_col,
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        materialize=materialize,
     )
 
 
@@ -171,6 +176,7 @@ def hamming_pairs_banded(
     max_hamming: int = 3,
     out_a: str = "doc_a",
     out_b: str = "doc_b",
+    materialize: bool = True,
 ) -> DataFrame:
     """All pairs with hamming(hash_a, hash_b) ≤ max_hamming over ANY
     64-bit fingerprint column — the banded engine behind text SimHash
@@ -209,8 +215,12 @@ def hamming_pairs_banded(
     # near-dups) is eagerly checkpointed so its lineage no longer
     # references `bands`, and repeated calls (cluster loops, ladders)
     # don't accumulate executor storage (code-review r11 finding).
-    bands = bands.cache()
-    bands.count()  # materialize before the self-join (see minhash note)
+    # materialize=False skips the pin AND the checkpoint, returning
+    # the pure lazy plan — for plan inspection (tests/test_plans.py),
+    # never for execution (the fingerprint pass would run twice).
+    if materialize:
+        bands = bands.cache()
+        bands.count()  # materialize before the self-join (see minhash note)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -233,8 +243,10 @@ def hamming_pairs_banded(
         cand.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select(out_a, out_b, "hamming")
-        .localCheckpoint(eager=True)
     )
+    if not materialize:
+        return pairs
+    pairs = pairs.localCheckpoint(eager=True)
     bands.unpersist()
     return pairs
 
@@ -246,6 +258,7 @@ def hamming_pairs_banded_and(
     max_hamming: int = 3,
     out_a: str = "doc_a",
     out_b: str = "doc_b",
+    materialize: bool = True,
 ) -> DataFrame:
     """AND-composed banding (round 11, VERDICT r10 #9): the same
     complete hamming-pairs contract as hamming_pairs_banded, with the
@@ -295,12 +308,13 @@ def hamming_pairs_banded_and(
             )
         ).alias("bp"),
     ).select(id_col, "_h", "bp.pair_no", "bp.v1", "bp.v2")
-    # same cache rationale (and same release discipline) as
-    # hamming_pairs_banded: both join sides read `bands`; without the
-    # pin the fingerprint pass runs twice. Released via the eager
+    # same cache rationale (and same release/materialize discipline)
+    # as hamming_pairs_banded: both join sides read `bands`; without
+    # the pin the fingerprint pass runs twice. Released via the eager
     # checkpoint of the verified-pairs result below.
-    bands = bands.cache()
-    bands.count()
+    if materialize:
+        bands = bands.cache()
+        bands.count()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -324,9 +338,121 @@ def hamming_pairs_banded_and(
         cand.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select(out_a, out_b, "hamming")
-        .localCheckpoint(eager=True)
     )
+    if not materialize:
+        return pairs
+    pairs = pairs.localCheckpoint(eager=True)
     bands.unpersist()
+    return pairs
+
+
+def jaccard_pairs_prefix(
+    sh: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    set_col: str = "shingles",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+    materialize: bool = True,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs / PPJoin candidate scheme, Bayardo et al. WWW'07 / Xiao
+    et al. WWW'08) — same output as the blocked all-pairs jaccard
+    join, sub-quadratic cost. Returns every (``out_a`` < ``out_b``)
+    pair within a block whose RAW jaccard could reach ``threshold``,
+    with the unfiltered ``jaccard`` column; callers apply their own
+    final predicate (raw vs rounded) so this stays a drop-in for the
+    quadratic form.
+
+    Completeness (why this is exact, not approximate): order each
+    set's elements by (global frequency, value) — any fixed total
+    order works. If J(a,b) ≥ t then |a∩b| ≥ t·|a∪b| ≥ t·max(|a|,|b|),
+    so each side holds ≥ ceil(t·|s|) common elements; the SMALLEST
+    common element (in the global order) therefore sits within the
+    first |s| − ceil(t·|s|) + 1 elements of BOTH sets — equi-joining
+    the per-set prefixes of that length on (block, element) finds
+    every qualifying pair. Candidates are then verified with the
+    exact jaccard, so precision is exact too. Prefix lengths and the
+    size-ratio filter (min ≥ t·max) use a slightly RELAXED t so a
+    caller filtering on ROUND(j, 6) ≥ t (which admits raw j down to
+    t − 5e-7) still sees every pair.
+
+    100 TB shape: the only data-sized exchanges carry (block,
+    element, id, set_size) rows — one df-count aggregate, one
+    row_number window per doc, one equi-join on (block, element)
+    whose volume is Σ_g C(df_g·0.7, 2) over PREFIX postings (rare
+    elements, by construction), never n². The verify join ships the
+    shingle arrays only for surviving candidates. This replaces the
+    lang-blocked O(n²) comparison (12.5M pairs at sf0.1 → 326k
+    candidate postings measured) while remaining oracle-identical,
+    unlike MinHash banding whose recall is probabilistic."""
+    # relaxed pruning bound: admits raw-jaccard values that round up
+    # to the caller's threshold at 6 decimals (and a safety margin)
+    t = max(threshold - 0.01, 0.0)
+    sh = sh.select(id_col, block_col, set_col).where(
+        F.size(set_col) > 0
+    )
+    # pinned: feeds the prefix build AND both verify sides; released
+    # via the eager checkpoint of the verified pairs (the
+    # hamming_pairs_banded discipline). materialize=False skips pin
+    # and checkpoint — lazy plan for inspection only.
+    if materialize:
+        sh = sh.persist()
+        sh.count()
+    ex = sh.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.size(set_col).alias("_n"),
+        F.explode(set_col).alias("_g"),
+    )
+    dfreq = ex.groupBy("_blk", "_g").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "_g")
+    plen = (
+        F.col("_n")
+        - F.floor(F.lit(t) * F.col("_n")).cast("int")
+        + F.lit(1)
+    )
+    pref = (
+        ex.join(dfreq, ["_blk", "_g"])
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= plen)
+        .select("_blk", "_g", F.col(id_col).alias("_id"), "_n")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .where(
+            F.least(F.col("a._n"), F.col("b._n")).cast("double")
+            >= F.lit(t) * F.greatest(F.col("a._n"), F.col("b._n"))
+        )
+        .select(
+            F.col("a._id").alias(out_a), F.col("b._id").alias(out_b)
+        )
+        .distinct()
+    )
+    from vfs_spark.functions.text import jaccard
+
+    sa = sh.select(
+        F.col(id_col).alias(out_a), F.col(set_col).alias("_sa")
+    )
+    sb = sh.select(
+        F.col(id_col).alias(out_b), F.col(set_col).alias("_sb")
+    )
+    pairs = cand.join(sa, out_a).join(sb, out_b).select(
+        out_a,
+        out_b,
+        jaccard(F.col("_sa"), F.col("_sb")).alias("jaccard"),
+    )
+    if not materialize:
+        return pairs
+    pairs = pairs.localCheckpoint(eager=True)
+    sh.unpersist()
     return pairs
 
 
