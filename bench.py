@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from vfs_spark.metrics import process_tree_cpu_s  # noqa: E402
+
 
 def _run(df) -> None:
     """Force full computation without a real sink."""
@@ -254,6 +256,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     times: dict[str, float] = {}
     times_cold: dict[str, float] = {}
+    times_cpu: dict[str, float] = {}
     errors: dict[str, str] = {}
 
     def guarded(name, fn):
@@ -276,6 +279,7 @@ def main() -> None:
             fn()
             times_cold[name] = round(time.time() - t0, 3)
             best = float("inf")
+            best_cpu = float("inf")
             for _ in range(2):
                 # drop CacheManager entries between runs: a slug that
                 # persist()s an intermediate (pipeline_curation_full's
@@ -291,10 +295,24 @@ def main() -> None:
                 ss = SparkSession.getActiveSession()
                 if ss is not None:
                     ss.catalog.clearCache()
+                # CPU seconds ride along with each warm wall sample
+                # (vfs_spark.metrics process-tree meter): the
+                # contention-robust number ladder exponents and
+                # cross-round comparisons gate on — a co-tenant
+                # inflates wall, not the CPU the query consumed.
+                c0 = (
+                    process_tree_cpu_s(ss) if ss is not None else None
+                )
                 t0 = time.time()
                 fn()
                 best = min(best, time.time() - t0)
+                if c0 is not None:
+                    best_cpu = min(
+                        best_cpu, process_tree_cpu_s(ss) - c0
+                    )
             times[name] = round(best, 3)
+            if best_cpu != float("inf"):
+                times_cpu[name] = round(best_cpu, 3)
 
         guarded(name, run)
 
@@ -302,7 +320,7 @@ def main() -> None:
         _suite(sf_dir, times, errors, timed, guarded)
     except Exception as e:  # noqa: BLE001 — report, don't crash
         errors["__suite__"] = f"{type(e).__name__}: {e}"[:300]
-    _report(sf_dir, times, errors, times_cold)
+    _report(sf_dir, times, errors, times_cold, times_cpu)
 
 
 def _suite(sf_dir, times, errors, timed, guarded) -> None:
@@ -405,7 +423,7 @@ def _suite(sf_dir, times, errors, timed, guarded) -> None:
         timed(name, lambda n=name: _run(QUERIES[n](spark, sf_dir)))
 
 
-def _report(sf_dir, times, errors, times_cold=None) -> None:
+def _report(sf_dir, times, errors, times_cold=None, times_cpu=None) -> None:
     amortized = times.get("exact_knn_amortized_per_query", 0.0)
     total = round(sum(times.values()) - amortized, 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -415,6 +433,11 @@ def _report(sf_dir, times, errors, times_cold=None) -> None:
         "unit": "sec",
         "queries": times,
         "queries_cold": times_cold or {},
+        # engine CPU seconds per warm run (vfs_spark.metrics
+        # process-tree meter: driver JVM + python workers + this
+        # process) — the contention-robust column; cross-round
+        # comparisons and ladder exponents should gate on this
+        "queries_cpu": times_cpu or {},
         "errors": errors,
         "sf": sf,
     }
@@ -429,6 +452,7 @@ def _report(sf_dir, times, errors, times_cold=None) -> None:
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
         merged = {}
+        prev = None
         try:
             with open(path) as f:
                 prev = json.load(f)
@@ -439,6 +463,28 @@ def _report(sf_dir, times, errors, times_cold=None) -> None:
         except (OSError, ValueError):
             pass
         merged.update(detail)
+        # Round-over-round delta table (r11 verdict task #8): the
+        # r10/r11 drift adjudications were manual archaeology, so the
+        # merge now emits per-query wall deltas vs whatever suite run
+        # the file held before — positive = slower this run. CPU
+        # deltas ride along where both runs carried the cpu column.
+        if isinstance(prev, dict) and isinstance(
+            prev.get("queries"), dict
+        ):
+            pq, pc = prev["queries"], prev.get("queries_cpu") or {}
+            merged["deltas"] = {
+                "vs_prev_wall_s": {
+                    q: round(v - pq[q], 3)
+                    for q, v in times.items()
+                    if q in pq
+                },
+                "vs_prev_cpu_s": {
+                    q: round(v - pc[q], 3)
+                    for q, v in (times_cpu or {}).items()
+                    if q in pc
+                },
+                "prev_total": prev.get("value"),
+            }
         with open(path, "w") as f:
             json.dump(merged, f, indent=1, sort_keys=True)
     except OSError:

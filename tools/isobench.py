@@ -42,21 +42,31 @@ def _child(slug: str) -> None:
 
     fn = QUERIES[slug]
 
-    def run_once() -> float:
+    from vfs_spark.metrics import process_tree_cpu_s
+
+    def run_once() -> tuple[float, float]:
+        c0 = process_tree_cpu_s(spark)
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        return time.time() - t0
+        return time.time() - t0, process_tree_cpu_s(spark) - c0
 
-    cold = run_once()
-    warm = []
+    cold, cold_cpu = run_once()
+    warm, warm_cpu = [], []
     for _ in range(3):
         spark.catalog.clearCache()
-        warm.append(run_once())
+        w, c = run_once()
+        warm.append(w)
+        warm_cpu.append(c)
     print(json.dumps({
         "slug": slug,
         "cold": round(cold, 3),
         "warm_best": round(min(warm), 3),
         "warm_all": [round(w, 3) for w in warm],
+        # engine CPU seconds (process-tree meter, vfs_spark.metrics):
+        # the contention-robust column — gate ladder exponents and
+        # cross-round conclusions on cpu, adjudicate wall with it
+        "cpu_best": round(min(warm_cpu), 3),
+        "cpu_all": [round(c, 3) for c in warm_cpu],
     }))
 
 

@@ -1,0 +1,171 @@
+"""Round-12 ladder rungs (VERDICT r11 tasks #1/2/4/6):
+
+- ``clusters_exact``   — dedup_clusters, whose near-dup edges now come
+  from the EXACT prefix-filtered similarity join (AllPairs scheme,
+  operators/dedup.jaccard_pairs_prefix) instead of the O(n²) blocked
+  self-join. The ladder pins that the exact path is genuinely
+  sub-quadratic, not just faster at fixture scale.
+- ``clusters_banded``  — the 20M rung (r11 stopped at 10M, exponent
+  0.96) for the signature-pair-banded MinHash production twin.
+- ``ndcg``             — retrieval_eval_ndcg at 2.5M/5M docs: serving
+  (BM25 top-10) + qrels from the session cluster manifest.
+- ``inc_minhash``      — FIXED batch (200k docs) against GROWING
+  history: the axis SCALE.md:527 conceded the old probe measured
+  wrongly (it grew both sides). The exponent here is the history
+  side's — production's daily-crawl-vs-archive shape.
+
+Protocol: same-session ladder (one Spark session per op runs every
+size; cross-session walls are not comparable, NOTES.md), and every
+rung records engine CPU seconds (vfs_spark.metrics process-tree
+meter) next to wall — EXPONENTS ARE GATED ON CPU (r11 task #6: two
+rounds were burned re-adjudicating tenant contention that inflates
+wall but not CPU).
+
+Usage: python tools/r12_ladder.py clusters_exact [sizes_csv]
+       python tools/r12_ladder.py clusters_banded [sizes_csv]
+       python tools/r12_ladder.py ndcg [sizes_csv]
+       python tools/r12_ladder.py inc_minhash [history_sizes_csv]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+DEFAULT_SIZES = {
+    "clusters_exact": "2500000,5000000,10000000",
+    "clusters_banded": "10000000,20000000",
+    "ndcg": "2500000,5000000",
+    "inc_minhash": "1000000,2000000,4000000",
+}
+INC_BATCH = 200_000
+
+
+def _timed(spark, fn):
+    from vfs_spark.metrics import process_tree_cpu_s
+
+    c0 = process_tree_cpu_s(spark)
+    t0 = time.time()
+    out = fn()
+    wall = time.time() - t0
+    return out, round(wall, 1), round(process_tree_cpu_s(spark) - c0, 1)
+
+
+def run_clusters(spark, tmp: str, n: int, slug: str) -> dict:
+    from tools.curation_ab import build_corpus
+    from vfs_spark.queries import QUERIES
+
+    build_corpus(spark, tmp, n)
+    rows, wall, cpu = _timed(
+        spark, lambda: QUERIES[slug](spark, tmp).count()
+    )
+    return {"n": n, "rows": rows, "wall_s": wall, "cpu_s": cpu}
+
+
+def run_ndcg(spark, tmp: str, n: int) -> dict:
+    from tools.curation_ab import build_corpus
+    from vfs_spark.queries import QUERIES
+
+    build_corpus(spark, tmp, n)
+    rows, wall, cpu = _timed(
+        spark,
+        lambda: QUERIES["retrieval_eval_ndcg"](spark, tmp).count(),
+    )
+    # second call = the suite's steady state (manifest already
+    # published by the first call's qrels mining) — serving-only cost
+    rows2, wall2, cpu2 = _timed(
+        spark,
+        lambda: QUERIES["retrieval_eval_ndcg"](spark, tmp).count(),
+    )
+    return {
+        "n": n,
+        "rows": rows,
+        "wall_s": wall,
+        "cpu_s": cpu,
+        "wall_s_manifest_reused": wall2,
+        "cpu_s_manifest_reused": cpu2,
+    }
+
+
+def run_inc_minhash(spark, tmp: str, n_hist: int) -> dict:
+    from tools.curation_ab import build_corpus
+    from vfs_spark.operators.dedup import minhash_incremental_pairs
+
+    n_total = n_hist + INC_BATCH
+    build_corpus(spark, tmp, n_total)
+    docs = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
+    # fixed 200k-doc batch = the TOP ids (covers the corpus's planted
+    # 1% dup region, so true cross-pairs exist); history = the rest
+    new = docs.where(F.col("doc_id") >= n_hist)
+    hist = docs.where(F.col("doc_id") < n_hist)
+    rows, wall, cpu = _timed(
+        spark,
+        lambda: minhash_incremental_pairs(
+            new, hist, jaccard_threshold=0.3
+        ).count(),
+    )
+    return {
+        "n_hist": n_hist,
+        "n_batch": INC_BATCH,
+        "pairs": rows,
+        "wall_s": wall,
+        "cpu_s": cpu,
+    }
+
+
+def main() -> None:
+    ops = {
+        "clusters_exact": lambda s, t, n: run_clusters(
+            s, t, n, "dedup_clusters"
+        ),
+        "clusters_banded": lambda s, t, n: run_clusters(
+            s, t, n, "dedup_clusters_banded"
+        ),
+        "ndcg": run_ndcg,
+        "inc_minhash": run_inc_minhash,
+    }
+    if len(sys.argv) < 2 or sys.argv[1] not in ops:
+        sys.exit(f"usage: r12_ladder.py {'|'.join(ops)} [sizes_csv]")
+    op = sys.argv[1]
+    sizes = [
+        int(x)
+        for x in (
+            sys.argv[2] if len(sys.argv) > 2 else DEFAULT_SIZES[op]
+        ).split(",")
+    ]
+    from vfs_spark.session import get_spark
+
+    spark = get_spark(f"r12-ladder-{op}")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = os.path.join(REPO, f".r12_ladder_tmp_{op}")
+    results = []
+    try:
+        for n in sizes:
+            shutil.rmtree(tmp, ignore_errors=True)
+            r = ops[op](spark, tmp, n)
+            results.append(r)
+            print(json.dumps(r), flush=True)
+        nkey = "n_hist" if op == "inc_minhash" else "n"
+        for a, b in zip(results, results[1:]):
+            ratio = math.log(b[nkey] / a[nkey])
+            exp_cpu = math.log(b["cpu_s"] / a["cpu_s"]) / ratio
+            exp_wall = math.log(b["wall_s"] / a["wall_s"]) / ratio
+            print(
+                f"exponent {a[nkey]}->{b[nkey]}: "
+                f"cpu {exp_cpu:.2f} (gate), wall {exp_wall:.2f}"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

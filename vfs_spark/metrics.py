@@ -1,0 +1,104 @@
+"""Per-query CPU-time metering for the bench/ladder loops.
+
+Why: two rounds running (r10 drift, r11 MRR bimodality) burned effort
+re-adjudicating tenant contention on the shared host, because wall
+time is the only number the bench artifacts carried. CPU time is the
+contention-robust twin: a co-tenant stealing cores inflates wall but
+barely moves the CPU seconds a query actually consumes, so ladder
+exponents gated on CPU-time survive a noisy host.
+
+How: Spark's per-stage executorCpuTime lives in AppStatusStore, but
+its Scala collection signatures don't cross the py4j boundary
+cleanly. In local[N] mode the measurement is simpler and MORE
+complete anyway: every executor is a thread inside the one JVM, and
+every pandas-UDF worker is a python child process of that JVM — so
+utime+stime summed over the JVM's /proc subtree (plus this driver
+process, which pays collect/Arrow deserialization) is the engine's
+whole CPU bill. Sampled before/after a query, the delta is that
+query's cpu_s. Includes JIT and GC threads (part of the real cost);
+excludes nothing the engine spawned.
+
+On a real cluster this helper doesn't apply (executors are remote);
+there you'd read executorCpuTime from the event log / history server.
+The bench artifacts note which meter produced the number.
+"""
+
+from __future__ import annotations
+
+import os
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+
+def jvm_pid(spark) -> int:
+    """The driver JVM's OS pid, asked of the JVM itself."""
+    return int(
+        spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+    )
+
+
+def _stat_fields(pid: int) -> list[str] | None:
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            raw = f.read().decode("ascii", "replace")
+    except OSError:
+        return None
+    # comm may contain spaces/parens — split after the LAST ')'
+    rpar = raw.rfind(")")
+    return raw[rpar + 2 :].split()
+
+
+def _cpu_ticks(pid: int) -> float:
+    f = _stat_fields(pid)
+    if f is None:
+        return 0.0
+    # post-comm fields: state(0) ppid(1) ... utime(11) stime(12)
+    return float(f[11]) + float(f[12])
+
+
+def _descendants(root: int) -> list[int]:
+    """root + all live descendant pids, via one /proc scan."""
+    children: dict[int, list[int]] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        f = _stat_fields(int(entry))
+        if f is None:
+            continue
+        children.setdefault(int(f[1]), []).append(int(entry))
+    out, todo = [], [root]
+    while todo:
+        pid = todo.pop()
+        out.append(pid)
+        todo.extend(children.get(pid, ()))
+    return out
+
+
+def process_tree_cpu_s(spark) -> float:
+    """Total CPU seconds (user+sys) consumed so far by the engine:
+    the driver JVM and every descendant (python/Arrow workers), plus
+    this python driver process. Monotonic while processes live; a
+    worker that EXITS between samples takes its ticks with it, so
+    deltas are a slight undercount if the worker pool churns
+    mid-query (the bench warms the pool first for exactly this
+    reason)."""
+    jvm = jvm_pid(spark)
+    pids = set(_descendants(jvm))
+    pids.add(os.getpid())
+    return sum(_cpu_ticks(p) for p in pids) / _CLK_TCK
+
+
+class CpuMeter:
+    """Delta meter: ``with CpuMeter(spark) as m: ...; m.cpu_s``."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self.cpu_s: float | None = None
+
+    def __enter__(self):
+        self._t0 = process_tree_cpu_s(self._spark)
+        return self
+
+    def __exit__(self, *exc):
+        self.cpu_s = round(process_tree_cpu_s(self._spark) - self._t0, 3)
+        return False
