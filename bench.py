@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "join_anti_customers",
     "join_semi_customers",
     "knn_batch_arrow",
+    "knn_batch_auto",
     "parse_event_props",
     "point_lookup_id",
     "result_hydrate",

@@ -139,3 +139,62 @@ def test_knn_batch_arrow_cosine_matches_expression(spark, sf_dir):
         for r in knn_batch_arrow(emb, queries, k=5, metric="cosine").collect()
     }
     assert a == b
+
+
+def test_knn_batch_auto_dispatch_and_equality(spark, sf_dir):
+    """The serving default (r12): below KNN_BATCH_ARROW_MIN_QUERIES
+    the dispatcher returns the Catalyst broadcast-join plan (no
+    Python eval node); at/above it, the Arrow kernel plan (MapInPandas
+    present). Output equals knn_batch on both sides of the threshold."""
+    from pyspark.sql import functions as F
+    from vfs_spark.operators.knn import (
+        KNN_BATCH_ARROW_MIN_QUERIES,
+        knn_batch,
+        knn_batch_auto,
+    )
+    from vfs_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def q(n):
+        return emb.where(F.col("vec_id") < n).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+
+    small = KNN_BATCH_ARROW_MIN_QUERIES - 1
+    big = KNN_BATCH_ARROW_MIN_QUERIES
+    df_small = knn_batch_auto(emb, q(small), k=3)
+    df_big = knn_batch_auto(emb, q(big), k=3)
+    plan_small = df_small._jdf.queryExecution().executedPlan().toString()
+    plan_big = df_big._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan_small  # Catalyst form below
+    assert "MapInPandas" in plan_big  # Arrow kernel at/above
+    for n, got_df in ((small, df_small), (big, df_big)):
+        want = {
+            (r.query_id, r.vec_id, r.dist)
+            for r in knn_batch(emb, q(n), k=3).collect()
+        }
+        got = {(r.query_id, r.vec_id, r.dist) for r in got_df.collect()}
+        assert got == want
+
+
+def test_engine_search_batch_routes_auto(spark, tmp_path):
+    """The engine facade's batch verb produces exact per-query top-k
+    with positional query ids, for batches on either side of the
+    dispatch threshold."""
+    from vfs_spark.engine import VFSEngine
+
+    eng = VFSEngine(spark, str(tmp_path / "store"))
+    eng.init(vector_dimension=2)
+    eng.insert([[float(i), float(i)] for i in range(20)])
+    for nq in (2, 6):
+        res = eng.search_batch(
+            [[float(j + 1), float(j + 1)] for j in range(nq)], top_k=1
+        ).collect()
+        assert len(res) == nq
+        for r in res:
+            # ids are dense from 1 over vectors [i, i] for i in 0..19,
+            # so query j's vector [j+1, j+1] is exactly the row with
+            # id j+2
+            assert r.id == r.query_id + 2

@@ -1278,3 +1278,28 @@ def test_chunk_grids_skip_null_text(spark, tmp_path):
     ):
         out = QUERIES[slug](spark, d).collect()
         assert all(r["doc_id"] != 10 for r in out), (slug, out)
+
+
+def test_cluster_manifest_key_tracks_data_changes(spark, tmp_path):
+    """The session cluster-manifest cache must key on the DATA, not
+    just the path: the r12 ladder rebuilt different corpora under one
+    tmp path and the path-only key served the previous rung's
+    clusters. The fingerprint (names + sizes + mtimes under
+    documents.parquet) must change when the table is rewritten."""
+    import os
+    import time as _time
+
+    from vfs_spark.queries.text import _manifest_key
+
+    sf = str(tmp_path)
+    spark.range(10).selectExpr(
+        "id AS doc_id", "'hello world text' AS text", "'en' AS lang"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    k1 = _manifest_key(spark, sf)
+    _time.sleep(0.05)  # mtime_ns resolution guard
+    spark.range(20).selectExpr(
+        "id AS doc_id", "'other corpus entirely' AS text", "'en' AS lang"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    k2 = _manifest_key(spark, sf)
+    assert k1 != k2
+    assert k1[:2] == k2[:2]  # same app + path — the fingerprint moved

@@ -40,6 +40,7 @@ NODES = {
 EXPECTED = {
     "knn_batch_bruteforce": {"bnlj"},  # broadcast query set × vectors (correctness form)
     "knn_batch_arrow": {"py"},  # Arrow+BLAS kernel IS the operator
+    "knn_batch_auto": {"py"},  # dispatches to the same kernel at |Q|>=5
     "dedup_simhash": {"py"},  # pandas-UDF fingerprint kernel
     "multimodal_extract": {"py"},
     "multimodal_embed": {"py"},

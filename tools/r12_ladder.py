@@ -146,10 +146,14 @@ def main() -> None:
 
     spark = get_spark(f"r12-ladder-{op}")
     spark.sparkContext.setLogLevel("ERROR")
-    tmp = os.path.join(REPO, f".r12_ladder_tmp_{op}")
     results = []
+    tmps = []
     try:
         for n in sizes:
+            # per-size dir: session caches key on (path, fingerprint),
+            # and distinct paths keep every rung's lineage unambiguous
+            tmp = os.path.join(REPO, f".r12_ladder_tmp_{op}_{n}")
+            tmps.append(tmp)
             shutil.rmtree(tmp, ignore_errors=True)
             r = ops[op](spark, tmp, n)
             results.append(r)
@@ -164,7 +168,8 @@ def main() -> None:
                 f"cpu {exp_cpu:.2f} (gate), wall {exp_wall:.2f}"
             )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        for tmp in tmps:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

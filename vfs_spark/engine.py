@@ -283,6 +283,38 @@ class VFSEngine:
             model, vdf, query, k=top_k, id_col="id", metric=distance_method
         )
 
+    # -- batch /search (⊕ extension: the reference serves one query
+    # per HTTP request; this is the many-queries form) ---------------
+    def search_batch(
+        self,
+        queries: Sequence[Sequence[float]],
+        top_k: int = 5,
+        distance_method: str = "euclidean",
+    ) -> DataFrame:
+        """Exact top-k for a batch of query vectors, routed through
+        knn_batch_auto (r11 verdict #7): the Arrow/BLAS kernel above
+        the measured crossover (KNN_BATCH_ARROW_MIN_QUERIES), the
+        Catalyst broadcast-join form below it — identical output
+        either way. query_id = position in ``queries``."""
+        from vfs_spark.operators.knn import knn_batch_auto
+
+        if self.vector_dimension is not None:
+            for q in queries:
+                if len(q) != self.vector_dimension:
+                    raise ValueError("query dimension mismatch")
+        qdf = self.spark.createDataFrame(
+            [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
+            "query_id long, query_vec array<double>",
+        )
+        return knn_batch_auto(
+            self.vectors(),
+            qdf,
+            k=top_k,
+            metric=distance_method,
+            id_col="id",
+            vec_col="embedding",
+        )
+
     # -- /flush (tcp.rs:437-446) ------------------------------------------
     def flush(self) -> None:
         """No-op with commit semantics: Parquet appends are durable at

@@ -247,3 +247,67 @@ def knn_batch_arrow(
         .where(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+# Below this many queries the Catalyst broadcast-join form wins: the
+# Arrow kernel pays a fixed Python-worker round trip (Arrow
+# serialize + process hop) that the JVM expression path doesn't,
+# while its BLAS advantage grows with |Q| (the matmul amortizes the
+# per-row overhead across query columns). Measured crossover at
+# sf0.1 / 64-dim (NOTES.md round-12 table): expression wins at
+# |Q|=1-2, statistically tied by |Q|≈5, kernel ahead 1.4-2x at
+# |Q|≥25 and ~25x at 2M vectors (tools/stress.py). The threshold
+# sits at the tie point — below it the kernel has nothing to
+# amortize; above it the kernel's advantage compounds with both |Q|
+# and N, so a too-low threshold is the safe error side at scale.
+KNN_BATCH_ARROW_MIN_QUERIES = 5
+
+
+def knn_batch_auto(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_digits: int = 6,
+    max_queries: int | None = None,
+) -> DataFrame:
+    """Batch exact k-NN with the serving default picked by batch
+    size (r11 verdict #7): the Arrow/BLAS kernel above
+    KNN_BATCH_ARROW_MIN_QUERIES, the Catalyst broadcast-join form
+    below it. Both produce identical output (same rounding, same id
+    tiebreak — the kernel's contract), so the dispatch is purely a
+    cost decision. The size probe is the same capped limit-collect
+    the kernel itself performs (serving batches are driver-sized by
+    contract), so choosing costs one extra ≤cap collect of the tiny
+    query side, nothing from the vector table."""
+    qrows = collect_serving_batch(
+        queries, query_id_col, query_vec_col, max_queries
+    )
+    if len(qrows) < KNN_BATCH_ARROW_MIN_QUERIES:
+        return knn_batch(
+            vectors,
+            queries,
+            k=k,
+            metric=metric,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            round_digits=round_digits,
+        )
+    return knn_batch_arrow(
+        vectors,
+        queries,
+        k=k,
+        metric=metric,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        round_digits=round_digits,
+        max_queries=max_queries,
+    )

@@ -344,6 +344,42 @@ def q_knn_batch_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_batch_auto",
+    oracle="""
+SELECT query_id, vec_id, dist FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         ROUND(sqrt(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2))), 6) AS dist,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(sqrt(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2))), 6) ASC,
+                 e.vec_id ASC) AS rnk
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+) WHERE rnk <= 3
+""",
+)
+def q_knn_batch_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """⊕ The batch-serving DEFAULT (r11 verdict #7): knn_batch_auto
+    dispatches by batch size — Catalyst broadcast-join form below
+    KNN_BATCH_ARROW_MIN_QUERIES (the measured tie point, NOTES.md
+    round-12 crossover table), the Arrow/BLAS kernel above it. Both
+    forms share one output contract (same rounding, same id
+    tiebreak), so this slug's oracle is the same SQL that checks
+    knn_batch_bruteforce and knn_batch_arrow; at |Q|=5 the dispatch
+    lands on the kernel, making this the driver-checked proof the
+    DEFAULT path is value-identical to the Catalyst twin."""
+    from vfs_spark.operators.knn import knn_batch_auto
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_batch_auto(emb, queries_df, k=3)
+
+
+@query(
     "embedding_truncate_renorm",
     oracle="""
 WITH cut AS (
@@ -369,6 +405,8 @@ mu AS (
 SELECT vec_id,
        CAST(ROUND(n * 1000000) AS BIGINT) AS n_u6,
        CAST(list_sum(ue6) AS BIGINT) AS sum_u6,
+       CAST(list_sum([ue6[i] * i FOR i IN range(1, len(ue6) + 1)])
+            AS BIGINT) AS posw_u6,
        ue6[1] AS first_u6,
        ue6[len(ue6)] AS last_u6,
        CAST(ROUND(list_sum(list_transform(u, x -> x * x)) * 1000000)
@@ -399,7 +437,12 @@ def q_embedding_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (queries/core.py quantize_vec precedent), so the renormalized
     prefix is summarized as integer micro-unit scalars — pre-renorm
     norm `n_u6`, element micro-units summed exactly as integers
-    (`sum_u6`), the first/last elements (`first_u6`/`last_u6`), and
+    (`sum_u6`), the POSITION-WEIGHTED sum `posw_u6` = Σ i·ue6[i]
+    (code-review r11: sum_u6 alone is permutation-blind — an element
+    swap or compensating ±1-microunit divergences would still
+    hash-match; the weighted sum pins element order and per-position
+    values inside the driver hash), the first/last elements
+    (`first_u6`/`last_u6`), and
     the post-renorm squared norm `norm2_u6` (= 1_000_000 whenever
     n > 0 — the unit-norm property evaluated in-plan; 0 for a legal
     all-zeros head, which passes through unscaled, never NULLs).
@@ -434,6 +477,15 @@ def q_embedding_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         ).alias("sum_u6"),
+        F.aggregate(
+            F.zip_with(
+                F.col("ue6"),
+                F.sequence(F.lit(1), F.size("ue6")).cast("array<bigint>"),
+                lambda x, i: x * i,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("posw_u6"),
         F.element_at(F.col("ue6"), 1).alias("first_u6"),
         F.element_at(F.col("ue6"), -1).alias("last_u6"),
         F.round(
@@ -875,23 +927,24 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: images become 8-byte fingerprints in the scan
     stage; only (band, fingerprint, id) rows ever shuffle. The budget
     sets the band width and THAT decides scale (SCALE.md round-8
-    probe, 100k images): max_hamming=10 forces 11×5-bit bands — 32
-    buckets/band, 2.6 B candidates at 100k rows, Θ(n²) growth — while
-    max_hamming=3 gives 4×16-bit bands, 55× fewer candidates, 2.7×
-    lower wall, recall 0.94 on noise-0.02 re-encodes. The wide budget
-    is affordable only at this fixture's 64 images; at corpus scale
-    keep max_hamming ≤ 3-4 for a 64-bit phash — and once bucket sizes
-    grow, switch to the AND-composed band-pair keying
-    (dedup.hamming_pairs_banded_and, round 11): same pigeonhole
-    completeness with ~25-bit composite keys, 3.9× fewer candidates
-    on this generator at 400k images and a measured sub-quadratic
-    (exponent ~1.05) candidate ladder on uniform-entropy fingerprints
-    at recall 0.94 (SCALE.md round-11 tables)."""
-    from vfs_spark.operators.dedup import hamming_pairs_banded
+    probe, 100k images): max_hamming=10 forces 11×5-bit single
+    bands — 32 buckets/band, 2.6 B candidates at 100k rows, Θ(n²)
+    growth. Round 12 therefore registers the AND-composed band-PAIR
+    keying (dedup.hamming_pairs_banded_and) as the default: both
+    forms are pigeonhole-COMPLETE for the budget and exact-verified,
+    so the OUTPUT is identical — the pair keys only shrink the
+    candidate set (~11-bit composite keys vs 5-bit singles at h=10;
+    measured 3.9× fewer candidates at 400k images, candidate-ladder
+    exponent ~1.05 vs the single-band form's convergence to 2 past
+    n≈2^16, SCALE.md round-11 tables). At corpus scale ALSO keep
+    max_hamming ≤ 3-4 for a 64-bit phash (wider budgets shrink every
+    key space); the wide h=10 budget here is the fixture's planted
+    noise level, not a scale recommendation."""
+    from vfs_spark.operators.dedup import hamming_pairs_banded_and
 
     media = _synth_bmp_media(spark, sf_dir)
     fp = multimodal.phash(media)
-    return hamming_pairs_banded(
+    return hamming_pairs_banded_and(
         fp,
         id_col="media_id",
         hash_col="phash",

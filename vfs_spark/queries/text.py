@@ -666,26 +666,49 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = cc.select(
         "doc_id", F.col("cluster_id").cast("bigint")
     ).localCheckpoint(eager=True)
-    _CLUSTER_MANIFEST_CACHE[
-        (spark.sparkContext.applicationId, sf_dir)
-    ] = manifest
+    _CLUSTER_MANIFEST_CACHE[_manifest_key(spark, sf_dir)] = manifest
     return manifest
 
 
-# Session-scoped dedup-cluster manifest, keyed by (application, sf_dir).
-# In a production pipeline the dedup stage WRITES its cluster manifest
-# once and every downstream consumer (qrels mining, keep-best, stats)
-# READS that artifact — nothing recomputes connectivity per query. The
-# in-session analogue: q_dedup_clusters stores its eagerly-checkpointed
-# result here every time it runs (it never reads the cache, so its own
-# bench/driver runs always measure the full computation), and consumers
-# call _cluster_manifest() to reuse the artifact or compute it once.
+# Session-scoped dedup-cluster manifest, keyed by (application, sf_dir,
+# data fingerprint). In a production pipeline the dedup stage WRITES
+# its cluster manifest once and every downstream consumer (qrels
+# mining, keep-best, stats) READS that artifact — nothing recomputes
+# connectivity per query. The in-session analogue: q_dedup_clusters
+# stores its eagerly-checkpointed result here every time it runs (it
+# never reads the cache, so its own bench/driver runs always measure
+# the full computation), and consumers call _cluster_manifest() to
+# reuse the artifact or compute it once. The fingerprint (file names +
+# sizes + mtimes of the documents table) guards against the same PATH
+# holding different data within one session — the r12 ladder rebuilt
+# its tmp corpus per rung and the path-only key silently served the
+# previous rung's clusters.
 _CLUSTER_MANIFEST_CACHE: dict = {}
 
 
+def _manifest_key(spark: SparkSession, sf_dir: str):
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            fp = tuple(
+                sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in os.scandir(path)
+                    if e.is_file()
+                )
+            )
+        else:
+            st = os.stat(path)
+            fp = ((path, st.st_size, st.st_mtime_ns),)
+    except OSError:
+        fp = None  # unreadable locally (remote FS) — path-only key
+    return (spark.sparkContext.applicationId, sf_dir, fp)
+
+
 def _cluster_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _CLUSTER_MANIFEST_CACHE.get(key)
+    df = _CLUSTER_MANIFEST_CACHE.get(_manifest_key(spark, sf_dir))
     if df is None:
         df = q_dedup_clusters(spark, sf_dir)  # populates the cache
     return df
@@ -1778,7 +1801,21 @@ def q_dedup_embedding_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     in 9 min (SCALE.md). band_bits must scale with log2(N) to keep
     candidates ~linear; defaults here are FIXTURE-geometry params
     (threshold 0.35 sits at θ≈69°, so only r=4 keeps any recall —
-    see the selectivity-needs-geometry note on the banded twin)."""
+    see the selectivity-needs-geometry note on the banded twin).
+
+    OR-crossover audit (r11 verdict #3): the OR is across the 24
+    bands, but each band KEY is already an AND of r=4 sign bits, so
+    random-pair candidates grow as 24·N²/2^r — at r=4 that crosses
+    candidates-per-row·N around N ≈ 2^r·candidates_per_row ≈ a few
+    hundred rows, i.e. exactly fixture scale and no further. The
+    registered point is therefore honest ONLY at the fixture; the
+    scale default is band_bits="auto" (operators/dedup.py), which
+    re-derives r = log2(24·N/candidates_per_row) per corpus so the
+    candidate volume stays ~linear, at the cost of needing more
+    bands for the same recall when θ is this close to random (the
+    0.616-vs-0.5 per-bit gap at θ≈69° — recall per band is 0.616^r,
+    so n_bands must grow as 0.616^-r; that trade is the corpus
+    owner's threshold decision, not a constant the engine can pick)."""
     from vfs_spark.operators.dedup import embedding_simhash_pairs
 
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
