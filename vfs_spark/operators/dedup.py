@@ -378,12 +378,19 @@ def jaccard_pairs_prefix(
     caller filtering on ROUND(j, 6) ≥ t (which admits raw j down to
     t − 5e-7) still sees every pair.
 
-    100 TB shape: the only data-sized exchanges carry (block,
-    element, id, set_size) rows — one df-count aggregate, one
-    row_number window per doc, one equi-join on (block, element)
-    whose volume is Σ_g C(df_g·0.7, 2) over PREFIX postings (rare
-    elements, by construction), never n². The verify join ships the
-    shingle arrays only for surviving candidates. This replaces the
+    100 TB shape: postings carry (block, xxhash64(element), id,
+    set_size) — the element string is HASHED to an 8-byte key before
+    anything shuffles (the "keys move, text doesn't" discipline; a
+    hash collision can only ADD a candidate, which the exact verify
+    removes, so completeness is unaffected) — through one df-count
+    aggregate, one row_number window per doc, and one equi-join on
+    (block, key) whose volume is Σ_g C(df_g·0.7, 2) over PREFIX
+    postings (rare elements, by construction), never n². The input
+    sets are pinned DISK_ONLY (the 10M-doc ladder rung OOM'd a 16g
+    heap holding 280M deserialized shingle strings under the default
+    MEMORY_AND_DISK level; disk-only keeps the one-scan semantics
+    with zero heap residency). The verify join ships the shingle
+    arrays only for surviving candidates. This replaces the
     lang-blocked O(n²) comparison (12.5M pairs at sf0.1 → 326k
     candidate postings measured) while remaining oracle-identical,
     unlike MinHash banding whose recall is probabilistic."""
@@ -395,16 +402,24 @@ def jaccard_pairs_prefix(
     )
     # pinned: feeds the prefix build AND both verify sides; released
     # via the eager checkpoint of the verified pairs (the
-    # hamming_pairs_banded discipline). materialize=False skips pin
-    # and checkpoint — lazy plan for inspection only.
+    # hamming_pairs_banded discipline). DISK_ONLY — see docstring.
+    # materialize=False skips pin and checkpoint — lazy plan for
+    # inspection only.
     if materialize:
-        sh = sh.persist()
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.DISK_ONLY)
         sh.count()
     ex = sh.select(
         F.col(id_col),
         F.col(block_col).alias("_blk"),
         F.size(set_col).alias("_n"),
-        F.explode(set_col).alias("_g"),
+        # hash in the array domain BEFORE exploding: a generator can't
+        # nest inside xxhash64(...), and transform keeps the hashing
+        # in the same scan-stage projection
+        F.explode(
+            F.transform(F.col(set_col), lambda g: F.xxhash64(g))
+        ).alias("_g"),
     )
     dfreq = ex.groupBy("_blk", "_g").agg(F.count("*").alias("_df"))
     w = Window.partitionBy(id_col).orderBy("_df", "_g")
