@@ -87,8 +87,9 @@ EXPECTED = {
     # postings/score/rank exchanges) + the |queries|-row eval join:
     "retrieval_eval_mrr": {"bnlj", "many"},
     # same serving CTEs as retrieval_eval_mrr plus the dedup_clusters
-    # qrel pipeline (lang-blocked jaccard self-join + iterative CC,
-    # eagerly checkpointed → ckpt-stub):
+    # qrel manifest (r12: exact prefix-join edges + iterative CC,
+    # computed once per session and reused — eagerly checkpointed →
+    # ckpt-stub):
     "retrieval_eval_ndcg": {"bnlj", "many"},
     "text_tfidf_top_terms": {"bnlj", "many"},
     # BM25: 1-row (n_docs, avgdl) scalar attach; exchanges are the

@@ -432,9 +432,25 @@ def jaccard_pairs_prefix(
         ex.join(dfreq, ["_blk", "_g"])
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= plen)
-        .select("_blk", "_g", F.col(id_col).alias("_id"), "_n")
+        .select(
+            "_blk", "_g", F.col(id_col).alias("_id"), "_n", "_rn"
+        )
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin positional filter (Xiao et al. WWW'08): J ≥ t needs
+    # overlap α = ceil(t/(1+t)·(n_a+n_b)); a match at prefix
+    # positions (rn_a, rn_b) can contribute at most
+    # 1 + min(n_a−rn_a, n_b−rn_b) total overlap. The pair's FIRST
+    # common element (minimal positions in both ⇒ loosest bound)
+    # always passes when J ≥ t, so filtering every matched posting
+    # pair keeps qualifying pairs while pruning saturated-bucket
+    # noise BEFORE the distinct/verify exchanges. The −1e-9 guards
+    # the ceil against float round-up tightening α by 1.
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t))
+        * (F.col("a._n") + F.col("b._n")).cast("double")
+        - F.lit(1e-9)
+    )
     cand = (
         a.join(
             b,
@@ -445,6 +461,14 @@ def jaccard_pairs_prefix(
         .where(
             F.least(F.col("a._n"), F.col("b._n")).cast("double")
             >= F.lit(t) * F.greatest(F.col("a._n"), F.col("b._n"))
+        )
+        .where(
+            1
+            + F.least(
+                F.col("a._n") - F.col("a._rn"),
+                F.col("b._n") - F.col("b._rn"),
+            )
+            >= alpha
         )
         .select(
             F.col("a._id").alias(out_a), F.col("b._id").alias(out_b)
