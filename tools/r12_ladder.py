@@ -144,7 +144,17 @@ def main() -> None:
     ]
     from vfs_spark.session import get_spark
 
-    spark = get_spark(f"r12-ladder-{op}")
+    # zstd shuffle/spill compression for the ladder sessions: the 20M
+    # banded rung's band self-join sorts ~1.1B posting rows and its
+    # lz4-compressed spill exceeded this node's ~80 GB free scratch
+    # twice (died on disk, not memory or CPU). zstd roughly halves
+    # spill bytes on integer-key posting data for a few % CPU — the
+    # standard trade for shuffle-heavy jobs; ladder-scoped so the
+    # bench suite's IO profile stays comparable across rounds.
+    spark = get_spark(
+        f"r12-ladder-{op}",
+        extra_conf={"spark.io.compression.codec": "zstd"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     results = []
     tmps = []
@@ -158,6 +168,15 @@ def main() -> None:
             r = ops[op](spark, tmp, n)
             results.append(r)
             print(json.dumps(r), flush=True)
+            # reclaim the finished rung's scratch BEFORE the next one:
+            # its corpus dir, and (via a JVM GC that lets the
+            # ContextCleaner collect unreferenced shuffles) its shuffle
+            # files — the 20M banded rung otherwise stacks ~70 GB of
+            # spill on top of the 10M rung's retained shuffle files and
+            # dies on disk, not memory
+            shutil.rmtree(tmp, ignore_errors=True)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         nkey = "n_hist" if op == "inc_minhash" else "n"
         for a, b in zip(results, results[1:]):
             ratio = math.log(b[nkey] / a[nkey])
