@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from vfs_spark.metrics import process_tree_cpu_s  # noqa: E402
+from vfs_spark.metrics import cpu_delta_s, cpu_snapshot  # noqa: E402
 
 
 def _run(df) -> None:
@@ -259,6 +259,7 @@ def main() -> None:
     times_cold: dict[str, float] = {}
     times_cpu: dict[str, float] = {}
     errors: dict[str, str] = {}
+    flags: dict[str, object] = {}
 
     def guarded(name, fn):
         try:
@@ -276,6 +277,26 @@ def main() -> None:
         # regression (e.g. an index refit sneaking into a query) can't
         # hide behind the warm best-of-2.
         def run():
+            if name == "retrieval_eval_ndcg":
+                # The slug's qrels mining reuses the session cluster
+                # manifest when one is published, so its timings mean
+                # "serving-only" on a hit and "full recompute" on a
+                # miss — record which, so round-over-round deltas
+                # can't conflate the two protocols (r12 ADVICE #3).
+                try:
+                    from pyspark.sql import SparkSession
+
+                    from vfs_spark.queries.text import (
+                        cluster_manifest_cached,
+                    )
+
+                    ss0 = SparkSession.getActiveSession()
+                    if ss0 is not None:
+                        flags[
+                            "retrieval_eval_ndcg_manifest_cached_at_cold"
+                        ] = cluster_manifest_cached(ss0, sf_dir)
+                except Exception:  # noqa: BLE001 — flag is best-effort
+                    pass
             t0 = time.time()
             fn()
             times_cold[name] = round(time.time() - t0, 3)
@@ -301,18 +322,24 @@ def main() -> None:
                 # contention-robust number ladder exponents and
                 # cross-round comparisons gate on — a co-tenant
                 # inflates wall, not the CPU the query consumed.
-                c0 = (
-                    process_tree_cpu_s(ss) if ss is not None else None
-                )
+                # Snapshot/delta form (r12 VERDICT task #1), NOT a
+                # sum-difference: worker-pool reaping between samples
+                # made the old difference go negative (−689 cpu-s in
+                # the committed r12 BENCH_DETAIL).
+                s0 = cpu_snapshot(ss) if ss is not None else None
                 t0 = time.time()
                 fn()
                 best = min(best, time.time() - t0)
-                if c0 is not None:
+                if s0 is not None:
                     best_cpu = min(
-                        best_cpu, process_tree_cpu_s(ss) - c0
+                        best_cpu, cpu_delta_s(s0, cpu_snapshot(ss))
                     )
             times[name] = round(best, 3)
             if best_cpu != float("inf"):
+                assert best_cpu >= 0.0, (
+                    f"CPU meter emitted a negative delta for {name}: "
+                    f"{best_cpu} — churn-safety regression"
+                )
                 times_cpu[name] = round(best_cpu, 3)
 
         guarded(name, run)
@@ -321,7 +348,7 @@ def main() -> None:
         _suite(sf_dir, times, errors, timed, guarded)
     except Exception as e:  # noqa: BLE001 — report, don't crash
         errors["__suite__"] = f"{type(e).__name__}: {e}"[:300]
-    _report(sf_dir, times, errors, times_cold, times_cpu)
+    _report(sf_dir, times, errors, times_cold, times_cpu, flags)
 
 
 def _suite(sf_dir, times, errors, timed, guarded) -> None:
@@ -424,10 +451,39 @@ def _suite(sf_dir, times, errors, timed, guarded) -> None:
         timed(name, lambda n=name: _run(QUERIES[n](spark, sf_dir)))
 
 
-def _report(sf_dir, times, errors, times_cold=None, times_cpu=None) -> None:
+def _current_round() -> int | None:
+    """The build round this bench run belongs to: env override, else
+    latest driver-recorded BENCH_r{N}.json + 1 (the driver writes
+    BENCH_r{N} at round END, so during round N the latest on disk is
+    N−1). Used to stamp merges so the deltas block compares across
+    ROUND boundaries, not whatever mid-round run last touched the
+    file (r12 VERDICT task #2)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ns = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(ns) + 1) if ns else None
+
+
+def _report(
+    sf_dir, times, errors, times_cold=None, times_cpu=None, flags=None
+) -> None:
     amortized = times.get("exact_knn_amortized_per_query", 0.0)
     total = round(sum(times.values()) - amortized, 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # cpu_s ≥ 0 is a hard invariant of the snapshot/delta meter; a
+    # negative here means the churn-safety fix regressed (r12 shipped
+    # −689.07 cpu-s into the committed artifact).
+    neg = {k: v for k, v in (times_cpu or {}).items() if v < 0}
+    assert not neg, f"negative CPU deltas reached the merge: {neg}"
     detail = {
         "metric": "headline-suite wall time at sf, cold + best-of-2-warm per query",
         "value": total,
@@ -439,8 +495,10 @@ def _report(sf_dir, times, errors, times_cold=None, times_cpu=None) -> None:
         # process) — the contention-robust column; cross-round
         # comparisons and ladder exponents should gate on this
         "queries_cpu": times_cpu or {},
+        "flags": flags or {},
         "errors": errors,
         "sf": sf,
+        "run_round": _current_round(),
     }
     # Full per-query breakdown goes to a FILE: r2's single in-line
     # breakdown outgrew the driver's stdout tail capture, which
@@ -464,28 +522,79 @@ def _report(sf_dir, times, errors, times_cold=None, times_cpu=None) -> None:
         except (OSError, ValueError):
             pass
         merged.update(detail)
-        # Round-over-round delta table (r11 verdict task #8): the
-        # r10/r11 drift adjudications were manual archaeology, so the
-        # merge now emits per-query wall deltas vs whatever suite run
-        # the file held before — positive = slower this run. CPU
-        # deltas ride along where both runs carried the cpu column.
-        if isinstance(prev, dict) and isinstance(
+        # Round-over-round delta table (r11 verdict task #8, made
+        # round-aware per r12 task #2): each merge is stamped with
+        # its run_round; the CROSS-ROUND baseline is the last suite run
+        # of the previous round (frozen at the first merge of a new
+        # round), so mid-round re-runs can't turn the block into
+        # intra-round noise (r12's +768.75 artifact). Both views are
+        # emitted — vs_prev_run (whatever ran last) and vs_prev_round
+        # (the frozen baseline) — and a delta is only computed when
+        # the two runs' sf matches (r12 ADVICE #4: a sf0.01 smoke run
+        # against a sf0.1 baseline produced spurious "regressions").
+        cur_round = detail["run_round"]
+        prev_ok = isinstance(prev, dict) and isinstance(
             prev.get("queries"), dict
-        ):
-            pq, pc = prev["queries"], prev.get("queries_cpu") or {}
-            merged["deltas"] = {
-                "vs_prev_wall_s": {
-                    q: round(v - pq[q], 3)
-                    for q, v in times.items()
-                    if q in pq
-                },
-                "vs_prev_cpu_s": {
-                    q: round(v - pc[q], 3)
-                    for q, v in (times_cpu or {}).items()
-                    if q in pc
-                },
-                "prev_total": prev.get("value"),
+        )
+        if prev_ok and prev.get("run_round") != cur_round:
+            # first merge of this round: freeze the previous round's
+            # last run as the cross-round baseline
+            merged["prev_round_baseline"] = {
+                k: prev.get(k)
+                for k in (
+                    "run_round",
+                    "queries",
+                    "queries_cpu",
+                    "value",
+                    "sf",
+                )
             }
+        elif isinstance(prev, dict) and isinstance(
+            prev.get("prev_round_baseline"), dict
+        ):
+            merged["prev_round_baseline"] = prev["prev_round_baseline"]
+
+        def _pair_deltas(base, tag):
+            if not (isinstance(base, dict) and isinstance(
+                base.get("queries"), dict
+            )):
+                return {}
+            if base.get("sf") != sf:
+                return {
+                    f"vs_{tag}_skipped": (
+                        f"sf mismatch: baseline sf={base.get('sf')} "
+                        f"vs this run sf={sf}"
+                    ),
+                    f"{tag}_round": base.get("run_round"),
+                }
+            bq = base["queries"]
+            bc = base.get("queries_cpu") or {}
+            return {
+                f"vs_{tag}_wall_s": {
+                    q: round(v - bq[q], 3)
+                    for q, v in times.items()
+                    if q in bq
+                },
+                # bc[q] >= 0 guard: the r12 file on disk still holds
+                # the old meter's garbage negatives; never delta
+                # against those
+                f"vs_{tag}_cpu_s": {
+                    q: round(v - bc[q], 3)
+                    for q, v in (times_cpu or {}).items()
+                    if q in bc and bc[q] >= 0
+                },
+                f"{tag}_total": base.get("value"),
+                f"{tag}_round": base.get("run_round"),
+            }
+
+        deltas = {}
+        if prev_ok:
+            deltas.update(_pair_deltas(prev, "prev_run"))
+        deltas.update(
+            _pair_deltas(merged.get("prev_round_baseline"), "prev_round")
+        )
+        if deltas:
+            merged["deltas"] = deltas
         with open(path, "w") as f:
             json.dump(merged, f, indent=1, sort_keys=True)
     except OSError:

@@ -1,0 +1,128 @@
+"""The process-tree CPU meter must never emit a negative delta.
+
+r12 shipped a naive sum-difference meter; when Spark reaped an idle
+pandas/Arrow worker pool mid-query the pool's accumulated ticks
+vanished from the "after" sample and the committed BENCH_DETAIL
+carried garbage (dedup_clusters −689.07 cpu-s). These tests pin the
+r13 fix: per-pid clamped deltas + reaped-children (cutime/cstime)
+attribution, ≥ 0 by construction, and a live kill-a-child-between-
+samples regression.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+from vfs_spark.metrics import (
+    _CLK_TCK,
+    cpu_delta_s,
+    tree_cpu_snapshot,
+)
+
+HZ = float(_CLK_TCK)
+
+
+def test_delta_survives_exited_unreaped_pid():
+    # Worker (pid 2) exits between samples and nobody in the tree
+    # reaps it (orphaned to init): its window ticks are lost — the
+    # documented undercount — but the delta must clamp at the
+    # surviving pids' own progress, NEVER go negative (the r12 bug
+    # read this exact shape as (11) − (10+5) = −4 ticks).
+    before = {1: (10.0, 0.0), 2: (5.0, 0.0)}
+    after = {1: (11.0, 0.0)}
+    assert cpu_delta_s(before, after) == 1.0 / HZ
+
+
+def test_delta_attributes_reaped_child_via_cutime():
+    # Worker (pid 2) had 5 ticks at the before-sample, burned 4 more,
+    # exited, and was reaped by pid 1: pid 1's cutime jumps by the
+    # child's FULL lifetime (9). Window attribution = 9 − 5 = 4, plus
+    # pid 1's own 1 tick.
+    before = {1: (10.0, 0.0), 2: (5.0, 0.0)}
+    after = {1: (11.0, 9.0)}
+    assert cpu_delta_s(before, after) == 5.0 / HZ
+
+
+def test_delta_clamps_pid_reuse():
+    # pid 2 exits and an unrelated new process recycles the number
+    # with LOWER ticks: the per-pid clamp must not subtract.
+    before = {1: (10.0, 0.0), 2: (50.0, 0.0)}
+    after = {1: (11.0, 0.0), 2: (3.0, 0.0)}
+    # surviving pid 1: +1; "pid 2": max(0, 3−50) = 0; no cutime.
+    assert cpu_delta_s(before, after) == 1.0 / HZ
+
+
+def test_delta_counts_spawned_and_exited_within_window():
+    # A worker spawned AND reaped entirely inside the window appears
+    # in neither per-pid set but its lifetime lands in cutime.
+    before = {1: (10.0, 0.0)}
+    after = {1: (12.0, 7.0)}
+    assert cpu_delta_s(before, after) == 9.0 / HZ
+
+
+def test_delta_zero_on_identical_snapshots():
+    snap = {1: (10.0, 2.0), 2: (5.0, 0.0)}
+    assert cpu_delta_s(snap, snap) == 0.0
+
+
+def _burn_ticks(pid: int) -> float:
+    with open(f"/proc/{pid}/stat", "rb") as f:
+        raw = f.read().decode("ascii", "replace")
+    fields = raw[raw.rfind(")") + 2 :].split()
+    return float(fields[11]) + float(fields[12])
+
+
+def test_live_child_killed_between_samples_is_nonnegative():
+    """The r12 failure mode, live: a CPU-burning child is sampled
+    into `before`, then exits and is reaped before `after`. The old
+    meter returned ≈ −(child's burn); the fixed meter must return a
+    delta ≥ the child's post-sample burn (cutime attribution) and
+    never a negative."""
+    me = os.getpid()
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import time\n"
+            "t0 = time.process_time()\n"
+            "while time.process_time() - t0 < 0.6:\n"
+            "    sum(i * i for i in range(10000))\n",
+        ]
+    )
+    try:
+        # let the child accumulate visible ticks before sampling
+        deadline = time.time() + 10
+        while _burn_ticks(child.pid) < max(2.0, 0.2 * HZ):
+            if time.time() > deadline:
+                raise AssertionError("child never burned CPU")
+            time.sleep(0.01)
+        before = tree_cpu_snapshot(me)
+        assert child.pid in before, "child must be in the before tree"
+        pre_burn = before[child.pid][0]
+        child.wait(timeout=30)  # exits + reaped → ticks move to cutime
+        after = tree_cpu_snapshot(me)
+        assert child.pid not in after or after[child.pid][0] < pre_burn
+        delta = cpu_delta_s(before, after)
+        # never negative — the whole point
+        assert delta >= 0.0
+        # and the child's post-sample burn is attributed, not lost:
+        # it burned ~0.6 s total, ≥0.2 s before the sample, so the
+        # window share is ≥ ~0.1 s even with scheduler slop.
+        assert delta >= 0.05, f"reaped child's window burn lost: {delta}"
+    finally:
+        if child.poll() is None:
+            child.kill()
+            child.wait()
+
+
+def test_live_no_churn_tracks_own_burn():
+    me = os.getpid()
+    before = tree_cpu_snapshot(me)
+    t0 = time.process_time()
+    while time.process_time() - t0 < 0.3:
+        sum(i * i for i in range(10000))
+    delta = cpu_delta_s(before, tree_cpu_snapshot(me))
+    assert 0.2 <= delta <= 5.0

@@ -56,6 +56,23 @@ def _cpu_ticks(pid: int) -> float:
     return float(f[11]) + float(f[12])
 
 
+def _cpu_ticks_pair(pid: int) -> tuple[float, float] | None:
+    """(own utime+stime, reaped-children cutime+cstime) for one pid.
+
+    The second counter is the fix for the r12 negative-delta defect:
+    when a pandas/Arrow worker is reaped between two samples, its
+    ticks vanish from the live subtree but reappear — full lifetime —
+    in its parent's cutime/cstime, so a snapshot that carries both
+    counters can attribute an exited worker's window ticks instead of
+    losing them (and, pre-fix, going NEGATIVE: the committed r12
+    BENCH_DETAIL recorded dedup_clusters at −689.07 cpu-s)."""
+    f = _stat_fields(pid)
+    if f is None:
+        return None
+    # post-comm: utime(11) stime(12) cutime(13) cstime(14)
+    return (float(f[11]) + float(f[12]), float(f[13]) + float(f[14]))
+
+
 def _descendants(root: int) -> list[int]:
     """root + all live descendant pids, via one /proc scan."""
     children: dict[int, list[int]] = {}
@@ -77,28 +94,87 @@ def _descendants(root: int) -> list[int]:
 def process_tree_cpu_s(spark) -> float:
     """Total CPU seconds (user+sys) consumed so far by the engine:
     the driver JVM and every descendant (python/Arrow workers), plus
-    this python driver process. Monotonic while processes live; a
-    worker that EXITS between samples takes its ticks with it, so
-    deltas are a slight undercount if the worker pool churns
-    mid-query (the bench warms the pool first for exactly this
-    reason)."""
+    this python driver process.
+
+    DO NOT subtract two calls of this to meter a query — that was the
+    r12 defect: a worker reaped between the samples takes its ticks
+    with it and the naive difference goes NEGATIVE (BENCH_DETAIL at
+    cc2b46e: dedup_clusters −689.07 cpu-s). Use cpu_snapshot() +
+    cpu_delta_s(), or CpuMeter, which clamp per-pid and attribute
+    reaped workers via cutime/cstime. Kept for absolute readings."""
     jvm = jvm_pid(spark)
     pids = set(_descendants(jvm))
     pids.add(os.getpid())
     return sum(_cpu_ticks(p) for p in pids) / _CLK_TCK
 
 
+def tree_cpu_snapshot(root: int) -> dict[int, tuple[float, float]]:
+    """Per-pid snapshot of (own ticks, reaped-children ticks) over
+    `root` + its live descendants + this process. Feed two of these
+    to cpu_delta_s(); never difference their sums directly."""
+    pids = set(_descendants(root))
+    pids.add(os.getpid())
+    snap: dict[int, tuple[float, float]] = {}
+    for p in pids:
+        pair = _cpu_ticks_pair(p)
+        if pair is not None:
+            snap[p] = pair
+    return snap
+
+
+def cpu_snapshot(spark) -> dict[int, tuple[float, float]]:
+    """tree_cpu_snapshot rooted at the driver JVM."""
+    return tree_cpu_snapshot(jvm_pid(spark))
+
+
+def cpu_delta_s(
+    before: dict[int, tuple[float, float]],
+    after: dict[int, tuple[float, float]],
+) -> float:
+    """CPU seconds consumed between two snapshots, robust to
+    worker-pool churn. Guaranteed ≥ 0.
+
+    Per-pid accounting (r12 VERDICT task #1):
+    - pid in both: max(0, own_after − own_before). The clamp guards
+      pid reuse (a recycled pid can read lower than its predecessor).
+    - pid only in after (spawned mid-window): its full own ticks.
+    - pid only in before (exited mid-window): contributes nothing
+      directly — but if a surviving ancestor reaped it, the child's
+      FULL lifetime ticks landed in that ancestor's cutime/cstime, so
+      the summed reaped-children delta minus what the before-snapshot
+      already counted for exited pids recovers the window portion.
+      Orphans reaped by init are unattributable and drop to the
+      clamp — an undercount, never a negative."""
+    own = 0.0
+    reaped_delta = 0.0
+    for pid, (t, ct) in after.items():
+        b = before.get(pid)
+        if b is None:
+            own += t
+        else:
+            own += max(0.0, t - b[0])
+            reaped_delta += max(0.0, ct - b[1])
+    exited_before = sum(
+        t for pid, (t, _ct) in before.items() if pid not in after
+    )
+    own += max(0.0, reaped_delta - exited_before)
+    return max(0.0, own) / _CLK_TCK
+
+
 class CpuMeter:
-    """Delta meter: ``with CpuMeter(spark) as m: ...; m.cpu_s``."""
+    """Delta meter: ``with CpuMeter(spark) as m: ...; m.cpu_s``.
+    Churn-safe (snapshot/delta, not sum-difference); cpu_s ≥ 0."""
 
     def __init__(self, spark):
         self._spark = spark
         self.cpu_s: float | None = None
 
     def __enter__(self):
-        self._t0 = process_tree_cpu_s(self._spark)
+        self._s0 = cpu_snapshot(self._spark)
         return self
 
     def __exit__(self, *exc):
-        self.cpu_s = round(process_tree_cpu_s(self._spark) - self._t0, 3)
+        self.cpu_s = round(
+            cpu_delta_s(self._s0, cpu_snapshot(self._spark)), 3
+        )
         return False

@@ -666,7 +666,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = cc.select(
         "doc_id", F.col("cluster_id").cast("bigint")
     ).localCheckpoint(eager=True)
-    _CLUSTER_MANIFEST_CACHE[_manifest_key(spark, sf_dir)] = manifest
+    # Evict superseded manifests for the same (application, sf_dir)
+    # before publishing: the fingerprint changing means the old
+    # manifest is stale, and a dict entry pins its checkpoint blocks
+    # in executor storage for the session's life (clearCache cannot
+    # free referenced checkpoints) — the r12 ladder session retained
+    # one multi-million-row manifest per rung (r12 ADVICE #1).
+    key = _manifest_key(spark, sf_dir)
+    for k in [
+        k
+        for k in _CLUSTER_MANIFEST_CACHE
+        if k[:2] == key[:2] and k != key
+    ]:
+        del _CLUSTER_MANIFEST_CACHE[k]
+    _CLUSTER_MANIFEST_CACHE[key] = manifest
     return manifest
 
 
@@ -712,6 +725,14 @@ def _cluster_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         df = q_dedup_clusters(spark, sf_dir)  # populates the cache
     return df
+
+
+def cluster_manifest_cached(spark: SparkSession, sf_dir: str) -> bool:
+    """Whether a current-fingerprint cluster manifest is already
+    published for this (session, sf_dir). Bench artifacts record this
+    next to retrieval_eval_ndcg's timings so a manifest-hit serving
+    time can't be read as a full-recompute time (r12 ADVICE #3)."""
+    return _manifest_key(spark, sf_dir) in _CLUSTER_MANIFEST_CACHE
 
 
 @query("dedup_clusters_banded")  # rows-only: MinHash candidate edges are hash-family-specific
