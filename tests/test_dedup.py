@@ -1109,3 +1109,92 @@ def test_banded_clusters_band_r2_operating_point(spark, sf_dir):
     }
     assert truth, "fixture should contain planted near-dups"
     assert banded == truth
+
+
+def test_containment_prefix_equals_quadratic_on_fixture(spark, sf_dir):
+    """The asymmetric prefix containment join (round 13) is EXACT:
+    its surviving pairs AND exact integer (inter, min) values must
+    equal the lang-blocked all-pairs self-join it replaced as
+    dedup_containment's Spark plan. This is the gate that lets the
+    slug keep its quadratic CTE oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id", "lang", word_shingles("text").alias("shingles")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(
+        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+    )
+    m = F.least(
+        F.size(F.col("a.shingles")), F.size(F.col("b.shingles"))
+    )
+    truth = {
+        (r["da"], r["db"], r["i"], r["m"])
+        for r in a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            inter.alias("i"),
+            m.alias("m"),
+        )
+        .where((F.col("m") > 0) & (5 * F.col("i") >= 3 * F.col("m")))
+        .collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["inter_size"], r["min_size"])
+        for r in dedup_ops.containment_pairs_prefix(sh, threshold=0.6)
+        .where(
+            (F.col("min_size") > 0)
+            & (5 * F.col("inter_size") >= 3 * F.col("min_size"))
+        )
+        .collect()
+    }
+    assert truth, "fixture should contain planted containment dups"
+    assert got == truth
+
+
+def test_containment_prefix_threshold_boundaries(spark):
+    """Adversarial boundaries for the ASYMMETRIC scheme: exact-at-
+    threshold, just-below, subset-in-superset at extreme size ratio
+    (the regime jaccard's size-ratio filter would kill — containment
+    must keep it), equal-size tie-break, block isolation, duplicate
+    elements in the raw arrays (set semantics enforced in-operator),
+    and singletons."""
+    rows = [
+        # C(1,2) = 3/5 = 0.6 exactly (|a|=5, |b|=8, inter=3)
+        (1, "x", ["a", "b", "c", "d", "e"]),
+        (2, "x", ["a", "b", "c", "f", "g", "h", "i", "j"]),
+        # C(3,4) = 2/4 = 0.5 (below 0.6 — excluded)
+        (3, "x", ["k", "l", "m", "n"]),
+        (4, "x", ["k", "l", "o", "p", "q"]),
+        # extreme ratio: 3-set fully inside a 15-set, C = 1.0,
+        # jaccard = 0.2 — the pair containment exists to catch
+        (5, "x", ["s1", "s2", "s3"]),
+        (6, "x", ["s1", "s2", "s3"] + [f"t{i}" for i in range(12)]),
+        # equal sizes, C(7,8) = 2/3 ≥ 0.6 (tie-break path)
+        (7, "x", ["u", "v", "w"]),
+        (8, "x", ["u", "v", "z"]),
+        # different block: identical to 5 but must NOT pair
+        (9, "y", ["s1", "s2", "s3"]),
+        # duplicate elements in the raw array: as a SET, {d1,d2} ⊂
+        # doc 11 → C = 1.0; inflated raw sizes must not mis-prune
+        (10, "x", ["d1", "d1", "d1", "d2", "d2"]),
+        (11, "x", ["d1", "d2", "d3", "d4"]),
+        # singletons, C(12,13) = 1.0
+        (12, "x", ["solo"]),
+        (13, "x", ["solo"]),
+    ]
+    sh = spark.createDataFrame(
+        rows, "doc_id long, lang string, shingles array<string>"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ops.containment_pairs_prefix(sh, threshold=0.6)
+        .where(5 * F.col("inter_size") >= 3 * F.col("min_size"))
+        .collect()
+    }
+    assert got == {(1, 2), (5, 6), (7, 8), (10, 11), (12, 13)}

@@ -198,3 +198,62 @@ def test_engine_search_batch_routes_auto(spark, tmp_path):
             # so query j's vector [j+1, j+1] is exactly the row with
             # id j+2
             assert r.id == r.query_id + 2
+
+
+def test_knn_batch_auto_n_axis_escape_hatch(spark, sf_dir):
+    """r12 verdict #8: a tiny batch against a store the caller knows
+    is huge must route to the Arrow kernel (the expr form's rank
+    window shuffles N·|Q| distance rows — 36x worse at the measured
+    1M-vector point), while the same tiny batch with no size hint —
+    or a small one — keeps the Catalyst form. Output identical on
+    both routes."""
+    from pyspark.sql import functions as F
+    from vfs_spark.operators.knn import (
+        KNN_BATCH_ARROW_MIN_VECTORS,
+        knn_batch,
+        knn_batch_auto,
+    )
+    from vfs_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    hinted = knn_batch_auto(
+        emb, q, k=3, approx_vector_count=KNN_BATCH_ARROW_MIN_VECTORS
+    )
+    unhinted = knn_batch_auto(emb, q, k=3)
+    small_hint = knn_batch_auto(
+        emb, q, k=3, approx_vector_count=KNN_BATCH_ARROW_MIN_VECTORS - 1
+    )
+    assert "MapInPandas" in (
+        hinted._jdf.queryExecution().executedPlan().toString()
+    )
+    for df in (unhinted, small_hint):
+        assert "MapInPandas" not in (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+    want = {
+        (r.query_id, r.vec_id, r.dist)
+        for r in knn_batch(emb, q, k=3).collect()
+    }
+    for df in (hinted, unhinted, small_hint):
+        got = {(r.query_id, r.vec_id, r.dist) for r in df.collect()}
+        assert got == want
+
+
+def test_engine_footer_count_cached_and_invalidated(spark, tmp_path):
+    """engine.approx_vector_count reads Parquet footers (exact),
+    caches, and refreshes after a store mutation."""
+    from vfs_spark.engine import VFSEngine
+
+    eng = VFSEngine(spark, str(tmp_path / "store"))
+    eng.init(vector_dimension=2)
+    assert eng.approx_vector_count() is None  # empty store
+    eng.insert([[1.0, 2.0], [3.0, 4.0]])
+    assert eng.approx_vector_count() == 2
+    eng.insert([[5.0, 6.0]])
+    assert eng.approx_vector_count() == 3  # insert invalidated cache
+    eng.delete([1])
+    assert eng.approx_vector_count() == 2

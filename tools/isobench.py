@@ -42,13 +42,15 @@ def _child(slug: str) -> None:
 
     fn = QUERIES[slug]
 
-    from vfs_spark.metrics import process_tree_cpu_s
+    # snapshot/delta meter (r13): the old sum-difference form went
+    # negative under worker-pool reaping between samples
+    from vfs_spark.metrics import cpu_delta_s, cpu_snapshot
 
     def run_once() -> tuple[float, float]:
-        c0 = process_tree_cpu_s(spark)
+        s0 = cpu_snapshot(spark)
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        return time.time() - t0, process_tree_cpu_s(spark) - c0
+        return time.time() - t0, cpu_delta_s(s0, cpu_snapshot(spark))
 
     cold, cold_cpu = run_once()
     warm, warm_cpu = [], []

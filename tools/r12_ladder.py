@@ -51,13 +51,19 @@ INC_BATCH = 200_000
 
 
 def _timed(spark, fn):
-    from vfs_spark.metrics import process_tree_cpu_s
+    # snapshot/delta meter (r13): the old sum-difference form went
+    # negative under worker-pool reaping between samples
+    from vfs_spark.metrics import cpu_delta_s, cpu_snapshot
 
-    c0 = process_tree_cpu_s(spark)
+    s0 = cpu_snapshot(spark)
     t0 = time.time()
     out = fn()
     wall = time.time() - t0
-    return out, round(wall, 1), round(process_tree_cpu_s(spark) - c0, 1)
+    return (
+        out,
+        round(wall, 1),
+        round(cpu_delta_s(s0, cpu_snapshot(spark)), 1),
+    )
 
 
 def run_clusters(spark, tmp: str, n: int, slug: str) -> dict:

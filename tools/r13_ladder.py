@@ -1,0 +1,175 @@
+"""Round-13 ladder rungs (VERDICT r12 tasks #4/#5):
+
+- ``containment_prefix`` — the NEW exact asymmetric prefix
+  containment join (operators/dedup.containment_pairs_prefix, now
+  dedup_containment's registered Spark plan). Records CANDIDATES
+  (pairs that reached exact verify) next to cpu, so the
+  sub-quadratic claim is a measured candidate count, not an
+  argument.
+- ``clusters_exact`` — re-anchor of the r12 jaccard prefix ladder
+  with the FIXED snapshot/delta CPU meter (the r12 rungs were
+  recorded with the sum-difference meter, protected from churn only
+  by fresh-session luck), with the candidate count recorded INLINE
+  instead of via a separate probe pipeline.
+
+Protocol: identical to tools/r12_ladder.py — same-session ladder,
+zstd shuffle/spill for ladder sessions, per-rung scratch
+reclamation, exponents GATED ON CPU (snapshot/delta meter,
+vfs_spark/metrics.py — cpu_s ≥ 0 by construction).
+
+Usage: python tools/r13_ladder.py containment_prefix [sizes_csv]
+       python tools/r13_ladder.py clusters_exact [sizes_csv]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+DEFAULT_SIZES = {
+    "containment_prefix": "2500000,5000000,10000000",
+    "clusters_exact": "2500000,5000000",
+}
+
+
+def _timed(spark, fn):
+    from vfs_spark.metrics import cpu_delta_s, cpu_snapshot
+
+    s0 = cpu_snapshot(spark)
+    t0 = time.time()
+    out = fn()
+    wall = time.time() - t0
+    return (
+        out,
+        round(wall, 1),
+        round(cpu_delta_s(s0, cpu_snapshot(spark)), 1),
+    )
+
+
+def _shingled(spark, tmp):
+    from vfs_spark.functions.text import word_shingles
+
+    docs = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
+    return docs.select(
+        "doc_id", "lang", word_shingles("text").alias("shingles")
+    )
+
+
+def run_containment(spark, tmp: str, n: int) -> dict:
+    from tools.curation_ab import build_corpus
+    from vfs_spark.operators.dedup import containment_pairs_prefix
+
+    build_corpus(spark, tmp, n)
+    sh = _shingled(spark, tmp)
+    # the timed region is the full operator: prefix build, asymmetric
+    # candidate join, positional filter, exact verify, checkpoint.
+    # Candidates = the operator's output rows (every candidate is
+    # verified and emitted with inter/min; callers filter).
+    pairs, wall, cpu = _timed(
+        spark,
+        lambda: containment_pairs_prefix(sh, threshold=0.6),
+    )
+    candidates = pairs.count()  # cheap: counts the checkpoint
+    qualifying = pairs.where(
+        5 * F.col("inter_size") >= 3 * F.col("min_size")
+    ).count()
+    return {
+        "n": n,
+        "candidates": candidates,
+        "qualifying": qualifying,
+        "wall_s": wall,
+        "cpu_s": cpu,
+    }
+
+
+def run_clusters_exact(spark, tmp: str, n: int) -> dict:
+    from tools.curation_ab import build_corpus
+    from vfs_spark.operators.dedup import jaccard_pairs_prefix
+    from vfs_spark.queries import QUERIES
+
+    build_corpus(spark, tmp, n)
+    rows, wall, cpu = _timed(
+        spark, lambda: QUERIES["dedup_clusters"](spark, tmp).count()
+    )
+    # candidate count inline (r12 used a separate counts-only probe):
+    # one extra prefix-join pass, NOT part of the timed region
+    sh = _shingled(spark, tmp)
+    candidates = jaccard_pairs_prefix(sh, threshold=0.3).count()
+    return {
+        "n": n,
+        "rows": rows,
+        "candidates": candidates,
+        "wall_s": wall,
+        "cpu_s": cpu,
+    }
+
+
+def main() -> None:
+    ops = {
+        "containment_prefix": run_containment,
+        "clusters_exact": run_clusters_exact,
+    }
+    if len(sys.argv) < 2 or sys.argv[1] not in ops:
+        sys.exit(f"usage: r13_ladder.py {'|'.join(ops)} [sizes_csv]")
+    op = sys.argv[1]
+    sizes = [
+        int(x)
+        for x in (
+            sys.argv[2] if len(sys.argv) > 2 else DEFAULT_SIZES[op]
+        ).split(",")
+    ]
+    from vfs_spark.session import get_spark
+
+    # zstd for ladder sessions (r12 protocol: halves posting-row
+    # spill bytes; bench sessions keep lz4 for cross-round IO parity)
+    spark = get_spark(
+        f"r13-ladder-{op}",
+        extra_conf={"spark.io.compression.codec": "zstd"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    tmps = []
+    try:
+        for n in sizes:
+            tmp = os.path.join(REPO, f".r13_ladder_tmp_{op}_{n}")
+            tmps.append(tmp)
+            shutil.rmtree(tmp, ignore_errors=True)
+            r = ops[op](spark, tmp, n)
+            results.append(r)
+            print(json.dumps(r), flush=True)
+            # reclaim the finished rung's scratch before the next
+            # (r12 protocol: corpus dir + GC so the ContextCleaner
+            # releases its shuffle files)
+            shutil.rmtree(tmp, ignore_errors=True)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        for a, b in zip(results, results[1:]):
+            ratio = math.log(b["n"] / a["n"])
+            exp_cpu = math.log(b["cpu_s"] / a["cpu_s"]) / ratio
+            exp_wall = math.log(b["wall_s"] / a["wall_s"]) / ratio
+            exp_cand = (
+                math.log(b["candidates"] / a["candidates"]) / ratio
+                if a.get("candidates")
+                else float("nan")
+            )
+            print(
+                f"exponent {a['n']}->{b['n']}: cpu {exp_cpu:.2f} "
+                f"(gate), wall {exp_wall:.2f}, "
+                f"candidates {exp_cand:.2f}"
+            )
+    finally:
+        for tmp in tmps:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

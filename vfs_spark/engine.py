@@ -146,6 +146,19 @@ class VFSEngine:
         if self._pq_cache is not None:
             self._pq_cache[1].unpersist()
             self._pq_cache = None
+        self._row_count_cache = None  # store changed — refresh footers
+
+    def approx_vector_count(self) -> int | None:
+        """Store size from Parquet footers (metadata-only — no data
+        pages), cached until the store mutates. Feeds
+        knn_batch_auto's N-axis dispatch (r12 verdict #8)."""
+        cached = getattr(self, "_row_count_cache", None)
+        if cached is None:
+            from vfs_spark.sources.parquet import parquet_row_count
+
+            cached = parquet_row_count(self._data_dir)
+            self._row_count_cache = cached
+        return cached
 
     def _flush(self, df: DataFrame, scale_factor: float | None = None) -> None:
         """Memtable flush analogue (storage_manager.rs:139-162):
@@ -295,7 +308,11 @@ class VFSEngine:
         knn_batch_auto (r11 verdict #7): the Arrow/BLAS kernel above
         the measured crossover (KNN_BATCH_ARROW_MIN_QUERIES), the
         Catalyst broadcast-join form below it — identical output
-        either way. query_id = position in ``queries``."""
+        either way. query_id = position in ``queries``. The facade
+        also passes the store's footer row count (cached, metadata-
+        only) so a tiny batch against a huge store still takes the
+        kernel — the regime where the expr form is up to 36x worse
+        (r12 verdict #8, NOTES.md crossover table)."""
         from vfs_spark.operators.knn import knn_batch_auto
 
         if self.vector_dimension is not None:
@@ -313,6 +330,7 @@ class VFSEngine:
             metric=distance_method,
             id_col="id",
             vec_col="embedding",
+            approx_vector_count=self.approx_vector_count(),
         )
 
     # -- /flush (tcp.rs:437-446) ------------------------------------------

@@ -397,9 +397,18 @@ def jaccard_pairs_prefix(
     # relaxed pruning bound: admits raw-jaccard values that round up
     # to the caller's threshold at 6 decimals (and a safety margin)
     t = max(threshold - 0.01, 0.0)
-    sh = sh.select(id_col, block_col, set_col).where(
-        F.size(set_col) > 0
-    )
+    # SET semantics are enforced here: duplicate elements in the
+    # input arrays would inflate F.size(), and the size-ratio filter
+    # min ≥ t·max would then prune on inflated sizes and silently
+    # DROP qualifying pairs (r12 ADVICE #2 — confirmed empirically
+    # with [a]*7+[b,c] vs [a,b,c]). array_distinct is one extra
+    # scan-stage expression; in-repo callers already pass distinct
+    # shingle arrays so their plans/outputs are unchanged.
+    sh = sh.select(
+        id_col,
+        block_col,
+        F.array_distinct(set_col).alias(set_col),
+    ).where(F.size(set_col) > 0)
     # pinned: feeds the prefix build AND both verify sides; released
     # via the eager checkpoint of the verified pairs (the
     # hamming_pairs_banded discipline). DISK_ONLY — see docstring.
@@ -487,6 +496,158 @@ def jaccard_pairs_prefix(
         out_a,
         out_b,
         jaccard(F.col("_sa"), F.col("_sb")).alias("jaccard"),
+    )
+    if not materialize:
+        return pairs
+    pairs = pairs.localCheckpoint(eager=True)
+    sh.unpersist()
+    return pairs
+
+
+def containment_pairs_prefix(
+    sh: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    set_col: str = "shingles",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+    materialize: bool = True,
+) -> DataFrame:
+    """EXACT max-containment self-join via ASYMMETRIC prefix
+    filtering — same output as the blocked all-pairs containment
+    join (|A∩B| / min(|A|,|B|) ≥ threshold), sub-quadratic cost.
+    Returns every (``out_a`` < ``out_b`` by id) block-local pair
+    whose containment could reach ``threshold``, with exact integer
+    ``inter_size`` / ``min_size`` columns; callers apply their own
+    final predicate (e.g. the registry's 5·i ≥ 3·m) so cross-engine
+    float rounding never enters the decision.
+
+    Why jaccard's SYMMETRIC prefix scheme cannot be reused:
+    containment has no size-ratio bound (a 3-shingle doc embedded in
+    a 10,000-shingle doc has containment 1.0), so the larger side's
+    required overlap t·min(|A|,|B|) depends on the OTHER set's size,
+    unknown at prefix-build time — a frequency-ordered prefix of the
+    larger set can be made to miss every common element by padding it
+    with rarer ones. The asymmetric scheme (the set-containment-join
+    adaptation of Bayardo et al. WWW'07 / Xiao et al. WWW'08 prefix
+    filtering, cf. Chaudhuri et al. ICDE'06 SSJoin's asymmetric
+    operand treatment) fixes the roles instead: C(A,B) ≥ t means the
+    SMALLER set S (m = |S|) shares ≥ ceil(t·m) elements with L, so
+    ordering S's elements by (global frequency, value) puts at least
+    one shared element inside S's first m − floor(t·m) + 1 — and that
+    element is, by definition of shared, SOMEWHERE in L. Equi-joining
+    the smaller-role PREFIX postings against the larger-role FULL
+    postings on (block, element) therefore finds every qualifying
+    pair; exact verification restores precision. Equal sizes
+    tie-break on id (either side is a valid "smaller"), so each
+    unordered pair is probed exactly once.
+
+    The PPJoin positional filter carries over with the containment
+    overlap target α = ceil(t·m): a match at full-order positions
+    (rn_S, rn_L) can contribute at most 1 + min(m − rn_S, |L| − rn_L)
+    total overlap, and the pair's first common element (minimal
+    positions in both ⇒ loosest bound) always passes when C ≥ t.
+
+    100 TB shape: same discipline as jaccard_pairs_prefix — elements
+    are hashed to 8-byte keys in the scan stage before anything
+    shuffles (a collision only ADDS a candidate; verify removes it),
+    inputs pinned DISK_ONLY, candidate volume Σ_g pref_df_g·df_g
+    over (block, element) groups instead of n² — the prefix side is
+    rare-element-only by construction, which caps the product. The
+    verify join ships shingle arrays only for surviving candidates.
+    This replaces the lang-blocked O(n²) self-join as
+    dedup_containment's registered Spark plan (r12 VERDICT task #5);
+    the quadratic CTE stays as the DuckDB oracle, and the anchored
+    sampler (containment_pairs_anchored) remains the UNBLOCKED
+    probabilistic path. Thresholds are relaxed by 0.01 before any
+    pruning arithmetic so a caller's exact integer predicate at the
+    nominal threshold still sees every pair."""
+    t = max(threshold - 0.01, 0.0)
+    # set semantics enforced exactly as in jaccard_pairs_prefix:
+    # duplicate elements would inflate sizes and mis-prune
+    sh = sh.select(
+        id_col,
+        block_col,
+        F.array_distinct(set_col).alias(set_col),
+    ).where(F.size(set_col) > 0)
+    if materialize:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.DISK_ONLY)
+        sh.count()
+    ex = sh.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.size(set_col).alias("_n"),
+        F.explode(
+            F.transform(F.col(set_col), lambda g: F.xxhash64(g))
+        ).alias("_g"),
+    )
+    dfreq = ex.groupBy("_blk", "_g").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "_g")
+    # FULL postings with each element's rank in the doc's global
+    # frequency order — the larger role probes all of them, and the
+    # rank feeds the positional filter on both sides
+    full = (
+        ex.join(dfreq, ["_blk", "_g"])
+        .withColumn("_rn", F.row_number().over(w))
+        .select("_blk", "_g", F.col(id_col).alias("_id"), "_n", "_rn")
+    )
+    plen = (
+        F.col("_n")
+        - F.floor(F.lit(t) * F.col("_n")).cast("int")
+        + F.lit(1)
+    )
+    pref = full.where(F.col("_rn") <= plen)
+    s, l = pref.alias("s"), full.alias("l")  # noqa: E741 — l = larger role
+    # overlap target α = ceil(t·m), m = the smaller set's size; the
+    # −1e-9 guards the ceil against float round-up tightening α by 1
+    alpha = F.ceil(
+        F.lit(t) * F.col("s._n").cast("double") - F.lit(1e-9)
+    )
+    cand = (
+        s.join(
+            l,
+            (F.col("s._blk") == F.col("l._blk"))
+            & (F.col("s._g") == F.col("l._g"))
+            & (
+                (F.col("s._n") < F.col("l._n"))
+                | (
+                    (F.col("s._n") == F.col("l._n"))
+                    & (F.col("s._id") < F.col("l._id"))
+                )
+            ),
+        )
+        .where(
+            1
+            + F.least(
+                F.col("s._n") - F.col("s._rn"),
+                F.col("l._n") - F.col("l._rn"),
+            )
+            >= alpha
+        )
+        .select(
+            F.least(F.col("s._id"), F.col("l._id")).alias(out_a),
+            F.greatest(F.col("s._id"), F.col("l._id")).alias(out_b),
+        )
+        .distinct()
+    )
+    sa = sh.select(
+        F.col(id_col).alias(out_a), F.col(set_col).alias("_sa")
+    )
+    sb = sh.select(
+        F.col(id_col).alias(out_b), F.col(set_col).alias("_sb")
+    )
+    pairs = cand.join(sa, out_a).join(sb, out_b).select(
+        out_a,
+        out_b,
+        F.size(F.array_intersect("_sa", "_sb"))
+        .cast("bigint")
+        .alias("inter_size"),
+        F.least(F.size("_sa"), F.size("_sb"))
+        .cast("bigint")
+        .alias("min_size"),
     )
     if not materialize:
         return pairs

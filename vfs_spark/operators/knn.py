@@ -262,6 +262,21 @@ def knn_batch_arrow(
 # and N, so a too-low threshold is the safe error side at scale.
 KNN_BATCH_ARROW_MIN_QUERIES = 5
 
+# N-axis escape hatch (r12 VERDICT task #8): the |Q| threshold alone
+# is blind to store size, and the crossover table (NOTES.md r12) puts
+# the REAL crossover in N — at 1M vectors the kernel wins at every
+# batch size including |Q|=1 (0.78 s vs 0.96 s), and the expr form
+# degrades to 36x worse at |Q|=100 because its rank window shuffles
+# all N·|Q| distance rows. When the caller can supply a store size
+# (Parquet footer row counts are metadata-only and nearly free —
+# sources/parquet.parquet_row_count), any N at or above this routes
+# to the kernel regardless of |Q|. 100k sits well below the measured
+# 1M kernel-wins-everywhere point and well above the 6k
+# expr-wins-small-batches point; in the uncertain middle both forms
+# are ~sub-second, and the kernel is the safe error side because its
+# cost is flat in |Q| while the expr form's grows.
+KNN_BATCH_ARROW_MIN_VECTORS = 100_000
+
 
 def knn_batch_auto(
     vectors: DataFrame,
@@ -274,6 +289,7 @@ def knn_batch_auto(
     query_vec_col: str = "query_vec",
     round_digits: int = 6,
     max_queries: int | None = None,
+    approx_vector_count: int | None = None,
 ) -> DataFrame:
     """Batch exact k-NN with the serving default picked by batch
     size (r11 verdict #7): the Arrow/BLAS kernel above
@@ -283,11 +299,27 @@ def knn_batch_auto(
     cost decision. The size probe is the same capped limit-collect
     the kernel itself performs (serving batches are driver-sized by
     contract), so choosing costs one extra ≤cap collect of the tiny
-    query side, nothing from the vector table."""
+    query side, nothing from the vector table.
+
+    ``approx_vector_count`` is the N-axis escape hatch (r12 verdict
+    #8): the operator itself deliberately never probes the vector
+    side (it may be an arbitrary plan, not a table), but a caller
+    that KNOWS the store size — engine.search_batch reads it from
+    Parquet footers for pennies — passes it here, and any N ≥
+    KNN_BATCH_ARROW_MIN_VECTORS routes tiny batches to the kernel
+    too, where the expr form is measured up to 36x worse (NOTES.md
+    crossover table). Left None, dispatch is |Q|-only, and serving a
+    tiny-|Q|/huge-N workload EXACTLY should instead route to the IVF
+    path (ann_ivf_partitioned / engine.search) whose partition-pruned
+    plan is the real small-batch answer at scale."""
     qrows = collect_serving_batch(
         queries, query_id_col, query_vec_col, max_queries
     )
-    if len(qrows) < KNN_BATCH_ARROW_MIN_QUERIES:
+    n_big = (
+        approx_vector_count is not None
+        and approx_vector_count >= KNN_BATCH_ARROW_MIN_VECTORS
+    )
+    if len(qrows) < KNN_BATCH_ARROW_MIN_QUERIES and not n_big:
         return knn_batch(
             vectors,
             queries,

@@ -212,40 +212,35 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic end to end (i·10⁶ div m, threshold 5i ≥ 3m), immune
     to cross-engine float rounding.
 
-    100 TB shape: same contract as the Jaccard family — the blocked
-    pairwise form is the oracle-checkable semantics; the unblocked
-    scale path is ANCHOR SAMPLING (dedup.containment_pairs_anchored,
-    registered as dedup_containment_anchored), whose candidates are
-    verified with this exact containment expression — MinHash banding
-    is deliberately NOT reused because its collision rate is the
-    Jaccard, which vanishes for precisely the subset pairs
-    containment targets."""
+    Round 13: the Spark plan is the EXACT asymmetric prefix join
+    (operators/dedup.containment_pairs_prefix — smaller-role prefix
+    postings probed against larger-role full postings, PPJoin-style
+    positional filter, exact integer verify). Same pair set as the
+    lang-blocked O(n²) self-join the oracle runs, sub-quadratic cost
+    — equality is test-pinned like the Jaccard twin
+    (tests/test_dedup.py). The anchored sampler
+    (dedup_containment_anchored) remains the UNBLOCKED probabilistic
+    path; MinHash banding is deliberately NOT used because its
+    collision rate is the Jaccard, which vanishes for precisely the
+    subset pairs containment targets."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    from vfs_spark.operators.dedup import containment_pairs_prefix
+
     sh = docs.select(
         "doc_id", "lang", word_shingles("text").alias("shingles")
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    m = F.least(F.size(F.col("a.shingles")), F.size(F.col("b.shingles")))
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        containment_pairs_prefix(sh, threshold=0.6)
+        .where(
+            (F.col("min_size") > 0)
+            & (5 * F.col("inter_size") >= 3 * F.col("min_size"))
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            inter.alias("_i"),
-            m.alias("_m"),
-        )
-        .where((F.col("_m") > 0) & (5 * F.col("_i") >= 3 * F.col("_m")))
         .select(
             "doc_a",
             "doc_b",
-            F.expr("CAST((_i * 1000000L) DIV _m AS BIGINT)").alias(
-                "containment_e6"
-            ),
+            F.expr(
+                "CAST((inter_size * 1000000L) DIV min_size AS BIGINT)"
+            ).alias("containment_e6"),
         )
     )
 

@@ -32,6 +32,35 @@ def table_path(sf_dir: str, name: str) -> str:
 _FAN_OUT_CEILING = 128 * 1024 * 1024
 
 
+def parquet_row_count(path: str) -> int | None:
+    """Exact row count from Parquet FOOTERS only — no data pages are
+    read, so this is metadata-cheap even for a 100 TB table (one
+    ~KB-sized footer per file; on an object store, one ranged GET
+    each — production catalogs cache these anyway). Used by cost
+    dispatches that want store size without a scan, e.g.
+    knn_batch_auto's tiny-batch/huge-N escape hatch (r12 VERDICT
+    task #8). Returns None when the path has no readable parquet
+    footers (empty store, remote FS without local visibility)."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = [
+                os.path.join(root, f)
+                for root, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+            if not files:
+                return None
+            return sum(
+                pq.ParquetFile(f).metadata.num_rows for f in files
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # noqa: BLE001 — a probe, never a failure
+        return None
+
+
 def _table_bytes(path: str) -> int:
     if os.path.isdir(path):
         return sum(
