@@ -133,7 +133,13 @@ def main() -> None:
     # spill bytes; bench sessions keep lz4 for cross-round IO parity)
     spark = get_spark(
         f"r13-ladder-{op}",
-        extra_conf={"spark.io.compression.codec": "zstd"},
+        extra_conf={
+            "spark.io.compression.codec": "zstd",
+            # keep stdout parseable: the console progress bar's \r
+            # frames merged the rung JSON lines into stage text on
+            # the first run of this tool
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     results = []
@@ -152,6 +158,7 @@ def main() -> None:
             shutil.rmtree(tmp, ignore_errors=True)
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
+        exps = []
         for a, b in zip(results, results[1:]):
             ratio = math.log(b["n"] / a["n"])
             exp_cpu = math.log(b["cpu_s"] / a["cpu_s"]) / ratio
@@ -161,11 +168,25 @@ def main() -> None:
                 if a.get("candidates")
                 else float("nan")
             )
+            exps.append(
+                {
+                    "rungs": f"{a['n']}->{b['n']}",
+                    "cpu": round(exp_cpu, 2),
+                    "wall": round(exp_wall, 2),
+                    "candidates": round(exp_cand, 2),
+                }
+            )
             print(
                 f"exponent {a['n']}->{b['n']}: cpu {exp_cpu:.2f} "
                 f"(gate), wall {exp_wall:.2f}, "
                 f"candidates {exp_cand:.2f}"
             )
+        # durable copy — the first run of this tool lost its rung
+        # rows to console-progress interleaving
+        with open(
+            os.path.join(REPO, f".r13_ladder_{op}_results.json"), "w"
+        ) as f:
+            json.dump({"rungs": results, "exponents": exps}, f, indent=1)
     finally:
         for tmp in tmps:
             shutil.rmtree(tmp, ignore_errors=True)
