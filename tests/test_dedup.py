@@ -1198,3 +1198,68 @@ def test_containment_prefix_threshold_boundaries(spark):
         .collect()
     }
     assert got == {(1, 2), (5, 6), (7, 8), (10, 11), (12, 13)}
+
+
+def test_containment_prefix_random_equivalence_multi_threshold(spark):
+    """Seeded-random equivalence sweep: 300 docs with skewed random
+    vocab (heavy zipf-ish collisions, mixed set sizes 1-40, two
+    blocks), prefix join vs brute force at thresholds 0.3/0.5/0.8 —
+    the completeness argument must hold away from the fixture's
+    planted structure and at thresholds other than the registered
+    0.6."""
+    import random
+
+    rng = random.Random(1337)
+    rows = []
+    for i in range(300):
+        size = rng.choice([1, 2, 3, 5, 8, 13, 21, 40])
+        # zipf-ish: small ids drawn often -> dense overlap structure
+        elems = {
+            f"e{int(rng.paretovariate(1.2) * 3) % 400}"
+            for _ in range(size)
+        }
+        rows.append((i, "x" if i % 3 else "y", sorted(elems)))
+    sh = spark.createDataFrame(
+        rows, "doc_id long, lang string, shingles array<string>"
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(
+        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+    )
+    m = F.least(
+        F.size(F.col("a.shingles")), F.size(F.col("b.shingles"))
+    )
+    brute = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            inter.alias("i"),
+            m.alias("m"),
+        )
+        .where(F.col("m") > 0)
+        .collect()
+    )
+    for t_num, t_den in ((3, 10), (1, 2), (4, 5)):
+        truth = {
+            (r["da"], r["db"], r["i"], r["m"])
+            for r in brute
+            if t_den * r["i"] >= t_num * r["m"]
+        }
+        got = {
+            (r["doc_a"], r["doc_b"], r["inter_size"], r["min_size"])
+            for r in dedup_ops.containment_pairs_prefix(
+                sh, threshold=t_num / t_den
+            )
+            .where(
+                t_den * F.col("inter_size")
+                >= t_num * F.col("min_size")
+            )
+            .collect()
+        }
+        assert truth, "random corpus must contain qualifying pairs"
+        assert got == truth, f"mismatch at threshold {t_num}/{t_den}"
