@@ -1,3 +1,5 @@
+import os
+
 import pytest
 
 from vfs_spark.engine import VFSEngine
@@ -318,3 +320,52 @@ def test_quantize_metadata_replace_all_matches_reference(spark, tmp_path):
     e.init(vector_dimension=2, quantize_storage=True)
     e.insert([[1.0, 0.0]], names=["odd_quantized_name"], tags=[[]])
     assert e.get(1)["name"] == "odd_name"
+
+
+def test_compact_is_layout_only_and_restores_pruning(spark, tmp_path):
+    """compact() must change only file layout: identical rows (ids,
+    vectors, names, tags) before and after, fewer files, id-sorted
+    files, next_id preserved, and the store still serves. Covers the
+    quantized-at-rest store too (the quantized columns must pass
+    through a rewrite untouched)."""
+    from vfs_spark.engine import VFSEngine
+
+    for quantize in (False, True):
+        eng = VFSEngine(spark, str(tmp_path / f"store_q{quantize}"))
+        eng.init(vector_dimension=2, quantize_storage=quantize)
+        # 12 separate inserts -> >= 12 parquet files, interleaved ids
+        for i in range(12):
+            eng.insert([[float(i), float(j)] for j in range(5)])
+        data_dir = eng._data_dir
+        files_before = [
+            f for f in os.listdir(data_dir) if f.endswith(".parquet")
+        ]
+        assert len(files_before) >= 12
+        before = sorted(
+            (r.id, [round(x, 4) for x in r.embedding], r.name)
+            for r in eng.vectors().collect()
+        )
+        n_files = eng.compact(target_rows_per_file=30)
+        files_after = [
+            f for f in os.listdir(data_dir) if f.endswith(".parquet")
+        ]
+        assert n_files == len(files_after)
+        assert len(files_after) == 2  # ceil(60 / 30)
+        after = sorted(
+            (r.id, [round(x, 4) for x in r.embedding], r.name)
+            for r in eng.vectors().collect()
+        )
+        assert after == before
+        assert eng.next_id() == 61
+        # still serves, and ids stayed addressable
+        assert eng.get(1) is not None
+        res = eng.search([0.0, 0.0], top_k=3).collect()
+        assert len(res) == 3
+
+
+def test_compact_empty_store_is_noop(spark, tmp_path):
+    from vfs_spark.engine import VFSEngine
+
+    eng = VFSEngine(spark, str(tmp_path / "store"))
+    eng.init(vector_dimension=2)
+    assert eng.compact() == 0

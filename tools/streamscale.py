@@ -1,0 +1,146 @@
+"""Streaming-ingest throughput ladder (round 13): the streaming
+surface has per-operator EQUIVALENCE evidence (STREAMCHECK: every
+streaming op lands exactly its batch twin's answer) but no measured
+THROUGHPUT — this records docs/s for the full quality→dedup→decontam
+ingest (streaming/ingest.stream_corpus_ingest) drained in REAL
+micro-batches (maxFilesPerTrigger, not one availableNow gulp), next
+to the batch twin's cost on the same corpus.
+
+What the number means at scale: the drain is dominated by the
+per-batch cross-store fp anti-join (the store grows as batches land,
+so cost is Σ_b |store_b| — production pins the fp column or keeps a
+Bloom sidecar, as the operator docstring documents); the ladder's
+docs/s therefore UNDERSTATES a production deployment with an fp
+index and is the honest single-node floor.
+
+Usage: python tools/streamscale.py [sizes_csv] [n_batches]
+       (defaults 1000000,2000000 and 10)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _timed(spark, fn):
+    from vfs_spark.metrics import cpu_delta_s, cpu_snapshot
+
+    s0 = cpu_snapshot(spark)
+    t0 = time.time()
+    out = fn()
+    wall = time.time() - t0
+    return (
+        out,
+        round(wall, 1),
+        round(cpu_delta_s(s0, cpu_snapshot(spark)), 1),
+    )
+
+
+def run_rung(spark, tmp: str, n: int, n_batches: int) -> dict:
+    from tools.curation_ab import build_corpus
+    from vfs_spark.queries import QUERIES
+    from vfs_spark.streaming.ingest import stream_corpus_ingest
+
+    build_corpus(spark, tmp, n)
+    docs = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
+    src = os.path.join(tmp, "stream_in")
+    # n_batches part files, one file per micro-batch trigger
+    docs.where(F.col("doc_id") >= 10).repartition(n_batches).write.mode(
+        "overwrite"
+    ).parquet(src)
+    eval_docs = docs.where(F.col("doc_id") < 10).localCheckpoint(
+        eager=True
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dest = os.path.join(tmp, "store")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    def drain():
+        q = stream_corpus_ingest(stream, dest, ckpt, eval_docs=eval_docs)
+        q.awaitTermination()
+        return spark.read.parquet(dest).count()
+
+    landed, wall, cpu = _timed(spark, drain)
+    # batch twin on the SAME corpus for the cost comparison
+    _, bwall, bcpu = _timed(
+        spark,
+        lambda: QUERIES["pipeline_pretraining_corpus"](
+            spark, tmp
+        ).count(),
+    )
+    return {
+        "n": n,
+        "n_batches": n_batches,
+        "landed": landed,
+        "wall_s": wall,
+        "cpu_s": cpu,
+        "docs_per_s": round(n / wall, 0),
+        "batch_twin_wall_s": bwall,
+        "batch_twin_cpu_s": bcpu,
+    }
+
+
+def main() -> None:
+    sizes = [
+        int(x)
+        for x in (
+            sys.argv[1] if len(sys.argv) > 1 else "1000000,2000000"
+        ).split(",")
+    ]
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    from vfs_spark.session import get_spark
+
+    spark = get_spark(
+        "streamscale",
+        extra_conf={
+            "spark.io.compression.codec": "zstd",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results, tmps = [], []
+    try:
+        for n in sizes:
+            tmp = os.path.join(REPO, f".streamscale_tmp_{n}")
+            tmps.append(tmp)
+            shutil.rmtree(tmp, ignore_errors=True)
+            r = run_rung(spark, tmp, n, n_batches)
+            results.append(r)
+            print(json.dumps(r), flush=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        for a, b in zip(results, results[1:]):
+            ratio = math.log(b["n"] / a["n"])
+            print(
+                f"exponent {a['n']}->{b['n']}: "
+                f"cpu {math.log(b['cpu_s'] / a['cpu_s']) / ratio:.2f} "
+                f"(gate), wall "
+                f"{math.log(b['wall_s'] / a['wall_s']) / ratio:.2f}"
+            )
+        with open(
+            os.path.join(REPO, ".streamscale_results.json"), "w"
+        ) as f:
+            json.dump(results, f, indent=1)
+    finally:
+        for tmp in tmps:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -372,6 +372,51 @@ class VFSEngine:
         self._invalidate_index()
         return removed
 
+    # -- compact (⊕ extension: append-only stores fragment) ---------------
+    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
+        """Rewrite the store into ceil(rows / target) id-sorted files —
+        the OPTIMIZE verb every append-only layout eventually needs:
+        each insert() lands its own parquet file(s), so a serving
+        store fed by many small batches accumulates footer/open
+        overhead per query and tiny row groups that defeat scan
+        vectorization and min/max pruning. Copy-on-write with the
+        same two-rename swap + crash recovery contract as delete()
+        (init() promotes/rolls back half-finished rewrites via
+        _recover_interrupted_rewrite). Rows, schema, and quantized
+        columns pass through untouched — compaction is layout-only,
+        asserted row-identical in tests. Sorting by id restores the
+        per-file id min/max tightness that makes point_lookup_id's
+        footer pruning effective after interleaved inserts. Returns
+        the resulting file count; invalidates fitted indexes (their
+        row lineage is unchanged, but cached vdf partitioning is
+        layout-bound). At 100 TB the same verb runs per id-range
+        partition, compacting only partitions whose small-file count
+        crossed a threshold."""
+        if not self._have_data():
+            return 0
+        df = self.spark.read.parquet(self._data_dir)
+        n = df.count()
+        n_files = max(1, -(-n // max(1, int(target_rows_per_file))))
+        tmp = self._data_dir + ".rewrite"
+        (
+            df.repartitionByRange(n_files, "id")
+            .sortWithinPartitions("id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        old = self._data_dir + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(self._data_dir, old)
+        os.rename(tmp, self._data_dir)
+        shutil.rmtree(old)
+        self._invalidate_index()
+        return sum(
+            1
+            for f in os.listdir(self._data_dir)
+            if f.endswith(".parquet")
+        )
+
     # -- /snapshot + /restore (storage_manager.rs:367-427) ----------------
     _SNAPSHOT_NAME = re.compile(r"[A-Za-z0-9_.-]+")
 
