@@ -1263,3 +1263,45 @@ def test_containment_prefix_random_equivalence_multi_threshold(spark):
         }
         assert truth, "random corpus must contain qualifying pairs"
         assert got == truth, f"mismatch at threshold {t_num}/{t_den}"
+
+
+def test_prefix_candidate_stats_upper_bounds_actual(spark, sf_dir):
+    """The pre-flight estimator must upper-bound the prefix joins'
+    ACTUAL emitted candidates (its estimate is pre-positional-filter,
+    pre-distinct) on the fixture, for both modes, while costing only
+    linear-stage work."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id", "lang", word_shingles("text").alias("shingles")
+    )
+    sj = dedup_ops.prefix_candidate_stats(sh, 0.3, mode="jaccard")
+    actual_j = dedup_ops.jaccard_pairs_prefix(sh, threshold=0.3).count()
+    assert sj["est_candidates"] >= actual_j
+    assert sj["n_docs"] == docs.count()
+    assert 0 < sj["prefix_postings"] <= sj["postings"]
+
+    sc = dedup_ops.prefix_candidate_stats(sh, 0.6, mode="containment")
+    actual_c = dedup_ops.containment_pairs_prefix(
+        sh, threshold=0.6
+    ).count()
+    assert sc["est_candidates"] >= actual_c
+
+
+def test_prefix_candidate_stats_flags_degenerate_corpus(spark):
+    """On a fully saturated corpus (every doc the same token set) the
+    estimator must read ~C(n,2) — the signal a production router uses
+    to pick the banded/anchored twin instead of the exact prefix
+    join. On a disjoint-vocabulary corpus it must read ~0."""
+    n = 200
+    same = spark.createDataFrame(
+        [(i, "x", ["a", "b", "c", "d"]) for i in range(n)],
+        "doc_id long, lang string, shingles array<string>",
+    )
+    s = dedup_ops.prefix_candidate_stats(same, 0.6, mode="jaccard")
+    assert s["est_candidates"] >= n * (n - 1) / 2  # all-pairs regime
+    disjoint = spark.createDataFrame(
+        [(i, "x", [f"u{i}", f"v{i}", f"w{i}"]) for i in range(n)],
+        "doc_id long, lang string, shingles array<string>",
+    )
+    d = dedup_ops.prefix_candidate_stats(disjoint, 0.6, mode="jaccard")
+    assert d["est_candidates"] == 0.0

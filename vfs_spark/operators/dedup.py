@@ -656,6 +656,96 @@ def containment_pairs_prefix(
     return pairs
 
 
+def prefix_candidate_stats(
+    sh: DataFrame,
+    threshold: float,
+    mode: str = "jaccard",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    set_col: str = "shingles",
+):
+    """Cheap pre-flight for the exact prefix joins: ESTIMATE the
+    candidate-pair volume without paying the self-join. The r13
+    ladders showed the exact prefix scheme's one failure mode —
+    a saturated/low-entropy token space (closed-vocab corpora) makes
+    candidate growth super-linear (SCALE.md r13: exponent 2.35 for
+    containment, 3.32 for jaccard@0.3 on the 1000-word generator)
+    while real Heaps'-law corpora keep it near-linear. This probe
+    turns that documented caveat into a DECISION INPUT: it runs only
+    the linear-cost part of the pipeline (explode → doc-frequency →
+    per-doc rank → prefix postings → one aggregate) and returns the
+    posting-list products the join WOULD compute, so a production
+    caller can route to the exact prefix join when the estimate is
+    sane and to the banded/anchored probabilistic twin when the
+    corpus is degenerate — the same warn-and-fallback discipline as
+    embedding_banded_pairs' no-contrast BRP guard, but decided
+    BEFORE the expensive stage instead of inside it.
+
+    Estimates (upper bounds on pre-positional-filter candidates):
+    - mode="jaccard":      Σ_g C(pref_df_g, 2)   (prefix × prefix)
+    - mode="containment":  Σ_g pref_df_g·(df_g − 1)  (prefix × full,
+      self-matches excluded; counts ordered pairs once per unordered
+      pair at equal rank, so it remains an upper bound)
+
+    The PPJoin positional filter then prunes 11-22× below these
+    (measured, SCALE.md r13), so the estimate is conservative.
+    Returns a dict: n_docs, postings, prefix_postings, distinct_keys,
+    est_candidates. Cost: one extra aggregate over the prefix
+    pipeline's linear stages; nothing corpus-quadratic can happen
+    here."""
+    if mode not in ("jaccard", "containment"):
+        raise ValueError(f"unknown mode {mode!r}")
+    t = max(threshold - 0.01, 0.0)
+    sh = sh.select(
+        id_col,
+        block_col,
+        F.array_distinct(set_col).alias(set_col),
+    ).where(F.size(set_col) > 0)
+    ex = sh.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.size(set_col).alias("_n"),
+        F.explode(
+            F.transform(F.col(set_col), lambda g: F.xxhash64(g))
+        ).alias("_g"),
+    )
+    dfreq = ex.groupBy("_blk", "_g").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "_g")
+    plen = (
+        F.col("_n")
+        - F.floor(F.lit(t) * F.col("_n")).cast("int")
+        + F.lit(1)
+    )
+    ranked = ex.join(dfreq, ["_blk", "_g"]).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    pref_key = (
+        ranked.where(F.col("_rn") <= plen)
+        .groupBy("_blk", "_g")
+        .agg(F.count("*").alias("_p"), F.first("_df").alias("_df"))
+    )
+    if mode == "jaccard":
+        est = F.sum(F.col("_p") * (F.col("_p") - 1) / 2)
+    else:
+        est = F.sum(F.col("_p") * (F.col("_df") - 1))
+    row = pref_key.agg(
+        F.sum("_p").alias("prefix_postings"),
+        F.count("*").alias("distinct_prefix_keys"),
+        est.cast("double").alias("est_candidates"),
+    ).first()
+    base = ex.agg(
+        F.count("*").alias("postings"),
+        F.count_distinct(id_col).alias("n_docs"),
+    ).first()
+    return {
+        "n_docs": base["n_docs"],
+        "postings": base["postings"],
+        "prefix_postings": row["prefix_postings"],
+        "distinct_prefix_keys": row["distinct_prefix_keys"],
+        "est_candidates": float(row["est_candidates"] or 0.0),
+    }
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Keep one row per normalized-token-set fingerprint (lowest id
     wins) — dropDuplicates generalized to a computed key."""
