@@ -1274,17 +1274,30 @@ def test_prefix_candidate_stats_upper_bounds_actual(spark, sf_dir):
     sh = docs.select(
         "doc_id", "lang", word_shingles("text").alias("shingles")
     )
-    sj = dedup_ops.prefix_candidate_stats(sh, 0.3, mode="jaccard")
+    sj = dedup_ops.prefix_candidate_stats(
+        sh, 0.3, mode="jaccard", exact=True
+    )
     actual_j = dedup_ops.jaccard_pairs_prefix(sh, threshold=0.3).count()
-    assert sj["est_candidates"] >= actual_j
+    # tier 1 (router) >= tier 2 (exact prefix volume) >= actual
+    assert (
+        sj["est_candidates_upper"]
+        >= sj["est_candidates_prefix"]
+        >= actual_j
+    )
     assert sj["n_docs"] == docs.count()
     assert 0 < sj["prefix_postings"] <= sj["postings"]
 
-    sc = dedup_ops.prefix_candidate_stats(sh, 0.6, mode="containment")
+    sc = dedup_ops.prefix_candidate_stats(
+        sh, 0.6, mode="containment", exact=True
+    )
     actual_c = dedup_ops.containment_pairs_prefix(
         sh, threshold=0.6
     ).count()
-    assert sc["est_candidates"] >= actual_c
+    assert (
+        sc["est_candidates_upper"]
+        >= sc["est_candidates_prefix"]
+        >= actual_c
+    )
 
 
 def test_prefix_candidate_stats_flags_degenerate_corpus(spark):
@@ -1298,10 +1311,10 @@ def test_prefix_candidate_stats_flags_degenerate_corpus(spark):
         "doc_id long, lang string, shingles array<string>",
     )
     s = dedup_ops.prefix_candidate_stats(same, 0.6, mode="jaccard")
-    assert s["est_candidates"] >= n * (n - 1) / 2  # all-pairs regime
+    assert s["est_candidates_upper"] >= n * (n - 1) / 2  # all-pairs
     disjoint = spark.createDataFrame(
         [(i, "x", [f"u{i}", f"v{i}", f"w{i}"]) for i in range(n)],
         "doc_id long, lang string, shingles array<string>",
     )
     d = dedup_ops.prefix_candidate_stats(disjoint, 0.6, mode="jaccard")
-    assert d["est_candidates"] == 0.0
+    assert d["est_candidates_upper"] == 0.0

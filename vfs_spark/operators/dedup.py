@@ -663,36 +663,48 @@ def prefix_candidate_stats(
     id_col: str = "doc_id",
     block_col: str = "lang",
     set_col: str = "shingles",
+    exact: bool = False,
 ):
-    """Cheap pre-flight for the exact prefix joins: ESTIMATE the
-    candidate-pair volume without paying the self-join. The r13
-    ladders showed the exact prefix scheme's one failure mode —
-    a saturated/low-entropy token space (closed-vocab corpora) makes
-    candidate growth super-linear (SCALE.md r13: exponent 2.35 for
-    containment, 3.32 for jaccard@0.3 on the 1000-word generator)
-    while real Heaps'-law corpora keep it near-linear. This probe
-    turns that documented caveat into a DECISION INPUT: it runs only
-    the linear-cost part of the pipeline (explode → doc-frequency →
-    per-doc rank → prefix postings → one aggregate) and returns the
-    posting-list products the join WOULD compute, so a production
-    caller can route to the exact prefix join when the estimate is
-    sane and to the banded/anchored probabilistic twin when the
-    corpus is degenerate — the same warn-and-fallback discipline as
-    embedding_banded_pairs' no-contrast BRP guard, but decided
-    BEFORE the expensive stage instead of inside it.
+    """Pre-flight for the exact prefix joins: ESTIMATE the candidate
+    volume without paying the self-join. The r13 ladders showed the
+    exact prefix scheme's one failure mode — a saturated/low-entropy
+    token space (closed-vocab corpora) makes candidate growth
+    super-linear (SCALE.md r13: exponent 2.35 for containment, 3.32
+    for jaccard@0.3 on the 1000-word generator) while Heaps'-law
+    corpora keep it near-linear. This probe turns that caveat into a
+    DECISION INPUT: route to the exact prefix join when the estimate
+    is sane, to the banded/anchored probabilistic twin when the
+    corpus is degenerate — the warn-and-fallback discipline of
+    embedding_banded_pairs' no-contrast BRP guard, decided BEFORE
+    the expensive stage instead of inside it.
 
-    Estimates (upper bounds on pre-positional-filter candidates):
-    - mode="jaccard":      Σ_g C(pref_df_g, 2)   (prefix × prefix)
-    - mode="containment":  Σ_g pref_df_g·(df_g − 1)  (prefix × full,
-      self-matches excluded; counts ordered pairs once per unordered
-      pair at equal rank, so it remains an upper bound)
+    Two tiers, because the router must be CHEAPER than what it
+    routes (measured at 5M docs, SCALE.md r13):
+    - default (exact=False): one explode + one groupBy — NO per-doc
+      rank window, no second corpus pass. Bounds candidates by ALL
+      postings: Σ_g C(df_g, 2) (jaccard) / Σ_g df_g·(df_g − 1)
+      (containment). A strict upper bound on the prefix join's
+      candidates (prefix postings ⊆ postings). Measured at 5M docs:
+      3,956 cpu-s vs the full join's 5,912 (0.67×) — the routing
+      tier. The bound is LOOSE (1.095B at 5M vs the prefix volume's
+      12.5M: common elements dominate Σ C(df,2) but rarely enter
+      prefixes), so it errs toward routing to the banded twin —
+      whose recall-gated output is the acceptable fallback, making
+      the loose direction the safe direction.
+    - exact=True: additionally runs the join's own prefix pipeline
+      (dfreq join → per-doc rank → prefix postings) and reports
+      Σ_g C(pref_df_g, 2) / Σ_g pref_df_g·(df_g − 1) — the exact
+      pre-positional-filter volume (validated: 12,527,370 at 5M docs
+      vs the r12 probe's 12.5M; the positional filter then prunes
+      11-22× below it). Measured 12,550 cpu-s at 5M — MORE than the
+      join itself; this is the calibration tier for ladder analysis,
+      never the router.
 
-    The PPJoin positional filter then prunes 11-22× below these
-    (measured, SCALE.md r13), so the estimate is conservative.
-    Returns a dict: n_docs, postings, prefix_postings, distinct_keys,
-    est_candidates. Cost: one extra aggregate over the prefix
-    pipeline's linear stages; nothing corpus-quadratic can happen
-    here."""
+    Returns a dict: n_docs, postings, distinct_keys,
+    est_candidates_upper (tier 1), and with exact=True also
+    prefix_postings, distinct_prefix_keys, est_candidates_prefix.
+    Inputs are pinned DISK_ONLY for the exact tier (two passes over
+    the exploded postings — same discipline as the joins)."""
     if mode not in ("jaccard", "containment"):
         raise ValueError(f"unknown mode {mode!r}")
     t = max(threshold - 0.01, 0.0)
@@ -701,6 +713,10 @@ def prefix_candidate_stats(
         block_col,
         F.array_distinct(set_col).alias(set_col),
     ).where(F.size(set_col) > 0)
+    if exact:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.DISK_ONLY)
     ex = sh.select(
         F.col(id_col),
         F.col(block_col).alias("_blk"),
@@ -710,17 +726,33 @@ def prefix_candidate_stats(
         ).alias("_g"),
     )
     dfreq = ex.groupBy("_blk", "_g").agg(F.count("*").alias("_df"))
+    if mode == "jaccard":
+        est_all = F.sum(F.col("_df") * (F.col("_df") - 1) / 2)
+    else:
+        est_all = F.sum(F.col("_df") * (F.col("_df") - 1))
+    row = dfreq.agg(
+        F.sum("_df").alias("postings"),
+        F.count("*").alias("distinct_keys"),
+        est_all.cast("double").alias("est_upper"),
+    ).first()
+    out = {
+        "n_docs": sh.count(),
+        "postings": row["postings"],
+        "distinct_keys": row["distinct_keys"],
+        "est_candidates_upper": float(row["est_upper"] or 0.0),
+    }
+    if not exact:
+        return out
     w = Window.partitionBy(id_col).orderBy("_df", "_g")
     plen = (
         F.col("_n")
         - F.floor(F.lit(t) * F.col("_n")).cast("int")
         + F.lit(1)
     )
-    ranked = ex.join(dfreq, ["_blk", "_g"]).withColumn(
-        "_rn", F.row_number().over(w)
-    )
     pref_key = (
-        ranked.where(F.col("_rn") <= plen)
+        ex.join(dfreq.select("_blk", "_g", "_df"), ["_blk", "_g"])
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= plen)
         .groupBy("_blk", "_g")
         .agg(F.count("*").alias("_p"), F.first("_df").alias("_df"))
     )
@@ -728,22 +760,20 @@ def prefix_candidate_stats(
         est = F.sum(F.col("_p") * (F.col("_p") - 1) / 2)
     else:
         est = F.sum(F.col("_p") * (F.col("_df") - 1))
-    row = pref_key.agg(
+    prow = pref_key.agg(
         F.sum("_p").alias("prefix_postings"),
         F.count("*").alias("distinct_prefix_keys"),
-        est.cast("double").alias("est_candidates"),
+        est.cast("double").alias("est_prefix"),
     ).first()
-    base = ex.agg(
-        F.count("*").alias("postings"),
-        F.count_distinct(id_col).alias("n_docs"),
-    ).first()
-    return {
-        "n_docs": base["n_docs"],
-        "postings": base["postings"],
-        "prefix_postings": row["prefix_postings"],
-        "distinct_prefix_keys": row["distinct_prefix_keys"],
-        "est_candidates": float(row["est_candidates"] or 0.0),
-    }
+    sh.unpersist()
+    out.update(
+        {
+            "prefix_postings": prow["prefix_postings"],
+            "distinct_prefix_keys": prow["distinct_prefix_keys"],
+            "est_candidates_prefix": float(prow["est_prefix"] or 0.0),
+        }
+    )
+    return out
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
