@@ -1318,3 +1318,47 @@ def test_prefix_candidate_stats_flags_degenerate_corpus(spark):
     )
     d = dedup_ops.prefix_candidate_stats(disjoint, 0.6, mode="jaccard")
     assert d["est_candidates_upper"] == 0.0
+
+
+def test_prefix_candidate_stats_sampled_router(spark):
+    """The sampled tier-1 router must still separate the two regimes:
+    a saturated corpus reads orders-of-magnitude above a disjoint one
+    after the 1/p² rescale, and the unbiasedness direction is right
+    (sampled estimate within a reasonable factor of the full sum on
+    the saturated corpus, where every key is heavy so variance is
+    low). Also pins the API guards."""
+    import pytest as _pytest
+
+    n = 200
+    same = spark.createDataFrame(
+        [(i, "x", ["a", "b", "c", "d"]) for i in range(n)],
+        "doc_id long, lang string, shingles array<string>",
+    )
+    full = dedup_ops.prefix_candidate_stats(same, 0.6, mode="jaccard")
+    samp = dedup_ops.prefix_candidate_stats(
+        same, 0.6, mode="jaccard", sample_fraction=0.3
+    )
+    assert samp["sampled"] == 0.3
+    # heavy-key corpus: low variance, estimate lands near the truth
+    assert (
+        full["est_candidates_upper"] / 3
+        <= samp["est_candidates_upper"]
+        <= full["est_candidates_upper"] * 3
+    )
+    disjoint = spark.createDataFrame(
+        [(i, "x", [f"u{i}", f"v{i}"]) for i in range(n)],
+        "doc_id long, lang string, shingles array<string>",
+    )
+    dsamp = dedup_ops.prefix_candidate_stats(
+        disjoint, 0.6, mode="jaccard", sample_fraction=0.3
+    )
+    # regime separation survives sampling: >=12x margin
+    assert samp["est_candidates_upper"] >= 12 * max(
+        dsamp["est_candidates_upper"], 1.0
+    )
+    with _pytest.raises(ValueError):
+        dedup_ops.prefix_candidate_stats(
+            same, 0.6, exact=True, sample_fraction=0.5
+        )
+    with _pytest.raises(ValueError):
+        dedup_ops.prefix_candidate_stats(same, 0.6, sample_fraction=0.0)
