@@ -1303,3 +1303,61 @@ def test_cluster_manifest_key_tracks_data_changes(spark, tmp_path):
     k2 = _manifest_key(spark, sf)
     assert k1 != k2
     assert k1[:2] == k2[:2]  # same app + path — the fingerprint moved
+
+
+def test_cluster_manifest_cache_evicts_superseded_fingerprints(
+    spark, tmp_path
+):
+    """r12 ADVICE #1: publishing a manifest for a (app, sf_dir) whose
+    data fingerprint changed must EVICT the stale entry — each dict
+    entry pins an eagerly-checkpointed manifest's blocks in executor
+    storage for the session's life, so without eviction a ladder that
+    rebuilds its corpus per rung retains one multi-million-row
+    manifest per rung. Entries for OTHER sf_dirs must survive."""
+    import os
+    import time as _time
+
+    from vfs_spark.queries import text as text_mod
+    from vfs_spark.queries.text import (
+        _CLUSTER_MANIFEST_CACHE,
+        _manifest_key,
+        cluster_manifest_cached,
+    )
+
+    def _write(sf, n, salt):
+        spark.range(n).selectExpr(
+            "id AS doc_id",
+            f"concat('{salt} corpus text number ', id) AS text",
+            "'en' AS lang",
+            "CAST(20 AS INT) AS n_chars",
+            "'web' AS source",
+        ).write.mode("overwrite").parquet(
+            os.path.join(sf, "documents.parquet")
+        )
+
+    sf_a = str(tmp_path / "a")
+    sf_b = str(tmp_path / "b")
+    _write(sf_a, 12, "alpha")
+    _write(sf_b, 12, "beta")
+    before = dict(_CLUSTER_MANIFEST_CACHE)
+    try:
+        text_mod.q_dedup_clusters(spark, sf_a)
+        text_mod.q_dedup_clusters(spark, sf_b)
+        assert cluster_manifest_cached(spark, sf_a)
+        assert cluster_manifest_cached(spark, sf_b)
+        k_a1 = _manifest_key(spark, sf_a)
+        _time.sleep(0.05)
+        _write(sf_a, 15, "alpha-rewritten")  # fingerprint moves
+        text_mod.q_dedup_clusters(spark, sf_a)
+        # the stale sf_a entry is GONE, the fresh one is present,
+        # and sf_b's entry was not collateral damage
+        assert k_a1 not in _CLUSTER_MANIFEST_CACHE
+        assert cluster_manifest_cached(spark, sf_a)
+        assert cluster_manifest_cached(spark, sf_b)
+        per_dir = [
+            k for k in _CLUSTER_MANIFEST_CACHE if k[1] == sf_a
+        ]
+        assert len(per_dir) == 1
+    finally:
+        _CLUSTER_MANIFEST_CACHE.clear()
+        _CLUSTER_MANIFEST_CACHE.update(before)
