@@ -481,9 +481,17 @@ def _report(
     sf = sf_dir.rstrip("/").split("sf")[-1]
     # cpu_s ≥ 0 is a hard invariant of the snapshot/delta meter; a
     # negative here means the churn-safety fix regressed (r12 shipped
-    # −689.07 cpu-s into the committed artifact).
+    # −689.07 cpu-s into the committed artifact). Report, don't
+    # crash (r13 ADVICE #4): an assert here would abort the merge
+    # AFTER the whole suite ran and discard every wall timing (and
+    # vanish under python -O) — record the offending entries under
+    # errors and keep them out of queries_cpu instead.
     neg = {k: v for k, v in (times_cpu or {}).items() if v < 0}
-    assert not neg, f"negative CPU deltas reached the merge: {neg}"
+    if neg:
+        errors["__cpu_meter__"] = (
+            f"negative CPU deltas reached the merge (meter defect): {neg}"
+        )
+        times_cpu = {k: v for k, v in times_cpu.items() if v >= 0}
     detail = {
         "metric": "headline-suite wall time at sf, cold + best-of-2-warm per query",
         "value": total,

@@ -126,3 +126,26 @@ def test_live_no_churn_tracks_own_burn():
         sum(i * i for i in range(10000))
     delta = cpu_delta_s(before, tree_cpu_snapshot(me))
     assert 0.2 <= delta <= 5.0
+
+
+def test_delta_pid_reuse_does_not_double_count_reaped_predecessor():
+    """r13 ADVICE #1: pid 2 (50 ticks at before) exits, is reaped by
+    pid 1 (its full 60-tick lifetime lands in pid 1's cutime), and
+    the NUMBER 2 is recycled by a new descendant present in after.
+    Because "2 in after", the old exited_before missed its 50
+    pre-window ticks and the delta double-attributed them through
+    reaped_delta. Correct window attribution: pid 1 own +1, reaped
+    predecessor 60 − 50 = 10, recycled pid clamped to 0 (its 3 own
+    ticks are the documented undercount direction)."""
+    before = {1: (10.0, 0.0), 2: (50.0, 0.0)}
+    after = {1: (11.0, 60.0), 2: (3.0, 0.0)}
+    assert cpu_delta_s(before, after) == 11.0 / HZ
+
+
+def test_delta_pid_reuse_unreaped_predecessor_stays_clamped():
+    """Recycled pid whose predecessor was NOT reaped by a survivor
+    (no cutime jump anywhere): the reused-before subtraction must
+    shrink only the reaped correction, never push the total down."""
+    before = {1: (10.0, 0.0), 2: (50.0, 0.0)}
+    after = {1: (11.0, 0.0), 2: (3.0, 0.0)}
+    assert cpu_delta_s(before, after) == 1.0 / HZ

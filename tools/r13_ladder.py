@@ -158,15 +158,26 @@ def main() -> None:
             shutil.rmtree(tmp, ignore_errors=True)
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
+        # durable rung dump FIRST: exponent math on 0.1-rounded values
+        # can hit log(0) on a fast rung and must not lose the rung
+        # rows after all rungs already completed (r13 ADVICE #3); the
+        # exponent block below rewrites the file with exps attached.
+        out_path = os.path.join(REPO, f".r13_ladder_{op}_results.json")
+        with open(out_path, "w") as f:
+            json.dump({"rungs": results, "exponents": []}, f, indent=1)
+
+        def _exp(x0, x1, ratio):
+            if not x0 or not x1:
+                return float("nan")
+            return math.log(x1 / x0) / ratio
+
         exps = []
         for a, b in zip(results, results[1:]):
             ratio = math.log(b["n"] / a["n"])
-            exp_cpu = math.log(b["cpu_s"] / a["cpu_s"]) / ratio
-            exp_wall = math.log(b["wall_s"] / a["wall_s"]) / ratio
-            exp_cand = (
-                math.log(b["candidates"] / a["candidates"]) / ratio
-                if a.get("candidates")
-                else float("nan")
+            exp_cpu = _exp(a["cpu_s"], b["cpu_s"], ratio)
+            exp_wall = _exp(a["wall_s"], b["wall_s"], ratio)
+            exp_cand = _exp(
+                a.get("candidates"), b.get("candidates"), ratio
             )
             exps.append(
                 {
@@ -181,11 +192,7 @@ def main() -> None:
                 f"(gate), wall {exp_wall:.2f}, "
                 f"candidates {exp_cand:.2f}"
             )
-        # durable copy — the first run of this tool lost its rung
-        # rows to console-progress interleaving
-        with open(
-            os.path.join(REPO, f".r13_ladder_{op}_results.json"), "w"
-        ) as f:
+        with open(out_path, "w") as f:
             json.dump({"rungs": results, "exponents": exps}, f, indent=1)
     finally:
         for tmp in tmps:

@@ -75,6 +75,10 @@ def run_rung(spark, tmp: str, n: int, n_batches: int) -> dict:
         q.awaitTermination()
         return spark.read.parquet(dest).count()
 
+    # throughput denominator = rows actually STREAMED (the source
+    # excludes the doc_id < 10 eval docs); dividing the corpus size n
+    # by wall overstated docs/s by the eval fraction (r13 ADVICE #5)
+    streamed = spark.read.parquet(src).count()
     landed, wall, cpu = _timed(spark, drain)
     # batch twin on the SAME corpus for the cost comparison
     _, bwall, bcpu = _timed(
@@ -86,10 +90,11 @@ def run_rung(spark, tmp: str, n: int, n_batches: int) -> dict:
     return {
         "n": n,
         "n_batches": n_batches,
+        "streamed": streamed,
         "landed": landed,
         "wall_s": wall,
         "cpu_s": cpu,
-        "docs_per_s": round(n / wall, 0),
+        "docs_per_s": round(streamed / wall, 0) if wall else None,
         "batch_twin_wall_s": bwall,
         "batch_twin_cpu_s": bcpu,
     }
@@ -125,18 +130,27 @@ def main() -> None:
             shutil.rmtree(tmp, ignore_errors=True)
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
-        for a, b in zip(results, results[1:]):
-            ratio = math.log(b["n"] / a["n"])
-            print(
-                f"exponent {a['n']}->{b['n']}: "
-                f"cpu {math.log(b['cpu_s'] / a['cpu_s']) / ratio:.2f} "
-                f"(gate), wall "
-                f"{math.log(b['wall_s'] / a['wall_s']) / ratio:.2f}"
-            )
+        # durable dump FIRST: exponent math on 0.1-rounded values can
+        # hit log(0) on a fast rung and must not lose the rung rows
+        # after all rungs already completed (r13 ADVICE #3)
         with open(
             os.path.join(REPO, ".streamscale_results.json"), "w"
         ) as f:
             json.dump(results, f, indent=1)
+        for a, b in zip(results, results[1:]):
+            ratio = math.log(b["n"] / a["n"])
+
+            def _exp(x0, x1):
+                if not x0 or not x1:
+                    return float("nan")
+                return math.log(x1 / x0) / ratio
+
+            print(
+                f"exponent {a['n']}->{b['n']}: "
+                f"cpu {_exp(a['cpu_s'], b['cpu_s']):.2f} "
+                f"(gate), wall "
+                f"{_exp(a['wall_s'], b['wall_s']):.2f}"
+            )
     finally:
         for tmp in tmps:
             shutil.rmtree(tmp, ignore_errors=True)

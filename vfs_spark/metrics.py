@@ -144,9 +144,20 @@ def cpu_delta_s(
       the summed reaped-children delta minus what the before-snapshot
       already counted for exited pids recovers the window portion.
       Orphans reaped by init are unattributable and drop to the
-      clamp — an undercount, never a negative."""
+      clamp — an undercount, never a negative.
+    - pid in both but own ticks DROPPED (after < before): the pid
+      number was recycled — the process `before` sampled exited and a
+      NEW descendant took its pid. The clamp already zeroes the bogus
+      negative own-delta, but the EXITED predecessor's pre-window
+      ticks must still join exited_before: if an ancestor reaped it,
+      its full lifetime is inside reaped_delta, and without the
+      subtraction those pre-window ticks double-attribute (r13 ADVICE
+      #1). Same undercount-never-negative direction as orphans: a
+      recycled pid whose predecessor was NOT reaped by a survivor
+      just shrinks the reaped correction."""
     own = 0.0
     reaped_delta = 0.0
+    reused_before = 0.0
     for pid, (t, ct) in after.items():
         b = before.get(pid)
         if b is None:
@@ -154,7 +165,9 @@ def cpu_delta_s(
         else:
             own += max(0.0, t - b[0])
             reaped_delta += max(0.0, ct - b[1])
-    exited_before = sum(
+            if t < b[0]:  # pid-reuse signal: predecessor exited
+                reused_before += b[0]
+    exited_before = reused_before + sum(
         t for pid, (t, _ct) in before.items() if pid not in after
     )
     own += max(0.0, reaped_delta - exited_before)

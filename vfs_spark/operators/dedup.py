@@ -776,16 +776,36 @@ def prefix_candidate_stats(
         F.count("*").alias("distinct_keys"),
         est_all.cast("double").alias("est_upper"),
     ).first()
-    scale = 1.0
+    # All returned magnitudes are in FULL-CORPUS units (r13 ADVICE
+    # #2): in sampled mode n_docs/postings are rescaled by 1/p and
+    # est_candidates_upper by 1/p², so a caller comparing fields
+    # (est vs n_docs², est per doc) never mixes scales. The raw
+    # sampled counts ride along under *_sampled names. distinct_keys
+    # does NOT rescale linearly (heavy keys survive sampling, rare
+    # keys vanish), so sampled mode reports only
+    # distinct_keys_sampled — omitting the full-unit field beats
+    # shipping a silently-wrong one.
+    n_docs_raw = sh.count()
     if sample_fraction is not None and sample_fraction < 1.0:
-        scale = 1.0 / (sample_fraction * sample_fraction)
-    out = {
-        "n_docs": sh.count(),
-        "postings": row["postings"],
-        "distinct_keys": row["distinct_keys"],
-        "est_candidates_upper": float(row["est_upper"] or 0.0) * scale,
-        "sampled": sample_fraction,
-    }
+        p = sample_fraction
+        out = {
+            "n_docs": int(round(n_docs_raw / p)),
+            "postings": int(round((row["postings"] or 0) / p)),
+            "n_docs_sampled": n_docs_raw,
+            "postings_sampled": row["postings"],
+            "distinct_keys_sampled": row["distinct_keys"],
+            "est_candidates_upper": float(row["est_upper"] or 0.0)
+            / (p * p),
+            "sampled": sample_fraction,
+        }
+    else:
+        out = {
+            "n_docs": n_docs_raw,
+            "postings": row["postings"],
+            "distinct_keys": row["distinct_keys"],
+            "est_candidates_upper": float(row["est_upper"] or 0.0),
+            "sampled": sample_fraction,
+        }
     if not exact:
         return out
     w = Window.partitionBy(id_col).orderBy("_df", "_g")
