@@ -192,6 +192,69 @@ def test_rotation_fronts_unpassed_and_stale():
         for slug, rec in json.load(open(path)).items():
             if _is_green_record(rec, oracle_backed=slug in ORACLES):
                 latest[slug] = max(latest.get(slug, 0), rnd)
+    # r14: rotation gained a churn tier — slugs whose source
+    # fingerprint changed since their last green round sort between
+    # never-passed and stale-green (the import-time `changed` set is
+    # stashed because it depends on ROTATION_FP.json state at import)
+    from vfs_spark.queries import _LAST_ROTATION
+
+    changed = _LAST_ROTATION["changed"]
     order = list(QUERIES)
-    keys = [(k in latest, latest.get(k, 0)) for k in order]
+    keys = [
+        (
+            0 if k not in latest else (1 if k in changed else 2),
+            latest.get(k, 0) if (k in latest and k not in changed) else 0,
+        )
+        for k in order
+    ]
     assert keys == sorted(keys), "registry order violates rotation policy"
+
+
+def test_rotation_changed_fingerprint_fronts_slug(tmp_path):
+    """r13 VERDICT task #3: a slug whose implementation changed since
+    its last driver-green round must sort AHEAD of stale-green
+    unchanged slugs (so CORRECTNESS_r{N} re-checks a re-registered
+    plan the round it ships). Simulated by tampering the stored
+    fingerprint of the FRESHEST-green slug — age-only rotation would
+    park it at the very back — and re-running the rotation."""
+    import json
+    import os
+    import shutil
+
+    import vfs_spark
+    import vfs_spark.queries as q
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(vfs_spark.__file__)))
+    fp_path = os.path.join(root, "ROTATION_FP.json")
+    assert os.path.isfile(fp_path), "rotation must persist fingerprints"
+    backup = str(tmp_path / "rotation_fp_backup.json")
+    shutil.copy(fp_path, backup)
+    try:
+        latest = q._LAST_ROTATION["latest_pass"]
+        assert latest, "no driver-green slugs — test would be vacuous"
+        victim = max(latest, key=lambda k: (latest[k], k))
+        stored = json.load(open(fp_path))
+        assert stored[victim]["green_round"] == latest[victim]
+        stored[victim]["fp"] = "0" * 64  # cannot match any real source
+        with open(fp_path, "w") as fh:
+            json.dump(stored, fh)
+        q._rotate_for_driver_coverage()
+        assert victim in q._LAST_ROTATION["changed"]
+        order = list(q.QUERIES)
+        pos = order.index(victim)
+        # ahead of every stale-green unchanged slug
+        unchanged_green = [
+            k
+            for k in order
+            if k in latest
+            and k not in q._LAST_ROTATION["changed"]
+        ]
+        assert unchanged_green, "need unchanged green slugs to compare"
+        assert pos < order.index(unchanged_green[0])
+        # and the tamper was NOT overwritten (green_round unchanged ⇒
+        # the stored snapshot is only recaptured on a NEWER green)
+        assert json.load(open(fp_path))[victim]["fp"] == "0" * 64
+    finally:
+        shutil.copy(backup, fp_path)
+        q._rotate_for_driver_coverage()
+        assert victim not in q._LAST_ROTATION["changed"]

@@ -1362,3 +1362,164 @@ def test_prefix_candidate_stats_sampled_router(spark):
         )
     with _pytest.raises(ValueError):
         dedup_ops.prefix_candidate_stats(same, 0.6, sample_fraction=0.0)
+
+
+# --- r14: candidate-volume router (auto strategy) --------------------
+
+
+def _router_corpus(spark, degenerate: bool):
+    """60 docs. Degenerate = every doc the same 12-word text (closed
+    vocabulary, all-pairs candidate volume — est_prefix/doc ≈ n/2).
+    Open = realistic dup density: docs 0-9 form 5 planted duplicate
+    PAIRS (doc 2k ≡ doc 2k+1), docs 10-59 each carry their own 12
+    words — est_prefix/doc ≈ 0.8, the Heaps'-law-corpus shape."""
+    rows = []
+    for i in range(60):
+        if degenerate:
+            g = 0
+        elif i < 10:
+            g = 1000 + i // 2  # planted pair groups
+        else:
+            g = i  # unique vocabulary per doc
+        words = " ".join(f"g{g}w{j}" for j in range(12))
+        rows.append((i, "en", words))
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+
+
+def test_route_prefix_join_separates_planted_regimes(spark):
+    """r13 VERDICT task #1 'Done' gate: a degenerate (closed-vocab)
+    corpus routes to the banded twin, an open-vocab corpus stays on
+    the exact prefix join — decided by the tier-1.5 prefix-candidate
+    estimate, with the absolute floor overridden to fixture scale
+    (the default 10⁷ floor exists precisely so real fixtures never
+    route banded)."""
+    deg = _router_corpus(spark, degenerate=True).select(
+        "doc_id", "lang", word_shingles("text").alias("shingles")
+    )
+    r = dedup_ops.route_prefix_join(
+        deg, 0.3, mode="jaccard", min_total=100.0
+    )
+    assert r["strategy"] == "banded"
+    assert r["est_prefix"] > 100.0
+    assert r["est_prefix_per_doc"] > dedup_ops.PREFIX_ROUTER_MAX_PREFIX_PER_DOC
+
+    open_ = _router_corpus(spark, degenerate=False).select(
+        "doc_id", "lang", word_shingles("text").alias("shingles")
+    )
+    ro = dedup_ops.route_prefix_join(
+        open_, 0.3, mode="jaccard", min_total=100.0
+    )
+    assert ro["strategy"] == "exact"
+    # and with DEFAULT constants even the degenerate toy corpus stays
+    # exact: 60 docs cannot cross the absolute floor (documented:
+    # small corpora are always cheapest run exactly)
+    rd = dedup_ops.route_prefix_join(deg, 0.3, mode="jaccard")
+    assert rd["strategy"] == "exact"
+
+
+def test_jaccard_pairs_auto_fallback_warns_and_matches_planted(spark):
+    """The banded fallback must (a) fire with a RuntimeWarning, (b)
+    emit the exact path's schema, and (c) find every planted
+    exact-duplicate pair (J=1.0 collides under every MinHash band,
+    so recall on identical copies is deterministic)."""
+    import warnings as _w
+
+    docs = _router_corpus(spark, degenerate=True)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        pairs = dedup_ops.jaccard_pairs_auto(
+            docs, 0.3, min_total=100.0
+        )
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in pairs.where(F.col("jaccard") >= 0.3).collect()
+        }
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "jaccard_pairs_auto" in str(w.message)
+        for w in rec
+    ), "fallback must warn"
+    assert set(pairs.columns) == {"doc_a", "doc_b", "jaccard"}
+    # degenerate corpus: ALL C(60,2) identical pairs
+    assert got == {(a, b) for a in range(60) for b in range(60) if a < b}
+
+
+def test_jaccard_pairs_auto_exact_route_is_oracle_identical(spark):
+    """On the open corpus the auto path must route exact and emit
+    exactly the brute-force pair set (no warning)."""
+    import warnings as _w
+
+    docs = _router_corpus(spark, degenerate=False)
+    truth = exact_jaccard_pairs(docs, 0.3)
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup_ops.jaccard_pairs_auto(docs, 0.3, min_total=100.0)
+            .where(F.col("jaccard") >= 0.3)
+            .collect()
+        }
+    assert truth and got == truth
+
+
+def test_containment_pairs_auto_both_routes(spark):
+    """Containment twin of the auto tests: exact route matches the
+    brute-force containment pair set on the open corpus; banded
+    route on the degenerate corpus warns, emits the exact schema
+    (inter_size/min_size counts), and finds every identical pair
+    (identical docs always share an anchor: every shingle is
+    common, and SOME shingle hash ≡ 0 mod 4 with prob 1−(3/4)^m —
+    m=10 shingles ⇒ miss 5.6%; the planted corpus uses one shared
+    text so a single anchor covers all pairs deterministically for
+    a fixed hash family — asserted ≥ 90% of pairs to stay
+    seed-robust)."""
+    import warnings as _w
+
+    open_docs = _router_corpus(spark, degenerate=False)
+    sh = open_docs.select(
+        "doc_id", "lang", word_shingles("text").alias("shingles")
+    )
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ops.containment_pairs_prefix(sh, 0.6)
+        .where(
+            (F.col("min_size") > 0)
+            & (5 * F.col("inter_size") >= 3 * F.col("min_size"))
+        )
+        .collect()
+    }
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup_ops.containment_pairs_auto(
+                open_docs, 0.6, min_total=100.0
+            )
+            .where(
+                (F.col("min_size") > 0)
+                & (5 * F.col("inter_size") >= 3 * F.col("min_size"))
+            )
+            .collect()
+        }
+    assert truth and got == truth
+
+    deg = _router_corpus(spark, degenerate=True)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        fb = dedup_ops.containment_pairs_auto(deg, 0.6, min_total=100.0)
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in fb.where(
+                5 * F.col("inter_size") >= 3 * F.col("min_size")
+            ).collect()
+        }
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "containment_pairs_auto" in str(w.message)
+        for w in rec
+    )
+    assert set(fb.columns) == {"doc_a", "doc_b", "inter_size", "min_size"}
+    all_pairs = {(a, b) for a in range(60) for b in range(60) if a < b}
+    assert len(pairs & all_pairs) >= 0.9 * len(all_pairs)

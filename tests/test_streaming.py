@@ -746,3 +746,107 @@ def test_stream_curation_seen_url_blocks_even_if_winner_fails_quality(
         ) else 0
     )
     assert landed == 0  # 92 failed quality; 184 blocked by seen URL
+
+
+# --- r14: fp Bloom sidecar (cross-batch dedup decoupled from history) --
+
+
+def test_fp_bloom_sidecar_membership_and_reload(spark, tmp_path):
+    """Added fps must ALL test positive (no false negatives — the
+    correctness direction), fresh fps must be mostly negative at this
+    fill level, and a reloaded sidecar (fresh object, same files)
+    must agree bit-for-bit. A mismatched n_bits must refuse to load
+    (degrade-to-rescan, never trust a resized filter)."""
+    from pyspark.sql import functions as F
+    from vfs_spark.streaming.ingest import FpBloomSidecar
+
+    store = str(tmp_path / "store")
+    sc = FpBloomSidecar(store, n_bits=1 << 16)
+    assert sc.load() is None
+    added = spark.range(500).select(
+        F.concat(F.lit("fp"), F.col("id")).alias("fp")
+    )
+    sc.add(added)
+    flagged = sc.with_hit_column(added)
+    assert flagged.where(~F.col("_bloomhit")).count() == 0
+
+    fresh = spark.range(500, 1500).select(
+        F.concat(F.lit("fp"), F.col("id")).alias("fp")
+    )
+    sc2 = FpBloomSidecar(store, n_bits=1 << 16)  # reload from disk
+    assert sc2.load() is not None
+    fp_rate = (
+        sc2.with_hit_column(fresh).where(F.col("_bloomhit")).count() / 1000
+    )
+    # 500 keys × 3 seeds in 65536 bits → theoretical fp ≈ 0.001%
+    assert fp_rate < 0.05
+
+    assert FpBloomSidecar(store, n_bits=1 << 17).load() is None
+
+
+def test_stream_corpus_ingest_rebuilds_missing_sidecar(
+    spark, sf_dir, tmp_path
+):
+    """A pre-existing store WITHOUT a sidecar (or with a deleted one)
+    must still dedup exactly — the batch falls back to the full
+    rescan and REBUILDS the sidecar from historic fps, so a replayed
+    source adds zero rows both before and after the rebuild."""
+    import os
+    import shutil
+
+    from vfs_spark.streaming.ingest import (
+        read_document_stream,
+        stream_corpus_ingest,
+    )
+
+    dest = str(tmp_path / "corpus")
+    q = stream_corpus_ingest(
+        read_document_stream(spark, sf_dir), dest, str(tmp_path / "c1")
+    )
+    q.awaitTermination()
+    n0 = spark.read.parquet(dest).count()
+    sidecar_dir = dest.rstrip("/") + "_fpbloom"
+    assert os.path.isdir(sidecar_dir), "ingest must write the sidecar"
+    shutil.rmtree(sidecar_dir)
+
+    # replay with the sidecar GONE: full-rescan fallback dedups, and
+    # the sidecar is rebuilt covering the historic fps
+    q2 = stream_corpus_ingest(
+        read_document_stream(spark, sf_dir), dest, str(tmp_path / "c2")
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(dest).count() == n0
+    assert os.path.isdir(sidecar_dir)
+
+    # and a THIRD replay now rides the rebuilt bloom: still zero adds
+    q3 = stream_corpus_ingest(
+        read_document_stream(spark, sf_dir), dest, str(tmp_path / "c3")
+    )
+    q3.awaitTermination()
+    assert spark.read.parquet(dest).count() == n0
+
+
+def test_stream_corpus_ingest_bloom_off_matches_on(spark, sf_dir, tmp_path):
+    """bloom_bits=0 (the A/B control) must land the identical doc
+    set: the sidecar is a pure routing optimization, never a
+    semantics change."""
+    from vfs_spark.streaming.ingest import (
+        read_document_stream,
+        stream_corpus_ingest,
+    )
+
+    on, off = str(tmp_path / "on"), str(tmp_path / "off")
+    for dest, ck, bits in ((on, "ck_on", 1 << 24), (off, "ck_off", 0)):
+        q = stream_corpus_ingest(
+            read_document_stream(spark, sf_dir),
+            dest,
+            str(tmp_path / ck),
+            bloom_bits=bits,
+        )
+        q.awaitTermination()
+    got_on = {r["doc_id"] for r in spark.read.parquet(on).collect()}
+    got_off = {r["doc_id"] for r in spark.read.parquet(off).collect()}
+    assert got_on == got_off and got_on
+    import os
+
+    assert not os.path.isdir(off.rstrip("/") + "_fpbloom")

@@ -55,6 +55,51 @@ def build_corpus(spark, tmp, n_docs):
     docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
 
 
+def build_corpus_heaps(spark, tmp, n_docs):
+    """Open-vocabulary twin of build_corpus (r13 VERDICT task #4):
+    word ranks drawn Zipf(s=1) from a 10⁶-type vocabulary via inverse
+    CDF — rank = ⌊V^u⌋ with u uniform in [0,1), so P(rank r) ∝ 1/r —
+    which reproduces the two properties of real text the closed
+    1000-word generator lacks: a Heaps'-law distinct-vocabulary curve
+    (sublinear type growth as the corpus grows) and a long low-df
+    tail of word 3-grams. The r13 exact-prefix ladders ran only on
+    the closed generator, so their candidate exponents (2.35–3.32)
+    measure generator SATURATION; this corpus is the realistic-data
+    axis that separates operator scaling from vocabulary collapse.
+    The Zipf head doubles as the stopword mass (rank 1 ≈ 7% of
+    tokens, ≈ natural-language 'the'), so no separate stopword branch
+    is needed. Planted near-dup structure (eff: last 1% of docs
+    mirror the first 1%) and all non-text columns are IDENTICAL to
+    build_corpus — A/B rows differ only in the vocabulary law."""
+    cut = int(n_docs * 0.99)
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                f"CASE WHEN id >= {cut} THEN id - {cut} ELSE id END"
+            ).alias("eff"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "array_join(transform(sequence(1, 30), i -> "
+                "concat('z', cast(cast(pow(1000000.0, "
+                "(abs(xxhash64(eff * 31 + i)) % 1000000) / 1000000.0"
+                ") as bigint) as string))), ' ')"
+            ).alias("text"),
+            F.expr(
+                "CASE WHEN abs(xxhash64(doc_id * 13)) % 100 < 70 "
+                "THEN 'web' WHEN abs(xxhash64(doc_id * 13)) % 100 < 95 "
+                "THEN 'news' ELSE 'books' END"
+            ).alias("source"),
+            F.lit("en").alias("lang"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+
+
 def build_embeddings(spark, tmp, n_docs):
     """Id-aligned synthetic embeddings (64-dim, hash-derived); planted
     dups share vectors the way they share text (eff, not id). One

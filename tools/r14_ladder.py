@@ -1,0 +1,235 @@
+"""Round-14 ladder rungs (r13 VERDICT tasks #4/#5):
+
+- ``containment_heaps`` / ``clusters_heaps`` — the r13 exact-prefix
+  ladders re-run on the OPEN-VOCABULARY Heaps'-law corpus
+  (tools/curation_ab.build_corpus_heaps, Zipf(1) word ranks over 10⁶
+  types). The r13 rungs ran only on the closed 1000-word generator,
+  so their candidate exponents (2.35 containment / 3.32 jaccard)
+  measure generator saturation; these rungs are the realistic-data
+  axis that validates (or refutes) the claimed near-linear candidate
+  growth of the exact prefix joins on Heaps'-law data.
+- ``router_probe`` — the calibration series for the candidate-volume
+  router (operators/dedup.prefix_candidate_stats, sampled tier 1 at
+  p=0.01): est_candidates_upper per doc on BOTH generators at each
+  rung, next to the probe's own cpu cost. The route-to-banded cutoff
+  (operators/dedup.PREFIX_ROUTER_MAX_EST_PER_DOC) is pinned from
+  this table — see SCALE.md r14.
+
+Protocol: identical to tools/r13_ladder.py — same-session ladder,
+zstd shuffle/spill, per-rung scratch reclamation, exponents gated on
+CPU (snapshot/delta meter), durable JSON dump BEFORE exponent math
+(r13 ADVICE #3).
+
+Usage: python tools/r14_ladder.py containment_heaps [sizes_csv]
+       python tools/r14_ladder.py clusters_heaps [sizes_csv]
+       python tools/r14_ladder.py router_probe [sizes_csv]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+DEFAULT_SIZES = {
+    "containment_heaps": "2500000,5000000,10000000",
+    "clusters_heaps": "2500000,5000000,10000000",
+    "router_probe": "2500000,5000000",
+}
+
+
+def _timed(spark, fn):
+    from vfs_spark.metrics import cpu_delta_s, cpu_snapshot
+
+    s0 = cpu_snapshot(spark)
+    t0 = time.time()
+    out = fn()
+    wall = time.time() - t0
+    return (
+        out,
+        round(wall, 1),
+        round(cpu_delta_s(s0, cpu_snapshot(spark)), 1),
+    )
+
+
+def _shingled(spark, tmp):
+    from vfs_spark.functions.text import word_shingles
+
+    docs = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
+    return docs.select(
+        "doc_id", "lang", word_shingles("text").alias("shingles")
+    )
+
+
+def run_containment_heaps(spark, tmp: str, n: int) -> dict:
+    from tools.curation_ab import build_corpus_heaps
+    from vfs_spark.operators.dedup import containment_pairs_prefix
+
+    build_corpus_heaps(spark, tmp, n)
+    sh = _shingled(spark, tmp)
+    pairs, wall, cpu = _timed(
+        spark,
+        lambda: containment_pairs_prefix(sh, threshold=0.6),
+    )
+    candidates = pairs.count()
+    qualifying = pairs.where(
+        5 * F.col("inter_size") >= 3 * F.col("min_size")
+    ).count()
+    return {
+        "n": n,
+        "corpus": "heaps",
+        "candidates": candidates,
+        "qualifying": qualifying,
+        "wall_s": wall,
+        "cpu_s": cpu,
+    }
+
+
+def run_clusters_heaps(spark, tmp: str, n: int) -> dict:
+    from tools.curation_ab import build_corpus_heaps
+    from vfs_spark.operators.dedup import jaccard_pairs_prefix
+    from vfs_spark.queries import QUERIES
+
+    build_corpus_heaps(spark, tmp, n)
+    rows, wall, cpu = _timed(
+        spark, lambda: QUERIES["dedup_clusters"](spark, tmp).count()
+    )
+    sh = _shingled(spark, tmp)
+    candidates = jaccard_pairs_prefix(sh, threshold=0.3).count()
+    return {
+        "n": n,
+        "corpus": "heaps",
+        "rows": rows,
+        "candidates": candidates,
+        "wall_s": wall,
+        "cpu_s": cpu,
+    }
+
+
+def run_router_probe(spark, tmp: str, n: int) -> dict:
+    """Sampled tier-1 probe (p=0.01) for both modes on BOTH
+    generators at this rung — the router-calibration row. est/doc is
+    the routing statistic; the saturated and heaps columns at the
+    same n are the two regimes the cutoff must separate."""
+    from tools.curation_ab import build_corpus, build_corpus_heaps
+    from vfs_spark.operators.dedup import prefix_candidate_stats
+
+    out: dict = {"n": n}
+    for corpus, builder in (
+        ("saturated", build_corpus),
+        ("heaps", build_corpus_heaps),
+    ):
+        cdir = os.path.join(tmp, corpus)
+        builder(spark, cdir, n)
+        sh = _shingled(spark, cdir)
+        for mode, thr in (("jaccard", 0.3), ("containment", 0.6)):
+            stats, wall, cpu = _timed(
+                spark,
+                lambda sh=sh, mode=mode, thr=thr: prefix_candidate_stats(
+                    sh, thr, mode=mode, sample_fraction=0.01
+                ),
+            )
+            nd = max(stats["n_docs"], 1)
+            out[f"{corpus}_{mode}"] = {
+                "est_upper": stats["est_candidates_upper"],
+                "est_prefix": stats["est_candidates_prefix"],
+                "n_docs": stats["n_docs"],
+                "est_per_doc": round(
+                    stats["est_candidates_upper"] / nd, 2
+                ),
+                # the ROUTING statistic (tier 1.5) — tier-1 est/doc
+                # does not separate the regimes (r14 probe)
+                "est_prefix_per_doc": round(
+                    stats["est_candidates_prefix"] / nd, 3
+                ),
+                "probe_wall_s": wall,
+                "probe_cpu_s": cpu,
+            }
+        shutil.rmtree(cdir, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    ops = {
+        "containment_heaps": run_containment_heaps,
+        "clusters_heaps": run_clusters_heaps,
+        "router_probe": run_router_probe,
+    }
+    if len(sys.argv) < 2 or sys.argv[1] not in ops:
+        sys.exit(f"usage: r14_ladder.py {'|'.join(ops)} [sizes_csv]")
+    op = sys.argv[1]
+    sizes = [
+        int(x)
+        for x in (
+            sys.argv[2] if len(sys.argv) > 2 else DEFAULT_SIZES[op]
+        ).split(",")
+    ]
+    from vfs_spark.session import get_spark
+
+    spark = get_spark(
+        f"r14-ladder-{op}",
+        extra_conf={
+            "spark.io.compression.codec": "zstd",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    tmps = []
+    out_path = os.path.join(REPO, f".r14_ladder_{op}_results.json")
+    try:
+        for n in sizes:
+            tmp = os.path.join(REPO, f".r14_ladder_tmp_{op}_{n}")
+            tmps.append(tmp)
+            shutil.rmtree(tmp, ignore_errors=True)
+            r = ops[op](spark, tmp, n)
+            results.append(r)
+            print(json.dumps(r), flush=True)
+            # durable dump after EVERY rung: a later rung dying (the
+            # r13 20M spill kill) must not lose completed rows
+            with open(out_path, "w") as f:
+                json.dump({"rungs": results, "exponents": []}, f, indent=1)
+            shutil.rmtree(tmp, ignore_errors=True)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        if op == "router_probe":
+            return  # probe rows carry no exponent axis
+
+        def _exp(x0, x1, ratio):
+            if not x0 or not x1:
+                return float("nan")
+            return math.log(x1 / x0) / ratio
+
+        exps = []
+        for a, b in zip(results, results[1:]):
+            ratio = math.log(b["n"] / a["n"])
+            e = {
+                "rungs": f"{a['n']}->{b['n']}",
+                "cpu": round(_exp(a["cpu_s"], b["cpu_s"], ratio), 2),
+                "wall": round(_exp(a["wall_s"], b["wall_s"], ratio), 2),
+                "candidates": round(
+                    _exp(a.get("candidates"), b.get("candidates"), ratio), 2
+                ),
+            }
+            exps.append(e)
+            print(
+                f"exponent {e['rungs']}: cpu {e['cpu']} (gate), "
+                f"wall {e['wall']}, candidates {e['candidates']}"
+            )
+        with open(out_path, "w") as f:
+            json.dump({"rungs": results, "exponents": exps}, f, indent=1)
+    finally:
+        for tmp in tmps:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,9 @@ def _timed(spark, fn):
     )
 
 
-def run_rung(spark, tmp: str, n: int, n_batches: int) -> dict:
+def run_rung(
+    spark, tmp: str, n: int, n_batches: int, bloom_bits: int = 1 << 24
+) -> dict:
     from tools.curation_ab import build_corpus
     from vfs_spark.queries import QUERIES
     from vfs_spark.streaming.ingest import stream_corpus_ingest
@@ -71,7 +73,9 @@ def run_rung(spark, tmp: str, n: int, n_batches: int) -> dict:
     ckpt = os.path.join(tmp, "ckpt")
 
     def drain():
-        q = stream_corpus_ingest(stream, dest, ckpt, eval_docs=eval_docs)
+        q = stream_corpus_ingest(
+            stream, dest, ckpt, eval_docs=eval_docs, bloom_bits=bloom_bits
+        )
         q.awaitTermination()
         return spark.read.parquet(dest).count()
 
@@ -90,6 +94,7 @@ def run_rung(spark, tmp: str, n: int, n_batches: int) -> dict:
     return {
         "n": n,
         "n_batches": n_batches,
+        "bloom_bits": bloom_bits,
         "streamed": streamed,
         "landed": landed,
         "wall_s": wall,
@@ -101,13 +106,29 @@ def run_rung(spark, tmp: str, n: int, n_batches: int) -> dict:
 
 
 def main() -> None:
+    """streamscale.py [sizes_csv] [n_batches | size=B] [nobloom]
+
+    The second arg picks the ladder AXIS: a plain integer holds the
+    batch COUNT fixed (batches grow with n — the r13 protocol whose
+    1.36 cpu exponent exposed the per-batch store rescan), while
+    ``size=B`` holds the batch SIZE fixed (count grows with n — the
+    axis on which the fp Bloom sidecar must make total cost ~linear,
+    r13 VERDICT task #2's 'Done' gate). ``nobloom`` runs the
+    full-rescan control (bloom_bits=0)."""
     sizes = [
         int(x)
         for x in (
             sys.argv[1] if len(sys.argv) > 1 else "1000000,2000000"
         ).split(",")
     ]
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    batch_size = None
+    n_batches = 10
+    if len(sys.argv) > 2:
+        if sys.argv[2].startswith("size="):
+            batch_size = int(sys.argv[2].split("=", 1)[1])
+        else:
+            n_batches = int(sys.argv[2])
+    bloom_bits = 0 if "nobloom" in sys.argv[3:] else (1 << 24)
     from vfs_spark.session import get_spark
 
     spark = get_spark(
@@ -124,7 +145,12 @@ def main() -> None:
             tmp = os.path.join(REPO, f".streamscale_tmp_{n}")
             tmps.append(tmp)
             shutil.rmtree(tmp, ignore_errors=True)
-            r = run_rung(spark, tmp, n, n_batches)
+            nb = (
+                max(1, -(-n // batch_size))
+                if batch_size is not None
+                else n_batches
+            )
+            r = run_rung(spark, tmp, n, nb, bloom_bits=bloom_bits)
             results.append(r)
             print(json.dumps(r), flush=True)
             shutil.rmtree(tmp, ignore_errors=True)
@@ -133,8 +159,11 @@ def main() -> None:
         # durable dump FIRST: exponent math on 0.1-rounded values can
         # hit log(0) on a fast rung and must not lose the rung rows
         # after all rungs already completed (r13 ADVICE #3)
+        tag = (
+            f"size{batch_size}" if batch_size is not None else f"nb{n_batches}"
+        ) + ("_nobloom" if not bloom_bits else "")
         with open(
-            os.path.join(REPO, ".streamscale_results.json"), "w"
+            os.path.join(REPO, f".streamscale_{tag}_results.json"), "w"
         ) as f:
             json.dump(results, f, indent=1)
         for a, b in zip(results, results[1:]):

@@ -716,7 +716,25 @@ def prefix_candidate_stats(
     (test-pinned at 12× separation margin on a 200-doc corpus; at
     production scale millions of sampled docs make the relative error
     tiny). Incompatible with exact=True (the prefix tier's per-doc
-    ranks are not sample-invariant).
+    ranks are not sample-invariant, so the EXACT calibration tier is
+    full-corpus only).
+
+    Sampled mode additionally reports ``est_candidates_prefix``
+    (r14): the prefix pipeline (df join → per-doc rank → prefix
+    postings → Σ C(pref_df,2) / Σ pref_df·(df−1)) run ON THE SAMPLE
+    and rescaled 1/p². This is the statistic that actually predicts
+    the join's cost — the r14 probe showed tier-1's Σ C(df,2)/doc is
+    ~IDENTICAL on saturated and Heaps'-law corpora at equal n (224
+    vs 252 at 5M: the Zipf head dominates the sum on both, and head
+    keys never enter prefixes), so tier 1 alone cannot route. The
+    sampled prefix estimate is approximate in a second way: prefix
+    MEMBERSHIP is decided by sampled dfs (≈ Binomial(df, p)), whose
+    ordering tracks the full-corpus ordering closely at both ends
+    (heavy keys stay heavy → stay excluded; df=1 tail ties break on
+    the same value hash) with mid-range noise — order-of-magnitude
+    fidelity, which is all routing needs (validated vs the r13
+    full-exact anchor: sampled 14.0M vs true 12.53M at 5M docs,
+    +12%). Costs one extra pass over the 1%-sample postings.
 
     Returns a dict: n_docs, postings, distinct_keys,
     est_candidates_upper (tier 1), and with exact=True also
@@ -798,6 +816,29 @@ def prefix_candidate_stats(
             / (p * p),
             "sampled": sample_fraction,
         }
+        # tier 1.5: the prefix-aware estimate, on the sample (the
+        # ROUTING statistic — see docstring; one extra pass over the
+        # 1%-sample postings, so it rides every sampled probe)
+        w = Window.partitionBy(id_col).orderBy("_df", "_g")
+        plen = (
+            F.col("_n")
+            - F.floor(F.lit(t) * F.col("_n")).cast("int")
+            + F.lit(1)
+        )
+        pref_key = (
+            ex.join(dfreq.select("_blk", "_g", "_df"), ["_blk", "_g"])
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= plen)
+            .groupBy("_blk", "_g")
+            .agg(F.count("*").alias("_p"), F.first("_df").alias("_df"))
+        )
+        if mode == "jaccard":
+            pest = F.sum(F.col("_p") * (F.col("_p") - 1) / 2)
+        else:
+            pest = F.sum(F.col("_p") * (F.col("_df") - 1))
+        prow = pref_key.agg(pest.cast("double").alias("e")).first()
+        out["est_candidates_prefix"] = float(prow["e"] or 0.0) / (p * p)
+        return out
     else:
         out = {
             "n_docs": n_docs_raw,
@@ -839,6 +880,229 @@ def prefix_candidate_stats(
         }
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Candidate-volume router (r13 VERDICT task #1/#5): the exact prefix
+# joins' one failure mode — degenerate/saturated vocabulary making
+# candidate generation super-linear (r13 ladder: jaccard killed at a
+# 49 GB scratch spill at 20M docs on the closed-vocab corpus) — gets
+# a measured pre-flight DECISION instead of a docstring caveat.
+#
+# Routing statistic: est_candidates_prefix (tier 1.5 of
+# prefix_candidate_stats) — the pre-positional-filter volume of the
+# join itself. Tier-1's Σ C(df,2) cannot route: the r14 probe
+# measured it ~IDENTICAL per doc on saturated vs Heaps'-law corpora
+# at equal n (224 vs 252 at 5M docs) because the Zipf head dominates
+# the sum on both and head keys never enter prefixes.
+#
+# Decision rule (constants calibrated from the r14 ladder — SCALE.md):
+# route to the probabilistic twin iff the estimated prefix-candidate
+# volume exceeds BOTH
+#   - PREFIX_ROUTER_MIN_TOTAL (absolute floor: below ~10⁷ generated
+#     candidates even a skew-heavy join is minutes of one node's
+#     work — fixtures and small corpora always stay exact), AND
+#   - PREFIX_ROUTER_MAX_PREFIX_PER_DOC × n_docs (the per-doc rate
+#     that separates the measured regimes; see SCALE.md r14 table).
+# Loose-direction safety: the fallback twins are recall-gated
+# (RECALL_r*.json), so a false "degenerate" routes to an acceptable
+# probabilistic path; a false "fine" merely pays spill the ladder
+# already survived at 10M docs.
+
+PREFIX_ROUTER_SAMPLE_FRACTION = 0.01
+PREFIX_ROUTER_TARGET_SAMPLED_DOCS = 50_000
+PREFIX_ROUTER_SMALL_CORPUS_DOCS = 200_000
+PREFIX_ROUTER_MIN_TOTAL = 10_000_000.0
+PREFIX_ROUTER_MAX_PREFIX_PER_DOC = 5.0
+
+
+def route_prefix_join(
+    sh: DataFrame,
+    threshold: float,
+    mode: str = "jaccard",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    set_col: str = "shingles",
+    max_prefix_per_doc: float | None = None,
+    min_total: float | None = None,
+    sample_fraction: float | None = None,
+) -> dict:
+    """Pre-flight routing decision for an exact prefix self-join.
+
+    Probes the corpus with prefix_candidate_stats — EXACT tier on
+    small corpora (≤ PREFIX_ROUTER_SMALL_CORPUS_DOCS, where the full
+    prefix pipeline costs seconds), sampled tier 1.5 above it (p
+    chosen so ~PREFIX_ROUTER_TARGET_SAMPLED_DOCS docs are probed,
+    floored at PREFIX_ROUTER_SAMPLE_FRACTION — the 73-cpu-s shape
+    measured at 5M docs in r13) — and applies the calibrated
+    decision rule documented above. Returns a dict with ``strategy``
+    ('exact' | 'banded'), the probed ``stats``, and the two decision
+    inputs (``est_prefix``, ``est_prefix_per_doc``)."""
+    cap = (
+        PREFIX_ROUTER_MAX_PREFIX_PER_DOC
+        if max_prefix_per_doc is None
+        else max_prefix_per_doc
+    )
+    floor = PREFIX_ROUTER_MIN_TOTAL if min_total is None else min_total
+    n = sh.where(F.size(set_col) > 0).count()
+    if sample_fraction is None:
+        if n <= PREFIX_ROUTER_SMALL_CORPUS_DOCS:
+            sample_fraction = None  # exact tier
+        else:
+            sample_fraction = min(
+                1.0,
+                max(
+                    PREFIX_ROUTER_SAMPLE_FRACTION,
+                    PREFIX_ROUTER_TARGET_SAMPLED_DOCS / n,
+                ),
+            )
+    elif sample_fraction >= 1.0:
+        sample_fraction = None
+    stats = prefix_candidate_stats(
+        sh,
+        threshold,
+        mode=mode,
+        id_col=id_col,
+        block_col=block_col,
+        set_col=set_col,
+        exact=sample_fraction is None,
+        sample_fraction=sample_fraction,
+    )
+    est_prefix = float(stats["est_candidates_prefix"])
+    per_doc = est_prefix / max(n, 1)
+    banded = est_prefix > floor and per_doc > cap
+    return {
+        "strategy": "banded" if banded else "exact",
+        "est_prefix": est_prefix,
+        "est_prefix_per_doc": per_doc,
+        "n_docs": n,
+        "cap_per_doc": cap,
+        "min_total": floor,
+        "stats": stats,
+    }
+
+
+def jaccard_pairs_auto(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    text_col: str = "text",
+    route: dict | None = None,
+    max_prefix_per_doc: float | None = None,
+    min_total: float | None = None,
+) -> DataFrame:
+    """Jaccard near-dup pairs with AUTO strategy (r13 VERDICT task
+    #1): run route_prefix_join's measured pre-flight, then the exact
+    prefix join (jaccard_pairs_prefix — oracle-identical output) when
+    the candidate estimate is sane, or warn-and-fall-back to the
+    recall-gated banded twin (minhash_native_pairs, n_hashes=8
+    band_r=2 — the r12-calibrated operating point) on a
+    degenerate-vocabulary corpus that would spill the exact join to
+    death (the embedding_banded_pairs BRP no-contrast discipline,
+    decided BEFORE the expensive stage). Both paths emit
+    (doc_a, doc_b, jaccard); the exact path is unfiltered (callers
+    apply their threshold predicate), the banded path is pre-filtered
+    at ``threshold``, so a caller's ``jaccard >= t`` filter is
+    correct on either. ``route`` lets a caller pass a precomputed /
+    cached decision (the query layer probes once per corpus and
+    shares it across the jaccard-family slugs)."""
+    sh = docs.select(
+        id_col, block_col, word_shingles(text_col).alias("shingles")
+    )
+    if route is None:
+        route = route_prefix_join(
+            sh,
+            threshold,
+            mode="jaccard",
+            id_col=id_col,
+            block_col=block_col,
+            max_prefix_per_doc=max_prefix_per_doc,
+            min_total=min_total,
+        )
+    if route["strategy"] == "exact":
+        return jaccard_pairs_prefix(
+            sh, threshold, id_col=id_col, block_col=block_col
+        )
+    import warnings
+
+    warnings.warn(
+        "jaccard_pairs_auto: estimated prefix-candidate volume "
+        f"{route['est_prefix']:.3g} ({route['est_prefix_per_doc']:.1f}"
+        f"/doc over {route['n_docs']} docs) exceeds the calibrated "
+        "single-node envelope — falling back to the recall-gated "
+        "banded MinHash twin (exact-verified candidates, "
+        "probabilistic recall; see RECALL_r*.json)",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return minhash_native_pairs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        jaccard_threshold=threshold,
+        n_hashes=8,
+        band_r=2,
+    )
+
+
+def containment_pairs_auto(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    text_col: str = "text",
+    route: dict | None = None,
+    max_prefix_per_doc: float | None = None,
+    min_total: float | None = None,
+) -> DataFrame:
+    """Containment near-dup pairs with AUTO strategy — the
+    jaccard_pairs_auto discipline for the asymmetric join: exact
+    containment_pairs_prefix when the pre-flight estimate is sane,
+    warn-and-fall-back to the anchored sampler
+    (containment_pairs_anchored, emit='counts') on a degenerate
+    corpus. Both paths emit (doc_a, doc_b, inter_size, min_size) in
+    exact integer arithmetic; the exact path is unfiltered, the
+    anchored path pre-filtered at ``threshold`` — a caller's integer
+    predicate is correct on either. NOTE the anchored path is
+    UNBLOCKED (no block_col) — the documented semantics of the
+    probabilistic twin."""
+    sh = docs.select(
+        id_col, block_col, word_shingles(text_col).alias("shingles")
+    )
+    if route is None:
+        route = route_prefix_join(
+            sh,
+            threshold,
+            mode="containment",
+            id_col=id_col,
+            block_col=block_col,
+            max_prefix_per_doc=max_prefix_per_doc,
+            min_total=min_total,
+        )
+    if route["strategy"] == "exact":
+        return containment_pairs_prefix(
+            sh, threshold, id_col=id_col, block_col=block_col
+        )
+    import warnings
+
+    warnings.warn(
+        "containment_pairs_auto: estimated prefix-candidate volume "
+        f"{route['est_prefix']:.3g} ({route['est_prefix_per_doc']:.1f}"
+        f"/doc over {route['n_docs']} docs) exceeds the calibrated "
+        "single-node envelope — falling back to the recall-gated "
+        "anchored sampler (exact-verified candidates, probabilistic "
+        "recall; see RECALL_r*.json)",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return containment_pairs_anchored(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        containment_threshold=threshold,
+        emit="counts",
+    )
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1761,6 +2025,7 @@ def containment_pairs_anchored(
     text_col: str = "text",
     containment_threshold: float = 0.6,
     anchor_rate: int = 4,
+    emit: str = "e6",
 ) -> DataFrame:
     """Unblocked CONTAINMENT near-dup — candidates by ANCHOR SAMPLING,
     verified exactly. MinHash banding is the WRONG candidate generator
@@ -1822,7 +2087,9 @@ def containment_pairs_anchored(
     sb = csh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     m = F.least(F.size("sh_a"), F.size("sh_b"))
-    return (
+    if emit not in ("e6", "counts"):
+        raise ValueError(f"unknown emit {emit!r}")
+    verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", inter.alias("_i"), m.alias("_m"))
@@ -1830,11 +2097,21 @@ def containment_pairs_anchored(
             (F.col("_m") > 0)
             & (F.col("_i") * 1_000_000 >= F.lit(t_e6) * F.col("_m"))
         )
-        .select(
+    )
+    if emit == "counts":
+        # the containment_pairs_prefix output contract (r14 auto
+        # router: both routes emit the same schema); pre-filtered at
+        # the threshold, so a caller's integer predicate is idempotent
+        return verified.select(
             "doc_a",
             "doc_b",
-            F.expr("CAST((_i * 1000000L) DIV _m AS BIGINT)").alias(
-                "containment_e6"
-            ),
+            F.col("_i").cast("bigint").alias("inter_size"),
+            F.col("_m").cast("bigint").alias("min_size"),
         )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST((_i * 1000000L) DIV _m AS BIGINT)").alias(
+            "containment_e6"
+        ),
     )

@@ -39,20 +39,66 @@ def _is_green_record(rec: dict, oracle_backed: bool) -> bool:
     )
 
 
-def _rotate_for_driver_coverage() -> None:
-    """Reorder the registry so slugs without a driver-recorded pass come
-    first (oracle-backed before rows-only), and previously-passed slugs
-    follow ordered by pass AGE — oldest green round first — so stale
-    checks get re-confirmed against subsequent code churn instead of
-    being pushed to the back forever.
+def _slug_fingerprint(fn) -> str | None:
+    """Source fingerprint of one registered query: sha256 over the
+    query FUNCTION's own source plus the file contents of every
+    vfs_spark module its body references by dotted path (the in-repo
+    convention is function-level ``from vfs_spark.operators.x import
+    y``, so the operator modules a slug's plan depends on appear
+    verbatim in its source). Function-level granularity keeps churn
+    detection sharp: editing one query fronts one slug; editing
+    operators/dedup.py fronts the slugs whose bodies import it, not
+    all 176. Known gap (documented, accepted): module-top imports of
+    helper functions (e.g. word_shingles) are not in the function
+    body, so helper-module churn alone does not front a slug — the
+    r13 miss this exists to close (a re-registered PLAN, which always
+    edits the function body or its imported operator module) is
+    covered."""
+    import hashlib
+    import inspect
+    import os
+    import re
 
-    The driver's per-round CORRECTNESS artifact samples a bounded window
-    of ``queries()`` in dict-insertion order; without rotation the same
-    window is re-checked every round while the rest of the surface only
-    ever sees self-reported checks. Reading the committed
-    ``CORRECTNESS_r*.json`` files makes the rotation automatic: cumulative
-    driver coverage grows monotonically round over round, then cycles
-    through the surface re-validating the longest-unchecked slugs.
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return None
+    h = hashlib.sha256(src.encode())
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for mod in sorted(set(re.findall(r"vfs_spark(?:\.\w+)+", src))):
+        rel = mod.split(".", 1)[1].replace(".", os.sep)
+        for cand in (rel + ".py", os.path.join(rel, "__init__.py")):
+            path = os.path.join(root, cand)
+            if os.path.isfile(path):
+                with open(path, "rb") as fh:
+                    h.update(fh.read())
+                break
+    return h.hexdigest()
+
+
+def _rotate_for_driver_coverage() -> None:
+    """Reorder the registry so the driver's bounded CORRECTNESS window
+    re-checks what most needs checking, in three tiers:
+
+    1. slugs with NO driver-recorded pass ever;
+    2. slugs whose SOURCE FINGERPRINT changed since their last green
+       round (r13 VERDICT task #3: dedup_containment's plan swap —
+       the round's biggest change — missed the r13 window because
+       age-based rotation fronts stalest-green slugs, not
+       changed-code slugs; the hard signal should catch a
+       re-registered plan the round it ships);
+    3. previously-passed, unchanged slugs by pass AGE — oldest green
+       first — so stale checks still cycle back in.
+    Oracle-backed slugs sort before rows-only within a tier tie.
+
+    Fingerprints are persisted in ROTATION_FP.json: a slug's stored
+    fingerprint is (re)captured whenever the CORRECTNESS files show a
+    green round newer than the stored one — i.e. it snapshots the
+    code the driver just validated (round-end granularity: the first
+    import of round N+1 sees round N's final code). The file is only
+    rewritten when entries actually change (once per round), atomic,
+    and best-effort — a read-only checkout just degrades to the
+    age-only rotation.
     """
     import glob
     import json
@@ -76,14 +122,65 @@ def _rotate_for_driver_coverage() -> None:
         for slug, rec in data.items():
             if _is_green_record(rec, oracle_backed=slug in ORACLES):
                 latest_pass[slug] = max(latest_pass.get(slug, 0), rnd)
-    order = sorted(
-        QUERIES,
-        key=lambda k: (
-            k in latest_pass,          # never-passed first
-            latest_pass.get(k, 0),     # then stalest green first
-            k not in ORACLES,          # oracle-backed first on round ties
-        ),
-    )  # stable sort: ties keep registration order
+
+    fp_path = os.path.join(root, "ROTATION_FP.json")
+    stored: dict[str, dict] = {}
+    try:
+        with open(fp_path) as fh:
+            loaded = json.load(fh)
+        if isinstance(loaded, dict):
+            stored = {
+                k: v
+                for k, v in loaded.items()
+                if isinstance(v, dict) and "fp" in v
+            }
+    except (OSError, ValueError):
+        pass
+
+    changed: set[str] = set()
+    dirty = False
+    for slug, rnd in latest_pass.items():
+        fn = QUERIES.get(slug)
+        if fn is None:
+            continue
+        cur = _slug_fingerprint(fn)
+        if cur is None:
+            continue
+        ent = stored.get(slug)
+        if ent is None or int(ent.get("green_round", -1)) < rnd:
+            # newly green (or greener): snapshot the just-validated code
+            stored[slug] = {"fp": cur, "green_round": rnd}
+            dirty = True
+        elif ent["fp"] != cur:
+            changed.add(slug)  # churned since its last green round
+    if dirty:
+        try:
+            tmp = fp_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(stored, fh, indent=1, sort_keys=True)
+            os.replace(tmp, fp_path)
+        except OSError:
+            pass
+
+    def _key(k: str):
+        if k not in latest_pass:
+            tier = 0
+        elif k in changed:
+            tier = 1
+        else:
+            tier = 2
+        return (
+            tier,
+            latest_pass.get(k, 0) if tier == 2 else 0,
+            k not in ORACLES,  # oracle-backed first on tier/round ties
+        )
+
+    order = sorted(QUERIES, key=_key)  # stable: ties keep registration order
+    # inputs of the computed order, stashed for the contract tests
+    # (the churn tier depends on ROTATION_FP.json state at import
+    # time, which a test cannot reliably reconstruct later)
+    global _LAST_ROTATION
+    _LAST_ROTATION = {"latest_pass": latest_pass, "changed": changed}
     for registry in (QUERIES, ORACLES):
         snapshot = {k: registry[k] for k in order if k in registry}
         registry.clear()

@@ -167,13 +167,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix scheme is complete for the threshold, and candidates are
     verified with the exact jaccard), sub-quadratic cost. MinHash-LSH
     banding (`dedup_minhash`) remains the probabilistic comparison
-    point; this is the exact production path."""
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    from vfs_spark.operators.dedup import jaccard_pairs_prefix
+    point; this is the exact production path.
 
-    sh = docs.select("doc_id", "lang", word_shingles("text").alias("shingles"))
+    Round 14: the entry path is jaccard_pairs_auto — the measured
+    candidate-volume pre-flight (operators/dedup.route_prefix_join,
+    probed once per corpus and shared with dedup_clusters via the
+    session route cache) keeps the exact prefix join on sane corpora
+    (every fixture: the oracle still hash-matches) and
+    warn-falls-back to the recall-gated banded twin on a
+    degenerate-vocabulary corpus that would spill the exact join to
+    death (the r13 20M-doc ladder kill)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    from vfs_spark.operators.dedup import jaccard_pairs_auto
+
+    route = _corpus_prefix_route(spark, sf_dir, docs, "jaccard", 0.3)
     return (
-        jaccard_pairs_prefix(sh, threshold=0.3)
+        jaccard_pairs_auto(docs, threshold=0.3, route=route)
         .select(
             "doc_a",
             "doc_b",
@@ -222,15 +231,19 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_containment_anchored) remains the UNBLOCKED probabilistic
     path; MinHash banding is deliberately NOT used because its
     collision rate is the Jaccard, which vanishes for precisely the
-    subset pairs containment targets."""
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    from vfs_spark.operators.dedup import containment_pairs_prefix
+    subset pairs containment targets.
 
-    sh = docs.select(
-        "doc_id", "lang", word_shingles("text").alias("shingles")
-    )
+    Round 14: the entry path is containment_pairs_auto — the
+    measured candidate-volume pre-flight (route_prefix_join) keeps
+    the exact asymmetric prefix join on sane corpora (fixtures:
+    oracle still hash-matches) and warn-falls-back to the
+    recall-gated anchored sampler on degenerate vocabulary."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    from vfs_spark.operators.dedup import containment_pairs_auto
+
+    route = _corpus_prefix_route(spark, sf_dir, docs, "containment", 0.6)
     return (
-        containment_pairs_prefix(sh, threshold=0.6)
+        containment_pairs_auto(docs, threshold=0.6, route=route)
         .where(
             (F.col("min_size") > 0)
             & (5 * F.col("inter_size") >= 3 * F.col("min_size"))
@@ -635,11 +648,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so the quadratic recursive-CTE oracle still
     hash-checks it, but the Spark side is now sub-quadratic like the
     banded twin. dedup_clusters_banded remains the probabilistic-
-    recall comparison point; this slug is the exact production path."""
+    recall comparison point; this slug is the exact production path.
+
+    Round 14: the near-dup edge generator goes through
+    jaccard_pairs_auto — the measured candidate-volume pre-flight
+    (route_prefix_join, one probe per corpus shared with
+    dedup_ngram_jaccard via the session route cache) keeps the exact
+    prefix join on sane corpora and warn-falls-back to the
+    recall-gated banded twin on degenerate vocabulary — the r13
+    ladder's 20M-doc spill death now routes to the twin that holds
+    sub-linear through 20M instead of killing the job."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     from vfs_spark.operators.dedup import (
         connected_components,
-        jaccard_pairs_prefix,
+        jaccard_pairs_auto,
     )
 
     fp = docs.select("doc_id", fingerprint("text").alias("f"))
@@ -649,9 +671,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") != F.col("root"))
         .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
     )
-    sh = docs.select("doc_id", "lang", word_shingles("text").alias("shingles"))
+    route = _corpus_prefix_route(spark, sf_dir, docs, "jaccard", 0.3)
     e2 = (
-        jaccard_pairs_prefix(sh, threshold=0.3)
+        jaccard_pairs_auto(docs, threshold=0.3, route=route)
         .where(F.col("jaccard") >= 0.3)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -713,6 +735,31 @@ def _manifest_key(spark: SparkSession, sf_dir: str):
     except OSError:
         fp = None  # unreadable locally (remote FS) — path-only key
     return (spark.sparkContext.applicationId, sf_dir, fp)
+
+
+# Session-scoped pre-flight route decisions for the exact-prefix
+# dedup family (r13 VERDICT task #1), keyed like the cluster manifest
+# — (application, sf_dir, data fingerprint) — plus (mode, threshold):
+# dedup_clusters and dedup_ngram_jaccard share one jaccard@0.3 probe
+# per corpus instead of re-probing per query, and a rebuilt corpus at
+# the same path re-probes (fingerprint change), the r12 ladder lesson.
+_PREFIX_ROUTE_CACHE: dict = {}
+
+
+def _corpus_prefix_route(
+    spark: SparkSession, sf_dir: str, docs: DataFrame, mode: str, threshold: float
+) -> dict:
+    from vfs_spark.operators.dedup import route_prefix_join
+
+    key = _manifest_key(spark, sf_dir) + (mode, threshold)
+    r = _PREFIX_ROUTE_CACHE.get(key)
+    if r is None:
+        sh = docs.select(
+            "doc_id", "lang", word_shingles("text").alias("shingles")
+        )
+        r = route_prefix_join(sh, threshold, mode=mode)
+        _PREFIX_ROUTE_CACHE[key] = r
+    return r
 
 
 def _cluster_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -356,11 +356,167 @@ def read_document_stream(
     )
 
 
+class FpBloomSidecar:
+    """Compact Bloom filter over a corpus store's fingerprint column
+    (stored + tombstoned fps) — the r13 VERDICT task #2 fix for the
+    one linear-in-history cost left in the streaming path: the
+    cross-batch dedup anti-join re-scanned the store's fp column
+    EVERY micro-batch (Σ_b |store_b| total; the 1.36 cpu exponent on
+    streamscale's fixed-batch-count axis). With the sidecar, each
+    batch tests its fps against the Bloom first (pure-codegen
+    membership over a broadcast long array — the q_decontaminate_bloom
+    machinery, text.py:1507) and anti-joins ONLY Bloom-positive rows
+    against the store; a batch with no positives (the common case:
+    fresh data) never touches the store at all, so per-batch cost is
+    O(|batch| + filter size), decoupled from history.
+
+    Correctness invariant: the sidecar is a SUPERSET of the store ∪
+    tombstone fps (Bloom has false positives only, and ``add`` runs
+    BEFORE the data/tombstone appends — a crash between leaves
+    harmless extra bits). A Bloom positive re-verifies EXACTLY
+    against the store, so ingest output is bit-identical to the
+    rescan path (STREAMCHECK's batch-equality constant is unchanged).
+    A missing/mismatched sidecar (pre-existing store, deleted file,
+    resized filter) degrades to the full rescan for that batch and
+    is rebuilt from the store — never trusted blindly.
+
+    Layout: ``<store>_fpbloom/bloom.json`` (n_bits/seeds metadata) +
+    ``bloom.bin`` (little-endian int64 words, n_bits/64 of them),
+    both written tmp+rename. Default 2²⁴ bits / 3 seeds = 2 MiB →
+    ~0.4% false-positive rate at 1M stored fps; size ``n_bits`` to
+    the expected corpus (FP rate only costs extra exact re-checks,
+    never correctness). On a cluster the driver-side OR and 2 MiB
+    broadcast per batch are noise next to any store scan."""
+
+    SEEDS = (1, 2, 3)
+
+    def __init__(self, store_dir: str, n_bits: int = 1 << 24):
+        import os
+
+        if n_bits % 64 != 0:
+            raise ValueError("n_bits must be a multiple of 64")
+        self.dir = store_dir.rstrip("/") + "_fpbloom"
+        self.meta_path = os.path.join(self.dir, "bloom.json")
+        self.bin_path = os.path.join(self.dir, "bloom.bin")
+        self.n_bits = n_bits
+        self._words = None  # numpy int64 array when loaded
+
+    def load(self):
+        """Words array, or None when absent/corrupt/mismatched (the
+        caller then rescans and rebuilds)."""
+        import json
+        import os
+
+        import numpy as np
+
+        if self._words is not None:
+            return self._words
+        if not (
+            os.path.isfile(self.meta_path) and os.path.isfile(self.bin_path)
+        ):
+            return None
+        try:
+            with open(self.meta_path) as fh:
+                meta = json.load(fh)
+            if (
+                meta.get("n_bits") != self.n_bits
+                or tuple(meta.get("seeds", ())) != self.SEEDS
+            ):
+                return None
+            words = np.fromfile(self.bin_path, dtype="<i8")
+        except (OSError, ValueError):
+            return None
+        if words.size != self.n_bits // 64:
+            return None
+        self._words = words
+        return words
+
+    def _positions(self, fp_col: str) -> list[str]:
+        return [
+            f"cast(pmod(xxhash64({fp_col}, {s}L), {self.n_bits}) as bigint)"
+            for s in self.SEEDS
+        ]
+
+    def _batch_words(self, df: DataFrame, fp_col: str = "fp"):
+        """(word_idx, or-mask) rows for one batch's fps — map-side
+        combinable bit_or, collect bounded by words TOUCHED by the
+        batch (≤ 3·|batch| ≪ filter size)."""
+        pos = F.explode(
+            F.array(*[F.expr(p) for p in self._positions(fp_col)])
+        ).alias("p")
+        return (
+            df.select(pos)
+            .select(
+                F.expr("p div 64").alias("w"),
+                F.expr("shiftleft(1L, cast(p % 64 as int))").alias("m"),
+            )
+            .groupBy("w")
+            .agg(F.expr("bit_or(m)").alias("word"))
+            .collect()
+        )
+
+    def add(self, df: DataFrame, fp_col: str = "fp") -> None:
+        """OR this batch's fps into the sidecar, atomically. MUST run
+        before the corresponding data/tombstone append (superset
+        invariant; see class docstring)."""
+        import os
+
+        import numpy as np
+
+        words = self.load()
+        if words is None:
+            words = np.zeros(self.n_bits // 64, dtype="<i8")
+        else:
+            words = words.copy()
+        for r in self._batch_words(df, fp_col):
+            words[int(r["w"])] |= np.int64(r["word"])
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self.bin_path + ".tmp"
+        words.tofile(tmp)
+        os.replace(tmp, self.bin_path)
+        if not os.path.isfile(self.meta_path):
+            import json
+
+            mtmp = self.meta_path + ".tmp"
+            with open(mtmp, "w") as fh:
+                json.dump(
+                    {"n_bits": self.n_bits, "seeds": list(self.SEEDS)}, fh
+                )
+            os.replace(mtmp, self.meta_path)
+        self._words = words
+
+    def with_hit_column(
+        self, df: DataFrame, fp_col: str = "fp", out_col: str = "_bloomhit"
+    ) -> DataFrame:
+        """Append a boolean membership column — pure whole-stage
+        codegen (element_at + shiftleft + AND per seed) over a 1-row
+        broadcast of the words array; no Python in the row path."""
+        words = self.load()
+        assert words is not None, "call load() first"
+        spark = df.sparkSession
+        bloom_df = spark.createDataFrame(
+            [(words.tolist(),)], "_bloom array<long>"
+        )
+        hit = None
+        for p in self._positions(fp_col):
+            test = F.expr(
+                f"(element_at(_bloom, cast(({p}) div 64 + 1 as int))"
+                f" & shiftleft(1L, cast(({p}) % 64 as int))) != 0"
+            )
+            hit = test if hit is None else (hit & test)
+        return (
+            df.crossJoin(F.broadcast(bloom_df))
+            .withColumn(out_col, hit)
+            .drop("_bloom")
+        )
+
+
 def stream_corpus_ingest(
     docs_stream: DataFrame,
     dest_dir: str,
     checkpoint_dir: str,
     eval_docs: DataFrame | None = None,
+    bloom_bits: int = 1 << 24,
 ):
     """Streaming corpus ingest — the streaming twin of the FULL
     pipeline_pretraining_corpus: per micro-batch, quality gate
@@ -437,10 +593,53 @@ def stream_corpus_ingest(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        for seen_dir in (dest_dir, tomb_dir):
-            seen = _read_fps(spark, seen_dir)
-            if seen is not None:
-                first = first.join(seen, "fp", "left_anti")
+        # cross-batch dedup, Bloom-first (r13 VERDICT task #2): only
+        # Bloom-POSITIVE fps pay the exact anti-join against the
+        # store; a batch of fresh fps skips the store scan entirely.
+        # Bloom misses are definitely-new (no false negatives under
+        # the superset invariant — see FpBloomSidecar), so output is
+        # identical to the full-rescan path.
+        sidecar = (
+            FpBloomSidecar(dest_dir, n_bits=bloom_bits)
+            if bloom_bits
+            else None  # bloom_bits=0 → legacy full-rescan path (the
+            # streamscale A/B control; output is identical either way)
+        )
+        bloom_words = sidecar.load() if sidecar is not None else None
+        historic = []  # fp DataFrames the sidecar must cover on rebuild
+        if bloom_words is not None:
+            flagged = sidecar.with_hit_column(first)
+            hits = flagged.where(F.col("_bloomhit"))
+            for seen_dir in (dest_dir, tomb_dir):
+                seen = _read_fps(spark, seen_dir)
+                if seen is not None:
+                    hits = hits.join(seen, "fp", "left_anti")
+            first = hits.unionByName(
+                flagged.where(~F.col("_bloomhit"))
+            ).drop("_bloomhit")
+        else:
+            # no/stale sidecar (first batch, pre-existing store, or a
+            # resized filter): full rescan for THIS batch, and fold
+            # the historic fps into the rebuild below
+            for seen_dir in (dest_dir, tomb_dir):
+                seen = _read_fps(spark, seen_dir)
+                if seen is not None:
+                    first = first.join(seen, "fp", "left_anti")
+                    historic.append(seen)
+        # one materialization: everything below (bloom add, tombstone
+        # write, contamination probe, data append) re-reads `first`,
+        # and without the pin each action re-runs the quality gate +
+        # fingerprint over the batch
+        first = first.localCheckpoint(eager=True)
+        # update the sidecar BEFORE any append (superset invariant:
+        # a crash between leaves extra bits, never missing ones);
+        # `first` still contains the to-be-tombstoned rows, so both
+        # landing and decontaminated fps are covered
+        if sidecar is not None:
+            to_add = first.select("fp")
+            for h in historic:
+                to_add = to_add.unionByName(h)
+            sidecar.add(to_add)
         if ev is not None:
             contaminated = (
                 first.select(
