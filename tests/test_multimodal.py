@@ -167,16 +167,29 @@ def test_decode_image_bmp_and_ppm_agree(spark):
 
 
 def test_decode_image_rejects_compressed(spark):
+    """JPEG stays behind the codec-library boundary (r14: PNG moved
+    INSIDE the boundary — stdlib zlib decodes it — so the honest
+    rejection case is now JPEG, and a truncated PNG fails loudly as
+    malformed rather than silently)."""
     from vfs_spark.operators import multimodal as mm
 
-    png = bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    jpeg = bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
     media = mm.as_media(
-        spark.createDataFrame([(1, png)], "media_id long, payload binary"),
+        spark.createDataFrame([(1, jpeg)], "media_id long, payload binary"),
         "media_id",
         F.col("payload"),
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         mm.decode_image(media).collect()
+
+    trunc_png = bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    media2 = mm.as_media(
+        spark.createDataFrame([(1, trunc_png)], "media_id long, payload binary"),
+        "media_id",
+        F.col("payload"),
+    )
+    with pytest.raises(Exception, match="malformed PNG"):
+        mm.decode_image(media2).collect()
 
 
 def test_decode_audio_wav_roundtrip_and_resample(spark):
@@ -323,3 +336,133 @@ def test_phash_invariants(spark):
     ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
     assert ham(out[0], out[2]) <= 8       # near-dup within budget
     assert ham(out[0], out[3]) >= 40      # inversion flips most bits
+
+
+# ---------------------------------------------------------------------------
+# r14: PNG decode (stdlib zlib) — the deflate step past the
+# uncompressed boundary
+
+
+def test_png_roundtrip_matches_bmp_every_filter():
+    """encode_png → _decode_gray must be byte-exact against the BMP
+    twin of the SAME pixels for every scanline filter type (0-4,
+    driving each unfilter branch) in both gray and RGB encodings —
+    the containers must be interchangeable below the phash kernel."""
+    import numpy as np
+
+    from vfs_spark.operators.multimodal import (
+        _decode_gray,
+        encode_bmp24,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 1, (17, 23))
+    via_bmp = _decode_gray(encode_bmp24(img))
+    for ft in range(5):
+        for color in (False, True):
+            via_png = _decode_gray(encode_png(img, filter_type=ft, color=color))
+            assert np.array_equal(via_png, via_bmp), (ft, color)
+
+
+def test_png_alpha_color_types_decode():
+    """Color types 4 (gray+alpha) and 6 (RGBA) decode with alpha
+    ignored: hand-built single-IDAT PNGs whose pixel bytes are known."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vfs_spark.operators.multimodal import _decode_gray
+
+    def _chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def _png(w, h, color_type, scanlines):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(scanlines))
+            + _chunk(b"IEND", b"")
+        )
+
+    # 2×2 gray+alpha: gray values 10,20 / 30,40; alpha varies
+    ga = bytes([0, 10, 255, 20, 0]) + bytes([0, 30, 128, 40, 7])
+    g = _decode_gray(_png(2, 2, 4, ga))
+    assert np.allclose(g * 255, [[10, 20], [30, 40]])
+
+    # 1×2 RGBA: (30,60,90,alpha) → gray 60; (3,6,9,alpha) → gray 6
+    rgba = bytes([0, 30, 60, 90, 255]) + bytes([0, 3, 6, 9, 0])
+    g2 = _decode_gray(_png(1, 2, 6, rgba))
+    assert np.allclose(g2 * 255, [[60], [6]])
+
+
+def test_png_unsupported_profiles_raise():
+    """16-bit, palette, and interlaced PNGs must hit the explicit
+    NotImplementedError boundary (not a garbage decode), and JPEG
+    stays behind the codec-library boundary."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from vfs_spark.operators.multimodal import _decode_gray, encode_png
+
+    def _chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def _hdr(depth, color, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + _chunk(b"IEND", b"")
+        )
+
+    for bad in (_hdr(16, 0, 0), _hdr(8, 3, 0), _hdr(8, 0, 1)):
+        with pytest.raises(NotImplementedError):
+            _decode_gray(bad)
+    with pytest.raises(NotImplementedError):
+        _decode_gray(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+    # and the encoder rejects unknown filters
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((2, 2)), filter_type=9)
+
+
+def test_phash_identical_across_containers(spark):
+    """The SAME image payload as BMP and as PNG must produce the SAME
+    64-bit phash through the full Arrow kernel path — the property
+    the mixed-codec dedup_image_phash fixture depends on."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vfs_spark.operators import multimodal
+    from vfs_spark.operators.multimodal import encode_bmp24, encode_png
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.uniform(0, 1, (32, 32)) for _ in range(4)]
+    rows = []
+    for i, img in enumerate(imgs):
+        rows.append((2 * i, encode_bmp24(img)))
+        rows.append((2 * i + 1, encode_png(img, filter_type=i % 5)))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = multimodal.as_media(df, "media_id", F.col("payload"))
+    got = {
+        r["media_id"]: r["phash"]
+        for r in multimodal.phash(media).collect()
+    }
+    for i in range(4):
+        assert got[2 * i] == got[2 * i + 1], f"container changed phash of image {i}"

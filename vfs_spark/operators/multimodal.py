@@ -115,6 +115,8 @@ def _decode_gray(b: bytes):
         px = px.reshape(h, w, ch).astype(np.float64)
         gray = px.mean(axis=2) if ch == 3 else px[:, :, 0]
         return gray / maxval
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png_gray(b)
     if b[:2] == b"BM":
         import struct
 
@@ -133,8 +135,173 @@ def _decode_gray(b: bytes):
             rows = rows[::-1]
         return rows.astype(np.float64).mean(axis=2) / 255.0
     raise NotImplementedError(
-        "compressed image formats (PNG/JPEG/...) need a codec library "
-        "not present in this container; PPM/PGM/BMP24 decode natively"
+        "image formats beyond PPM/PGM/BMP24/PNG(8-bit, non-interlaced) "
+        "need a codec library not present in this container (JPEG's "
+        "DCT entropy coding is out of stdlib reach; PNG decodes "
+        "natively via zlib)"
+    )
+
+
+def _decode_png_gray(b: bytes):
+    """Real PNG decode (r13 VERDICT task #8) → 2-D float grayscale in
+    [0, 1] — one honest step past the uncompressed boundary, using
+    only stdlib ``zlib`` (the DEFLATE stream inside IDAT) + NumPy for
+    scanline unfiltering. Per the PNG spec (RFC 2083 / W3C
+    PNG 2nd ed.): chunk stream parse (IHDR/IDAT+/IEND), zlib-inflate
+    of the concatenated IDAT payloads, then per-scanline reversal of
+    the five filter types (None/Sub/Up/Average/Paeth). Supports the
+    web-dominant profile: bit depth 8, color types 0 (gray), 2 (RGB),
+    4 (gray+alpha), 6 (RGBA), non-interlaced. Palette (3), 16-bit,
+    and Adam7 interlace raise NotImplementedError — a narrower,
+    explicit boundary instead of the previous 'all compressed
+    formats'. Alpha is ignored for the grayscale kernel (phash
+    operates on luminance); RGB averages channels exactly like the
+    BMP branch, so the same pixels encode to the same gray through
+    either container (test-pinned round-trip vs encode_bmp24).
+
+    Cost shape: zlib.decompress + vectorized Up/None rows; Sub/
+    Average/Paeth rows fall back to a per-byte loop (sequential data
+    dependence within a scanline) — still O(pixels) per image inside
+    the Arrow batch kernel, no JVM round-trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color}: only 8-bit "
+            "gray/RGB/gray+alpha/RGBA supported"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int32)
+        if f == 0:  # None
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 255
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                up = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + up) // 2
+                else:  # Paeth predictor
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                cur[i] = (row[i] + pred) & 255
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels).astype(np.float64)
+    if color == 0:
+        gray = px[:, :, 0]
+    elif color == 2:
+        gray = px.mean(axis=2)
+    elif color == 4:  # gray + alpha: luminance channel only
+        gray = px[:, :, 0]
+    else:  # RGBA: average color channels, ignore alpha
+        gray = px[:, :, :3].mean(axis=2)
+    return gray / 255.0
+
+
+def encode_png(gray01, filter_type: int = 0, color: bool = False) -> bytes:
+    """Encode a [0,1] grayscale array as an 8-bit PNG (color type 0,
+    or 2 with ``color=True`` replicating the value into RGB) — the
+    deflate twin of encode_bmp24 for synthesized fixtures and the
+    decoder's round-trip tests. ``filter_type`` applies ONE filter
+    (0-4) to every scanline — the spec's per-row forward transform —
+    so tests can drive each unfilter branch of _decode_png_gray with
+    byte-exact expectations. Stdlib zlib + struct only."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("filter_type must be 0..4")
+    h, w = gray01.shape
+    px = np.clip(np.asarray(gray01) * 255, 0, 255).astype(np.uint8)
+    ch = 3 if color else 1
+    if color:
+        px = np.repeat(px[:, :, None], 3, axis=2).reshape(h, w * 3)
+    stride = w * ch
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = px[y].astype(np.int32).reshape(stride)
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 2:
+            filt = (cur - prev) & 255
+        else:
+            filt = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                if filter_type == 1:
+                    pred = a
+                elif filter_type == 3:
+                    pred = (a + up) // 2
+                else:
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                filt[i] = (cur[i] - pred) & 255
+        lines.append(filter_type)
+        lines.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if color else 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
     )
 
 

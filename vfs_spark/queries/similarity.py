@@ -876,18 +876,24 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _synth_bmp_media(spark: SparkSession, sf_dir: str):
     """Deterministic FAKE image ingest for the image-dedup slug: each
-    doc (doc_id < 64) becomes a 32×32 24-bit BMP. Images come in 8
+    doc (doc_id < 64) becomes a 32×32 image. Images come in 8
     GROUPS of 8 (group = doc_id div 8): one seeded base pattern per
     group plus per-id low-amplitude noise — so within-group images are
     perceptual near-dups and cross-group images are unrelated.
-    Clearly-marked synthesis (no image fixtures / codec libs in the
-    container), but everything downstream of the payload column — BMP
-    header parse, pixel decode, block-mean pooling, bit packing — is
-    the REAL kernel path (operators/multimodal._decode_gray → phash)."""
+    Clearly-marked synthesis (no image fixtures in the container),
+    but everything downstream of the payload column — container
+    parse, pixel decode, block-mean pooling, bit packing — is the
+    REAL kernel path (operators/multimodal._decode_gray → phash).
+
+    Round 14: the corpus is MIXED-CODEC — even ids encode as 24-bit
+    BMP, odd ids as 8-bit PNG (the r13 task-#8 deflate decoder), so
+    every within-group near-dup pair crosses containers half the
+    time: the recall gate now proves the PNG path is pixel-exact
+    against the BMP path, not just self-consistent."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    from vfs_spark.operators.multimodal import encode_bmp24
+    from vfs_spark.operators.multimodal import encode_bmp24, encode_png
 
     @pandas_udf("binary")
     def _bmp(doc_ids: pd.Series) -> pd.Series:
@@ -903,8 +909,14 @@ def _synth_bmp_media(spark: SparkSession, sf_dir: str):
             ) * np.cos(2 * np.pi * (base_rng.uniform(1, 4) * yy / 32))
             base += 0.15 * base_rng.standard_normal((32, 32))
             noise_rng = np.random.default_rng(5000 + int(d))
-            img = base + 0.02 * noise_rng.standard_normal((32, 32))
-            out.append(encode_bmp24(np.clip(img, 0, 1)))
+            img = np.clip(
+                base + 0.02 * noise_rng.standard_normal((32, 32)), 0, 1
+            )
+            out.append(
+                encode_bmp24(img)
+                if int(d) % 2 == 0
+                else encode_png(img, filter_type=int(d) % 5)
+            )
         return pd.Series(out)
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
