@@ -258,3 +258,43 @@ def test_rotation_changed_fingerprint_fronts_slug(tmp_path):
         shutil.copy(backup, fp_path)
         q._rotate_for_driver_coverage()
         assert victim not in q._LAST_ROTATION["changed"]
+
+
+def test_recall_artifact_roles_and_gates():
+    """r13 VERDICT task #6: every entry in the latest committed
+    RECALL_r*.json carries a role marker, and every role=registered
+    entry (a registry slug's actual operating point) clears its gate.
+    Keeps the intentional negative controls (e.g. the isotropic
+    prefix-truncation floor at recall ~0.26) machine-distinguishable
+    from a failing registered default."""
+    import glob
+    import json
+    import os
+    import re
+
+    import vfs_spark
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(vfs_spark.__file__)))
+    arts = glob.glob(os.path.join(root, "RECALL_r*.json"))
+    assert arts, "no RECALL artifact committed"
+    latest = max(
+        arts, key=lambda p: int(re.search(r"RECALL_r(\d+)", p).group(1))
+    )
+    entries = json.load(open(latest))["entries"]
+    assert entries
+    if int(re.search(r"RECALL_r(\d+)", latest).group(1)) < 14:
+        pytest.skip(f"{os.path.basename(latest)} predates role markers")
+    for e in entries:
+        assert e.get("role") in ("registered", "sweep", "control"), e["op"]
+        if e["role"] == "registered":
+            assert "gate" in e, e["op"]
+            assert e["recall"] >= e["gate"], (
+                f"{e['op']}: registered recall {e['recall']} below "
+                f"gate {e['gate']} in {os.path.basename(latest)}"
+            )
+        else:
+            assert "gate" not in e, e["op"]
+    # at least one of each role must be present: an artifact with no
+    # controls/sweeps would mean the markers were bulk-applied
+    roles = {e["role"] for e in entries}
+    assert roles == {"registered", "sweep", "control"}, roles

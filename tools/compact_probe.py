@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Measure compact()'s effect (r13 VERDICT task #7).
+
+Builds a many-small-batches store (N_BATCHES inserts, each landing
+its own parquet file, the shape a serving store fed by streaming
+inserts accumulates), measures warm point-lookup / full-scan / exact
+search latency, then engine.compact() and re-measures the SAME ops on
+the same rows — the docstring's file-count/footer-overhead claim as a
+table instead of prose. Note on what is measured: sequential inserts
+give each small file a TIGHT id min/max, so point-lookup footer
+pruning already works pre-compact — the pre/post delta isolates pure
+file-count overhead (footer opens + one scheduled task per file);
+the id-sort benefit applies to post-delete interleaved layouts and is
+covered by compact()'s row-identity tests, not timed here.
+
+Usage: python tools/compact_probe.py [n_batches] [rows_per_batch] [dim]
+Writes .compact_probe_results.json; table goes to NOTES.md.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    rows_per = int(sys.argv[2]) if len(sys.argv) > 2 else 250
+    dim = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    import numpy as np
+
+    from vfs_spark.engine import VFSEngine
+    from vfs_spark.session import get_spark
+
+    spark = get_spark("compact-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    store = os.path.join(REPO, ".compact_probe_store")
+    shutil.rmtree(store, ignore_errors=True)
+    eng = VFSEngine(spark, store)
+    eng.init(vector_dimension=dim)
+
+    rng = np.random.default_rng(7)
+    n_total = n_batches * rows_per
+    vecs = rng.standard_normal((n_total, dim)).astype(float)
+    t0 = time.time()
+    for b in range(n_batches):
+        eng.insert(vecs[b * rows_per:(b + 1) * rows_per].tolist())
+    insert_wall = time.time() - t0
+    data_dir = os.path.join(store, "vectors")
+    n_files_before = sum(
+        1 for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+
+    q = vecs[12].tolist()
+    lookup_ids = [int(x) for x in rng.integers(0, n_total, 20)]
+
+    def measure() -> dict:
+        out = {}
+        eng.get(lookup_ids[0])  # warm
+        t = time.time()
+        for i in lookup_ids:
+            assert eng.get(i) is not None
+        out["point_lookup_ms"] = round(
+            (time.time() - t) / len(lookup_ids) * 1000, 1
+        )
+        t = time.time()
+        out["scan_rows"] = eng.vectors().count()
+        out["full_scan_s"] = round(time.time() - t, 2)
+        t = time.time()
+        hits = eng.search(q, top_k=10, search_type="exact").collect()
+        out["exact_search_s"] = round(time.time() - t, 2)
+        out["top1"] = int(hits[0]["id"]) if hits else None
+        return out
+
+    before = measure()
+    t = time.time()
+    n_files_after = eng.compact(target_rows_per_file=max(1, n_total // 4))
+    compact_wall = round(time.time() - t, 1)
+    after = measure()
+    assert before["scan_rows"] == after["scan_rows"] == n_total
+    assert before["top1"] == after["top1"]
+
+    res = {
+        "n_batches": n_batches,
+        "rows_per_batch": rows_per,
+        "dim": dim,
+        "n_files_before": n_files_before,
+        "n_files_after": n_files_after,
+        "insert_wall_s": round(insert_wall, 1),
+        "compact_wall_s": compact_wall,
+        "before": before,
+        "after": after,
+    }
+    print(json.dumps(res, indent=1))
+    with open(os.path.join(REPO, ".compact_probe_results.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    shutil.rmtree(store, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

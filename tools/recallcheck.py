@@ -53,7 +53,19 @@ def main() -> None:
     spark = get_spark()
     entries: list[dict] = []
 
-    def add(op, dataset, params, n_truth, recall, wall, note=None):
+    def add(op, dataset, params, n_truth, recall, wall, note=None,
+            role=None, gate=None):
+        # role (r13 VERDICT #6): "registered" = the operating point a
+        # registry slug actually serves — MUST carry a gate and clear
+        # it (tests/test_contract.py pins this on the committed
+        # artifact); "sweep" = operating-point calibration evidence;
+        # "control" = documented negative demonstration (e.g. the
+        # isotropic-prefix anisotropy floor) that a reader must NOT
+        # mistake for a failing registered default.
+        assert role in ("registered", "sweep", "control"), (op, role)
+        assert (gate is not None) == (role == "registered"), (op, role)
+        if role == "registered" and recall < gate:
+            print(f"!! GATE MISS: {op} recall {recall:.4f} < gate {gate}")
         e = {
             "op": op,
             "dataset": dataset,
@@ -61,12 +73,15 @@ def main() -> None:
             "n_truth": int(n_truth),
             "recall": round(float(recall), 4),
             "wall_s": round(wall, 2),
+            "role": role,
         }
+        if gate is not None:
+            e["gate"] = gate
         if note:
             e["note"] = note
         entries.append(e)
         print(f"{op:34s} {dataset:18s} recall={recall:.4f} "
-              f"truth={n_truth} ({wall:.1f}s)")
+              f"truth={n_truth} ({wall:.1f}s) [{role}]")
 
     emb = spark.read.parquet(f"{ann_sf}/embeddings.parquet").cache()
     emb.count()
@@ -82,7 +97,8 @@ def main() -> None:
     add("approx_knn (lsh)", os.path.basename(ann_sf),
         {"k": 10, "num_hash_tables": 5, "bucket_length": 2.0,
          "n_queries": len(qrows)},
-        10 * len(qrows), sum(rec) / len(rec), time.time() - t)
+        10 * len(qrows), sum(rec) / len(rec), time.time() - t,
+        role="registered", gate=0.7)
 
     # ---- LSH multiprobe sweep ----
     for w in (1, 2, 4):
@@ -94,7 +110,11 @@ def main() -> None:
         add("approx_knn_multiprobe", os.path.basename(ann_sf),
             {"k": 10, "probe_width": w, "num_hash_tables": 5,
              "n_queries": len(qrows)},
-            10 * len(qrows), sum(rec) / len(rec), time.time() - t)
+            10 * len(qrows), sum(rec) / len(rec), time.time() - t,
+            # probe_width=2 is the registered slug's operating point
+            # (queries/similarity.py q_approx_knn_multiprobe)
+            role="registered" if w == 2 else "sweep",
+            gate=0.7 if w == 2 else None)
 
     # ---- Matryoshka prefix truncation: top-10 on 32 of 64 dims ----
     t = time.time()
@@ -111,8 +131,12 @@ def main() -> None:
     add("embedding_truncate_renorm (knn@32d)", os.path.basename(ann_sf),
         {"k": 10, "dims": "32 of 64", "n_queries": len(qrows)},
         10 * len(qrows), sum(rec) / len(rec), time.time() - t,
+        role="control",
         note="exact top-10 on the truncated prefix vs full-dim exact "
-             "top-10 — the recall cost of halving every scan byte")
+             "top-10 — the recall cost of halving every scan byte; "
+             "NEGATIVE CONTROL: the parquet fixture is isotropic, the "
+             "regime the operator's docstring excludes (deployment "
+             "precondition is a trained/PCA-rotated prefix)")
     emb32.unpersist()
 
     # ---- Matryoshka on an ANISOTROPIC fixture (VERDICT r10 #8) ----
@@ -160,8 +184,10 @@ def main() -> None:
         {"k": 10, "dims": "32 of 64", "spectrum": "i^-0.75 rotated",
          "n_queries": len(aq)},
         10 * len(aq), sum(rec_naive) / len(rec_naive), time.time() - t,
+        role="control",
         note="rotated coords: naive prefix stays at the isotropic "
-             "floor — truncation without the basis is blind")
+             "floor — truncation without the basis is blind "
+             "(NEGATIVE CONTROL for the pca-rotated row below)")
     t = time.time()
     pca = fit_pca(adf, n_components=32)
     apdf = project_pca(adf, pca, out_col="emb32").select(
@@ -180,6 +206,7 @@ def main() -> None:
                                       / max(pca.total_var, 1e-12)), 4),
          "n_queries": len(aq)},
         10 * len(aq), sum(rec_pca) / len(rec_pca), time.time() - t,
+        role="registered", gate=0.8,
         note="embedding_pca_project's eigenbasis recovers the "
              "high-variance prefix: rotate-then-truncate is the "
              "trained-prefix (MRL) deployment regime")
@@ -219,6 +246,8 @@ def main() -> None:
             len(truth_pairs),
             len(got & truth_pairs) / max(1, len(truth_pairs)),
             time.time() - t,
+            role="registered" if w == 2 else "sweep",
+            gate=0.9 if w == 2 else None,
             note="pair recall vs exact within-threshold set; "
                  "precision structural (exact distance filter)")
     vdf_j.unpersist()
@@ -235,7 +264,8 @@ def main() -> None:
         add("ann_ivf", os.path.basename(ann_sf),
             {"k": 10, "n_clusters": 8, "nprobe": nprobe,
              "n_queries": len(qrows)},
-            10 * len(qrows), sum(rec) / len(rec), time.time() - t)
+            10 * len(qrows), sum(rec) / len(rec), time.time() - t,
+            role="sweep")
 
     # ---- PQ rerank ----
     t = time.time()
@@ -249,7 +279,9 @@ def main() -> None:
     add("pq_search_rerank", os.path.basename(ann_sf),
         {"k": 10, "m": 16, "codebook_k": 16, "shortlist": 100,
          "n_queries": 4},
-        40, sum(rec) / len(rec), time.time() - t)
+        40, sum(rec) / len(rec), time.time() - t,
+        role="sweep")  # codebook_k=16 calibration; registered ann_pq
+        # serves k=64 codebooks via index_store
 
     # ---- IVFPQ ----
     t = time.time()
@@ -261,7 +293,8 @@ def main() -> None:
     add("ann_ivfpq", os.path.basename(ann_sf),
         {"k": 10, "n_clusters": 8, "nprobe": 4, "shortlist": 100,
          "n_queries": 4},
-        40, sum(rec) / len(rec), time.time() - t)
+        40, sum(rec) / len(rec), time.time() - t,
+        role="sweep")
     enc.unpersist()
     assigned.unpersist()
 
@@ -281,7 +314,8 @@ def main() -> None:
     add("ann_ivf (registered default)", os.path.basename(ann_sf),
         {"k": 10, "n_clusters": 16, "nprobe": f"auto->{np90}",
          "recall_target": 0.9, "n_queries": len(qrows)},
-        10 * len(qrows), sum(rec) / len(rec), time.time() - t)
+        10 * len(qrows), sum(rec) / len(rec), time.time() - t,
+        role="registered", gate=0.85)
 
     t = time.time()
     _, _, np95 = index_store.load_or_fit_ivf_autoprobe(
@@ -298,7 +332,8 @@ def main() -> None:
         {"k": 10, "n_clusters": 16, "nprobe": f"auto->{np95}",
          "recall_target": 0.95, "m": 16, "codebook_k": 64,
          "shortlist": 200, "n_queries": len(qrows)},
-        10 * len(qrows), sum(rec) / len(rec), time.time() - t)
+        10 * len(qrows), sum(rec) / len(rec), time.time() - t,
+        role="registered", gate=0.9)
     ae64.unpersist()
     enc64.unpersist()
     asg16.unpersist()
@@ -314,6 +349,7 @@ def main() -> None:
         {"jaccard_threshold": 0.3, "n_hashes": 5},
         len(truth), (sum(1 for p in truth if p in got) / len(truth))
         if truth else 1.0, time.time() - t,
+        role="registered", gate=0.9,
         note="precision structural (exact verify); truth is lang-blocked, "
              "op is unblocked")
 
@@ -339,6 +375,7 @@ def main() -> None:
         {"jaccard_threshold": 0.3, "n_hashes": 5},
         len(truth), (sum(1 for p in truth if p in got) / len(truth))
         if truth else 1.0, time.time() - t,
+        role="registered", gate=0.9,
         note="precision structural (exact verify); truth is the exact "
              "batch-x-history cross jaccard (fixture-sized cross join, "
              "truth-side only)")
@@ -354,6 +391,7 @@ def main() -> None:
         {"containment_threshold": 0.6, "anchor_rate": 4},
         len(truth), (sum(1 for p in truth if p in got) / len(truth))
         if truth else 1.0, time.time() - t,
+        role="registered", gate=0.9,
         note="precision structural (exact integer verify); truth is the "
              "lang-blocked dedup_containment oracle, op is unblocked "
              "(superset allowed); anchor miss prob (3/4)^|A∩B|")
@@ -394,7 +432,7 @@ def main() -> None:
         add(slug, os.path.basename(dedup_sf), params, len(pair_truth),
             len(got & pair_truth) / len(pair_truth) if pair_truth else 1.0,
             time.time() - t + (truth_wall if slug.endswith("simhash") else 0),
-            note=note)
+            role="registered", gate=0.9, note=note)
 
     # ---- planted near-dup geometry (the regime the defaults target) ----
     n, dim, p = 2000, 64, 20
@@ -422,6 +460,7 @@ def main() -> None:
         got = {(r["vec_a"], r["vec_b"]) for r in fn().collect()}
         add(name, f"synthetic n={n + p} dim={dim}", params, len(planted),
             len(got & planted) / len(planted), time.time() - t,
+            role="registered", gate=0.8,
             note="precision structural (exact verify)")
 
     # ---- image perceptual-hash dedup (planted BMP groups) ----
@@ -435,8 +474,10 @@ def main() -> None:
         {"max_hamming": 10, "groups": 8, "per_group": 8},
         len(planted_img), len(got & planted_img) / len(planted_img),
         time.time() - t,
+        role="registered", gate=0.9,
         note="precision structural (exact bit_count verify); cross-group "
-             f"pairs emitted: {len(got - planted_img)}")
+             f"pairs emitted: {len(got - planted_img)}; corpus is "
+             "mixed-codec (even ids BMP, odd ids PNG) since r14")
 
     dest = os.path.join(REPO, f"RECALL_r{rnd}.json")
     with open(dest, "w") as fh:
