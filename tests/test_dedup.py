@@ -1523,3 +1523,50 @@ def test_containment_pairs_auto_both_routes(spark):
     assert set(fb.columns) == {"doc_a", "doc_b", "inter_size", "min_size"}
     all_pairs = {(a, b) for a in range(60) for b in range(60) if a < b}
     assert len(pairs & all_pairs) >= 0.9 * len(all_pairs)
+
+
+def test_prefix_candidate_stats_two_sample_estimator(spark):
+    """r14: the sampled tier-1.5 must rank prefix membership by df
+    from the independent B sample, not the in-sample df — the r14
+    router_probe measured the one-sample form ~20x under the exact
+    tier-2 volume and corpus-indistinguishable (saturated vs Heaps
+    est literally identical), because a collision key shared by two
+    sampled docs reads in-sample df>=2 while the docs' other keys
+    read df=1, so the lowest-df-first prefix filter excludes exactly
+    the candidate-generating keys. Planted geometry that isolates the
+    bias: every gram is an 'edge' shared by exactly two docs (uniform
+    true df=2, ranking ties broken by key hash exactly as the full
+    pipeline breaks them), 12 grams/doc, t=0.6 so the prefix excludes
+    6 of 12 — under in-sample ranking the sampled-collision keys
+    float to the top and are excluded (est ~0); under B-ranking the
+    selection is distribution-identical to the exact tier's."""
+    n = 1200
+    rows = []
+    for i in range(n):
+        grams = [f"e{i}_{(i + d) % n}" for d in range(1, 7)] + [
+            f"e{(i - d) % n}_{i}" for d in range(1, 7)
+        ]
+        rows.append((i, "x", grams))
+    sh = spark.createDataFrame(
+        rows, "doc_id long, lang string, shingles array<string>"
+    )
+    exact = dedup_ops.prefix_candidate_stats(
+        sh, 0.6, mode="jaccard", exact=True
+    )["est_candidates_prefix"]
+    assert exact > 0
+    sampled = dedup_ops.prefix_candidate_stats(
+        sh, 0.6, mode="jaccard", sample_fraction=0.3
+    )
+    assert sampled["df_sample_fraction"] == 1.0  # q = min(1, 10*0.3)
+    est = sampled["est_candidates_prefix"]
+    # the one-sample form reads ~0 here; the two-sample form tracks
+    # the exact tier within sampling noise (E raw pairs ~ p^2 * true)
+    assert exact / 3 <= est <= exact * 3, (est, exact)
+    # containment mode: same ranking, Sum pref*(df_hat - 1) weighting
+    exact_c = dedup_ops.prefix_candidate_stats(
+        sh, 0.6, mode="containment", exact=True
+    )["est_candidates_prefix"]
+    est_c = dedup_ops.prefix_candidate_stats(
+        sh, 0.6, mode="containment", sample_fraction=0.3
+    )["est_candidates_prefix"]
+    assert exact_c / 3 <= est_c <= exact_c * 3, (est_c, exact_c)

@@ -369,3 +369,44 @@ def test_compact_empty_store_is_noop(spark, tmp_path):
     eng = VFSEngine(spark, str(tmp_path / "store"))
     eng.init(vector_dimension=2)
     assert eng.compact() == 0
+
+
+def test_next_id_memo_survives_all_mutations(engine, spark, tmp_path):
+    """next_id is DERIVED (max(id)+1 from storage); the r14 memo must
+    be invisible — every mutation path either re-memoizes correctly
+    (insert) or drops the memo so the next ask re-derives from disk
+    (delete/restore/init). A stale memo would assign duplicate ids."""
+    engine.insert([[1.0, 2.0, 3.0, 4.0]] * 3)
+    assert engine.next_id() == 4
+    assert engine.insert([[9.0] * 4]) == [4]
+    # delete the max id: memo must not keep handing out 6
+    engine.delete([4])
+    assert engine.next_id() == 4
+    assert engine.insert([[8.0] * 4]) == [4]
+    # restore rewinds the store; memo must rewind with it
+    engine.snapshot("memo")
+    engine.insert([[7.0] * 4])
+    assert engine.next_id() == 6
+    engine.restore("memo")
+    assert engine.next_id() == 5
+    # compact is layout-only: ids unchanged
+    engine.compact(target_rows_per_file=2)
+    assert engine.next_id() == 5
+    # a FRESH engine over the same dir derives the same answer
+    e2 = VFSEngine(spark, engine.storage_dir)
+    e2.init(vector_dimension=4)
+    assert e2.next_id() == 5
+
+
+def test_insert_lands_one_file_per_batch(engine):
+    """A driver-side insert batch is payload-bounded; scattering it
+    across default parallelism landed ~a dozen tiny part files per
+    insert (r14 compact probe: 400 inserts -> 4,400 files). One
+    sorted file per insert keeps per-file id min/max tight."""
+    data_dir = os.path.join(engine.storage_dir, "vectors")
+    for i in range(3):
+        engine.insert([[float(i)] * 4] * 50)
+        n_parquet = sum(
+            1 for f in os.listdir(data_dir) if f.endswith(".parquet")
+        )
+        assert n_parquet == i + 1, n_parquet

@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-14 measurement queue: run serially (ladder exponents gate on
+# CPU; concurrent Spark sessions would contend for the 32 cores).
+set -u
+cd "$(dirname "$0")/.."
+filter() { grep -v "Stage\|WARN\|conda\|^$"; }
+
+echo "=== COMPACT PROBE ==="
+python tools/compact_probe.py 400 250 32 2>&1 | filter
+echo "=== ROUTER PROBE ==="
+python tools/r14_ladder.py router_probe 2500000,5000000 2>&1 | filter
+echo "=== CLUSTERS HEAPS ==="
+python tools/r14_ladder.py clusters_heaps 2500000,5000000,10000000 2>&1 | filter
+echo "=== CONTAINMENT HEAPS ==="
+python tools/r14_ladder.py containment_heaps 2500000,5000000,10000000 2>&1 | filter
+echo "=== STREAMSCALE size=100k bloom ==="
+python tools/streamscale.py 500000,1000000,2000000 size=100000 2>&1 | filter
+echo "=== STREAMSCALE size=100k NOBLOOM ==="
+python tools/streamscale.py 500000,1000000,2000000 size=100000 nobloom 2>&1 | filter
+echo "=== ALL DONE ==="

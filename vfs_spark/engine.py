@@ -42,6 +42,14 @@ class VFSEngine:
         self._lsh_cache: dict[str, tuple] = {}
         self._ivf_cache: tuple | None = None
         self._pq_cache: tuple | None = None  # (codebooks, encoded_df)
+        # next_id stays DERIVED (max(id)+1 from storage, the reference's
+        # recompute-from-disk semantics) — this is only a memo of that
+        # derivation, maintained through insert() and dropped on any
+        # other mutation (init/delete/restore). Without it every insert
+        # re-scans max(id) across ALL store files, i.e. O(files) footer
+        # reads per insert and quadratic total ingest cost as a
+        # many-small-batches store grows (measured: tools/compact_probe).
+        self._next_id_cache: int | None = None
 
     # -- /init (tcp.rs:270-299) -------------------------------------------
     def init(
@@ -63,6 +71,7 @@ class VFSEngine:
         self.vector_dimension = vector_dimension
         self.quantize_on_write = quantize_storage
         self.mutate_metadata = mutate_metadata
+        self._next_id_cache = None
         self._recover_interrupted_rewrite()
         if truncate_data and os.path.isdir(self._data_dir):
             shutil.rmtree(self._data_dir)
@@ -134,6 +143,9 @@ class VFSEngine:
         df = self.spark.createDataFrame(rows, schema=VFS_VECTOR_SCHEMA)
         self._flush(df, scale_factor=scale_factor)
         self._invalidate_index()  # index no longer covers the store
+        # memo the derived next_id: this batch appended a dense id run,
+        # so max(id)+1 is known without re-scanning the store
+        self._next_id_cache = next_id + len(rows)
         return [r[0] for r in rows]
 
     def _invalidate_index(self) -> None:
@@ -147,6 +159,9 @@ class VFSEngine:
             self._pq_cache[1].unpersist()
             self._pq_cache = None
         self._row_count_cache = None  # store changed — refresh footers
+        self._next_id_cache = None  # re-derive from storage on next ask
+        # (insert() re-memoizes right after calling this — the one
+        # mutation whose resulting max(id) is known without a scan)
 
     def approx_vector_count(self) -> int | None:
         """Store size from Parquet footers (metadata-only — no data
@@ -186,7 +201,16 @@ class VFSEngine:
                         F.array(F.lit("quantized")),
                     ),
                 )
-        df.sortWithinPartitions("id").write.mode("append").parquet(self._data_dir)
+        # Driver-side insert batches are payload-bounded (the reference's
+        # HTTP POST body, tcp.rs:302-355) — scattering one across the
+        # session's default parallelism lands ~dozens of tiny part files
+        # PER INSERT, which compounds the small-file fragmentation that
+        # compact() exists to undo (measured: tools/compact_probe — a
+        # 400-insert store landed 4,400 files pre-fix). One sorted file
+        # per insert keeps per-file id min/max tight for footer pruning.
+        df.coalesce(1).sortWithinPartitions("id").write.mode("append").parquet(
+            self._data_dir
+        )
 
     # -- full collection view ---------------------------------------------
     def vectors(self) -> DataFrame:
@@ -220,10 +244,13 @@ class VFSEngine:
         return df
 
     def next_id(self) -> int:
+        if self._next_id_cache is not None:
+            return self._next_id_cache
         if not self._have_data():
             return 1
         row = self.spark.read.parquet(self._data_dir).agg(F.max("id")).first()
-        return (row[0] or 0) + 1
+        self._next_id_cache = (row[0] or 0) + 1
+        return self._next_id_cache
 
     # -- /vectors/<id> GET (tcp.rs:242-268) -------------------------------
     def get(self, vec_id: int):

@@ -666,6 +666,7 @@ def prefix_candidate_stats(
     exact: bool = False,
     sample_fraction: float | None = None,
     seed: int = 7,
+    df_sample_factor: float = 10.0,
 ):
     """Pre-flight for the exact prefix joins: ESTIMATE the candidate
     volume without paying the self-join. The r13 ladders showed the
@@ -720,21 +721,38 @@ def prefix_candidate_stats(
     full-corpus only).
 
     Sampled mode additionally reports ``est_candidates_prefix``
-    (r14): the prefix pipeline (df join → per-doc rank → prefix
-    postings → Σ C(pref_df,2) / Σ pref_df·(df−1)) run ON THE SAMPLE
-    and rescaled 1/p². This is the statistic that actually predicts
-    the join's cost — the r14 probe showed tier-1's Σ C(df,2)/doc is
-    ~IDENTICAL on saturated and Heaps'-law corpora at equal n (224
-    vs 252 at 5M: the Zipf head dominates the sum on both, and head
-    keys never enter prefixes), so tier 1 alone cannot route. The
-    sampled prefix estimate is approximate in a second way: prefix
-    MEMBERSHIP is decided by sampled dfs (≈ Binomial(df, p)), whose
-    ordering tracks the full-corpus ordering closely at both ends
-    (heavy keys stay heavy → stay excluded; df=1 tail ties break on
-    the same value hash) with mid-range noise — order-of-magnitude
-    fidelity, which is all routing needs (validated vs the r13
-    full-exact anchor: sampled 14.0M vs true 12.53M at 5M docs,
-    +12%). Costs one extra pass over the 1%-sample postings.
+    (r14): the ROUTING statistic — the r14 probe showed tier-1's
+    Σ C(df,2)/doc is ~IDENTICAL on saturated and Heaps'-law corpora
+    at equal n (224 vs 252 at 5M: the Zipf head dominates the sum on
+    both, and head keys never enter prefixes), so tier 1 alone
+    cannot route. It is a TWO-SAMPLE estimator, because the obvious
+    one-sample form (run the prefix pipeline on the doc sample, rank
+    by in-sample df, rescale 1/p²) is structurally biased LOW — the
+    r14 router_probe measured it ~20× under the exact tier-2 volume
+    at 5M docs AND corpus-indistinguishable (est_prefix literally
+    identical on saturated vs Heaps'-law at both rungs, reading only
+    the planted-dup floor). Mechanism: a collision-causing key shared
+    by two sampled docs has in-sample df ≥ 2 while the sampled docs'
+    other keys mostly read df=1, so the lowest-df-first prefix filter
+    preferentially EXCLUDES exactly the keys that generate
+    candidates. The fix decouples the two roles of df:
+    - pair COUNTING runs on the small doc sample A (rate p): per-key
+      Σ C(cnt_A,2)/p² (jaccard) — unbiased over doc pairs;
+    - prefix MEMBERSHIP ranks by df estimated from an INDEPENDENT
+      larger doc sample B (rate q = min(1, df_sample_factor·p),
+      different hash salt): df̂ = cnt_B/q, so a true-df-100 key reads
+      df̂≈100 whether or not its colliding docs landed in A, and the
+      rank filter keeps/excludes it for the same reason the full
+      join would. Keys absent from B rank as df̂=1 (rare tail —
+      bottom of the order, in the prefix, where the full join would
+      put them; their containment-mode weight (df̂−1)=0 undercounts
+      only the ~0-mass df≤2 tail).
+    Containment mode estimates Σ pref_df·(df−1) as
+    Σ cnt_A,pref·(df̂_B − 1)/p (A rescales 1/p; df̂ is already in
+    full-corpus units). Cost: one extra pass over the q-sample
+    postings (explode + groupBy, no window) + the p-sample window —
+    at df_sample_factor=10 the probe stays ~an order of magnitude
+    under the full tier-1 scan.
 
     Returns a dict: n_docs, postings, distinct_keys,
     est_candidates_upper (tier 1), and with exact=True also
@@ -751,6 +769,8 @@ def prefix_candidate_stats(
         if not 0.0 < sample_fraction <= 1.0:
             raise ValueError("sample_fraction must be in (0, 1]")
     t = max(threshold - 0.01, 0.0)
+    sh_base = sh  # unfiltered plan — the df-ranking B sample draws
+    # from the FULL corpus independently of the pair-counting sample
     if sample_fraction is not None and sample_fraction < 1.0:
         # deterministic id-hash Bernoulli sample as a FILTER, not
         # DataFrame.sample: a filter on the id column alone is
@@ -816,28 +836,61 @@ def prefix_candidate_stats(
             / (p * p),
             "sampled": sample_fraction,
         }
-        # tier 1.5: the prefix-aware estimate, on the sample (the
-        # ROUTING statistic — see docstring; one extra pass over the
-        # 1%-sample postings, so it rides every sampled probe)
-        w = Window.partitionBy(id_col).orderBy("_df", "_g")
+        # tier 1.5: the TWO-SAMPLE prefix-aware estimate (the ROUTING
+        # statistic — see docstring): pair counting on the p-sample A
+        # (= `ex`), prefix membership ranked by df̂ from the
+        # independent q-sample B (different hash salt). Ranking by
+        # A's own in-sample df is the measured-20×-low bias the r14
+        # router_probe exposed.
+        q = min(1.0, df_sample_factor * p)
+        sh_b = sh_base
+        if q < 1.0:
+            cutq = int(q * 1_000_000)
+            sh_b = sh_b.where(
+                F.abs(F.xxhash64(F.col(id_col), F.lit(seed + 1)))
+                % 1_000_000
+                < cutq
+            )
+        ex_b = (
+            sh_b.select(
+                block_col, F.array_distinct(set_col).alias(set_col)
+            )
+            .where(F.size(set_col) > 0)
+            .select(
+                F.col(block_col).alias("_blk"),
+                F.explode(
+                    F.transform(F.col(set_col), lambda g: F.xxhash64(g))
+                ).alias("_g"),
+            )
+        )
+        dfreq_b = ex_b.groupBy("_blk", "_g").agg(
+            (F.count("*") / F.lit(q)).alias("_dfh")
+        )
+        w = Window.partitionBy(id_col).orderBy("_dfh", "_g")
         plen = (
             F.col("_n")
             - F.floor(F.lit(t) * F.col("_n")).cast("int")
             + F.lit(1)
         )
         pref_key = (
-            ex.join(dfreq.select("_blk", "_g", "_df"), ["_blk", "_g"])
+            ex.join(dfreq_b, ["_blk", "_g"], "left")
+            .withColumn("_dfh", F.coalesce("_dfh", F.lit(1.0)))
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= plen)
             .groupBy("_blk", "_g")
-            .agg(F.count("*").alias("_p"), F.first("_df").alias("_df"))
+            .agg(F.count("*").alias("_p"), F.first("_dfh").alias("_dfh"))
         )
         if mode == "jaccard":
-            pest = F.sum(F.col("_p") * (F.col("_p") - 1) / 2)
+            pest = F.sum(F.col("_p") * (F.col("_p") - 1) / 2) / F.lit(
+                p * p
+            )
         else:
-            pest = F.sum(F.col("_p") * (F.col("_df") - 1))
+            pest = F.sum(
+                F.col("_p") * (F.greatest(F.col("_dfh"), F.lit(1.0)) - 1)
+            ) / F.lit(p)
         prow = pref_key.agg(pest.cast("double").alias("e")).first()
-        out["est_candidates_prefix"] = float(prow["e"] or 0.0) / (p * p)
+        out["est_candidates_prefix"] = float(prow["e"] or 0.0)
+        out["df_sample_fraction"] = q
         return out
     else:
         out = {
@@ -926,6 +979,7 @@ def route_prefix_join(
     max_prefix_per_doc: float | None = None,
     min_total: float | None = None,
     sample_fraction: float | None = None,
+    df_sample_factor: float = 10.0,
 ) -> dict:
     """Pre-flight routing decision for an exact prefix self-join.
 
@@ -967,6 +1021,7 @@ def route_prefix_join(
         set_col=set_col,
         exact=sample_fraction is None,
         sample_fraction=sample_fraction,
+        df_sample_factor=df_sample_factor,
     )
     est_prefix = float(stats["est_candidates_prefix"])
     per_doc = est_prefix / max(n, 1)
