@@ -1,0 +1,15 @@
+#!/bin/bash
+# Round-14 phase 2: post-fix reruns + round evidence artifacts.
+set -u
+cd "$(dirname "$0")/.."
+filter() { grep -v "Stage\|WARN\|conda\|^$"; }
+
+echo "=== ROUTER PROBE (two-sample estimator; 10M/20M calibrate the cap) ==="
+python tools/r14_ladder.py router_probe 2500000,5000000,10000000,20000000 2>&1 | filter
+echo "=== COMPACT PROBE (post insert-path fix) ==="
+python tools/compact_probe.py 400 250 32 2>&1 | filter
+echo "=== SELFCHECK r14 ==="
+python tools/selfcheck.py /root/testdata/sf0.01 --json SELFCHECK_r14.json 2>&1 | filter | tail -20
+echo "=== STREAMCHECK r14 ==="
+python tools/streamcheck.py 14 2>&1 | filter | tail -10
+echo "=== PHASE 2 DONE ==="
