@@ -872,9 +872,21 @@ def prefix_candidate_stats(
             - F.floor(F.lit(t) * F.col("_n")).cast("int")
             + F.lit(1)
         )
+        # absent-from-B keys carry df̂=0: for RANKING that parks them
+        # at the bottom of the order (where the full pipeline parks
+        # the df=1 tail; ties break on _g either way), and for the
+        # containment WEIGHT it keeps E[df̂−1 | one A posting] = D−1
+        # exact — coalescing to df̂=1 instead gave every PRESENT
+        # singleton key (cnt_B=1 → df̂=1/q) a spurious (1/q − 1)
+        # weight, an additive ~(1−q)/q·E[present] ≈ 0.9-per-posting
+        # bias that the r14 probe measured swamping the containment
+        # signal (per_doc ~11.8 IDENTICAL on saturated and Heaps'-law
+        # corpora at every rung — pure rare-tail artifact, zero
+        # routing information). Negative per-key terms are kept (the
+        # unbiasedness needs them); only the aggregate is floored.
         pref_key = (
             ex.join(dfreq_b, ["_blk", "_g"], "left")
-            .withColumn("_dfh", F.coalesce("_dfh", F.lit(1.0)))
+            .withColumn("_dfh", F.coalesce("_dfh", F.lit(0.0)))
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= plen)
             .groupBy("_blk", "_g")
@@ -886,10 +898,10 @@ def prefix_candidate_stats(
             )
         else:
             pest = F.sum(
-                F.col("_p") * (F.greatest(F.col("_dfh"), F.lit(1.0)) - 1)
+                F.col("_p") * (F.col("_dfh") - 1)
             ) / F.lit(p)
         prow = pref_key.agg(pest.cast("double").alias("e")).first()
-        out["est_candidates_prefix"] = float(prow["e"] or 0.0)
+        out["est_candidates_prefix"] = max(float(prow["e"] or 0.0), 0.0)
         out["df_sample_fraction"] = q
         return out
     else:
