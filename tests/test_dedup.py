@@ -1403,7 +1403,10 @@ def test_route_prefix_join_separates_planted_regimes(spark):
     )
     assert r["strategy"] == "banded"
     assert r["est_prefix"] > 100.0
-    assert r["est_prefix_per_doc"] > dedup_ops.PREFIX_ROUTER_MAX_PREFIX_PER_DOC
+    assert (
+        r["est_prefix_per_doc"]
+        > dedup_ops.PREFIX_ROUTER_MAX_PREFIX_PER_DOC["jaccard"]
+    )
 
     open_ = _router_corpus(spark, degenerate=False).select(
         "doc_id", "lang", word_shingles("text").alias("shingles")
@@ -1570,3 +1573,27 @@ def test_prefix_candidate_stats_two_sample_estimator(spark):
         sh, 0.6, mode="containment", sample_fraction=0.3
     )["est_candidates_prefix"]
     assert exact_c / 3 <= est_c <= exact_c * 3, (est_c, exact_c)
+
+
+def test_router_caps_pinned_to_measured_brackets():
+    """r13 VERDICT task #5: the route-to-banded cutoffs are measured
+    operating points (like the band_r=2 pin), not tunables. Each cap
+    must sit strictly inside its measured survived/died bracket and
+    keep >=3x headroom above the Heaps'-law (realistic-corpus)
+    ceiling so open-vocabulary data can never false-route to the
+    recall-gated twin. Values from the r14 router_probe ladder
+    (SCALE.md r14 calibration table, saturated generator, two-sample
+    estimator):"""
+    caps = dedup_ops.PREFIX_ROUTER_MAX_PREFIX_PER_DOC
+    # jaccard: exact join survived 10M docs (est 12.506/doc), spill-
+    # died at 20M (20.942/doc); Heaps ceiling 2.232/doc at 20M
+    assert 12.506 < caps["jaccard"] < 20.942
+    assert caps["jaccard"] >= 3 * 2.232
+    # containment: survived 20M (0.681/doc); 40M scratch-bound,
+    # extrapolated ~2.5/doc via candidate exponent 2.88; Heaps
+    # ceiling 0.234/doc at 20M
+    assert 0.681 < caps["containment"] < 2.5
+    assert caps["containment"] >= 3 * 0.234
+    # the absolute floor keeps every fixture/small corpus exact: the
+    # largest committed fixture volume is ~6 orders below it
+    assert dedup_ops.PREFIX_ROUTER_MIN_TOTAL == 10_000_000.0

@@ -961,24 +961,40 @@ def prefix_candidate_stats(
 # at equal n (224 vs 252 at 5M docs) because the Zipf head dominates
 # the sum on both and head keys never enter prefixes.
 #
-# Decision rule (constants calibrated from the r14 ladder — SCALE.md):
-# route to the probabilistic twin iff the estimated prefix-candidate
-# volume exceeds BOTH
+# Decision rule (constants calibrated from the r14 router_probe
+# ladder — SCALE.md r14 calibration table): route to the
+# probabilistic twin iff the estimated prefix-candidate volume
+# exceeds BOTH
 #   - PREFIX_ROUTER_MIN_TOTAL (absolute floor: below ~10⁷ generated
 #     candidates even a skew-heavy join is minutes of one node's
 #     work — fixtures and small corpora always stay exact), AND
-#   - PREFIX_ROUTER_MAX_PREFIX_PER_DOC × n_docs (the per-doc rate
-#     that separates the measured regimes; see SCALE.md r14 table).
+#   - PREFIX_ROUTER_MAX_PREFIX_PER_DOC[mode] × n_docs. Per-doc is
+#     the scale-invariant form (expected join work per row, the
+#     per-executor burden on a cluster); per-MODE because prefix
+#     length differs structurally (t=0.3 jaccard keeps ~70% of each
+#     doc's grams, t=0.6 containment ~40%), so the same corpus
+#     reads ~10× apart between modes. Measured brackets (saturated
+#     generator, 62 GB-scratch node, SCALE.md r14):
+#       jaccard:      survived 10M docs at 12.5/doc, spill-died at
+#                     20M at 20.9/doc; Heaps'-law ceiling 2.2/doc
+#                     → cap 15.0 (≥6.7× above realistic corpora)
+#       containment:  survived 20M docs at 0.68/doc, 40M attempt
+#                     scratch-bound — extrapolated ≈2.5/doc via the
+#                     measured candidate exponent 2.88; Heaps'-law
+#                     ceiling 0.23/doc → cap 1.5 (≥6.5× above)
 # Loose-direction safety: the fallback twins are recall-gated
 # (RECALL_r*.json), so a false "degenerate" routes to an acceptable
 # probabilistic path; a false "fine" merely pays spill the ladder
-# already survived at 10M docs.
+# already survived one doubling past the cap's survived anchor.
 
 PREFIX_ROUTER_SAMPLE_FRACTION = 0.01
 PREFIX_ROUTER_TARGET_SAMPLED_DOCS = 50_000
 PREFIX_ROUTER_SMALL_CORPUS_DOCS = 200_000
 PREFIX_ROUTER_MIN_TOTAL = 10_000_000.0
-PREFIX_ROUTER_MAX_PREFIX_PER_DOC = 5.0
+PREFIX_ROUTER_MAX_PREFIX_PER_DOC = {
+    "jaccard": 15.0,
+    "containment": 1.5,
+}
 
 
 def route_prefix_join(
@@ -1005,7 +1021,7 @@ def route_prefix_join(
     ('exact' | 'banded'), the probed ``stats``, and the two decision
     inputs (``est_prefix``, ``est_prefix_per_doc``)."""
     cap = (
-        PREFIX_ROUTER_MAX_PREFIX_PER_DOC
+        PREFIX_ROUTER_MAX_PREFIX_PER_DOC[mode]
         if max_prefix_per_doc is None
         else max_prefix_per_doc
     )
