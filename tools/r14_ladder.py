@@ -12,7 +12,7 @@
   router (operators/dedup.prefix_candidate_stats, sampled tier 1 at
   p=0.01): est_candidates_upper per doc on BOTH generators at each
   rung, next to the probe's own cpu cost. The route-to-banded cutoff
-  (operators/dedup.PREFIX_ROUTER_MAX_EST_PER_DOC) is pinned from
+  (operators/dedup.PREFIX_ROUTER_MAX_PREFIX_PER_DOC) is pinned from
   this table — see SCALE.md r14.
 
 Protocol: identical to tools/r13_ladder.py — same-session ladder,
