@@ -1597,3 +1597,20 @@ def test_router_caps_pinned_to_measured_brackets():
     # the absolute floor keeps every fixture/small corpus exact: the
     # largest committed fixture volume is ~6 orders below it
     assert dedup_ops.PREFIX_ROUTER_MIN_TOTAL == 10_000_000.0
+
+
+def test_route_prefix_join_short_circuits_small_corpora(spark):
+    """When C(n,2) <= min_total no probe outcome can route banded, so
+    the router must skip the probe (fixtures pay zero pre-flight
+    cost) and still return the full decision shape."""
+    docs = _router_corpus(spark, degenerate=True).select(
+        "doc_id", "lang", word_shingles("text").alias("shingles")
+    )
+    r = dedup_ops.route_prefix_join(docs, 0.3, mode="jaccard")
+    assert r["strategy"] == "exact"
+    assert r["stats"].get("skipped") == "C(n,2) <= min_total"
+    # with the floor overridden below C(60,2), the probe must RUN
+    r2 = dedup_ops.route_prefix_join(
+        docs, 0.3, mode="jaccard", min_total=100.0
+    )
+    assert "skipped" not in r2["stats"]

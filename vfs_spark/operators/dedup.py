@@ -1027,6 +1027,20 @@ def route_prefix_join(
     )
     floor = PREFIX_ROUTER_MIN_TOTAL if min_total is None else min_total
     n = sh.where(F.size(set_col) > 0).count()
+    # short-circuit: even the ALL-PAIRS volume C(n,2) cannot cross the
+    # absolute floor, so no probe result could ever route banded —
+    # skip the probe entirely (every committed fixture lands here;
+    # the probe is a production pre-flight, not a fixture tax)
+    if n * (n - 1) / 2 <= floor:
+        return {
+            "strategy": "exact",
+            "est_prefix": 0.0,
+            "est_prefix_per_doc": 0.0,
+            "n_docs": n,
+            "cap_per_doc": cap,
+            "min_total": floor,
+            "stats": {"skipped": "C(n,2) <= min_total"},
+        }
     if sample_fraction is None:
         if n <= PREFIX_ROUTER_SMALL_CORPUS_DOCS:
             sample_fraction = None  # exact tier
