@@ -42,7 +42,7 @@ from pyspark.sql import functions as F  # noqa: E402
 DEFAULT_SIZES = {
     "containment_heaps": "2500000,5000000,10000000",
     "clusters_heaps": "2500000,5000000,10000000",
-    "router_probe": "2500000,5000000",
+    "router_probe": "2500000,5000000,10000000,20000000",
 }
 
 
