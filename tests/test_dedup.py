@@ -1614,3 +1614,78 @@ def test_route_prefix_join_short_circuits_small_corpora(spark):
         docs, 0.3, mode="jaccard", min_total=100.0
     )
     assert "skipped" not in r2["stats"]
+
+
+def _skew_corpus(spark):
+    """40,000 open-vocab docs (unique 12-gram sets — zero collision
+    mass) + one 300-doc closed-vocab 'spam' block (identical sets —
+    the template-spam-on-one-host production shape). Global prefix
+    volume = 10·C(300,2) = 448,500 over 40,300 docs ≈ 11.1/doc:
+    UNDER the jaccard cap (15.0), so the r14 corpus-mean rule would
+    route exact — while the spam block alone reads ~1,495/doc, two
+    orders past the measured spill bracket."""
+    open_docs = spark.range(40_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.expr(
+            "transform(sequence(1,12), j -> "
+            "concat('o', cast(id as string), '_', cast(j as string)))"
+        ).alias("shingles"),
+    )
+    spam = spark.range(300).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("spam").alias("lang"),
+        F.expr(
+            "transform(sequence(1,12), j -> "
+            "concat('spamw', cast(j as string)))"
+        ).alias("shingles"),
+    )
+    return open_docs.unionByName(spam)
+
+
+def test_route_prefix_join_skew_hot_block(spark):
+    """r14 VERDICT task #5 'Done' gate: a saturated subdomain inside
+    a Heaps'-law corpus must route banded even though the corpus
+    MEAN stays under the per-mode cap. Exact tier (n <= 200k uses
+    the full prefix pipeline, so the per-block numbers here are not
+    estimates) and the sampled tier (deterministic id-hash sample,
+    so no flake) must both flag the spam block."""
+    sh = _skew_corpus(spark)
+    cap = dedup_ops.PREFIX_ROUTER_MAX_PREFIX_PER_DOC["jaccard"]
+    r = dedup_ops.route_prefix_join(
+        sh, 0.3, mode="jaccard", min_total=1000.0
+    )
+    # the pre-skew mean rule would have said "exact":
+    assert r["est_prefix_per_doc"] < cap
+    assert r["strategy"] == "banded"
+    hb = r["hot_block"]
+    assert hb is not None and hb["block"] == "spam"
+    assert hb["est_prefix_per_doc"] > cap
+    assert hb["n_docs"] == 300
+    # sampled tier: the per-block decomposition of the two-sample
+    # estimator reaches the same decision
+    r2 = dedup_ops.route_prefix_join(
+        sh, 0.3, mode="jaccard", min_total=1000.0, sample_fraction=0.5
+    )
+    assert r2["est_prefix_per_doc"] < cap
+    assert r2["strategy"] == "banded"
+    hb2 = r2["hot_block"]
+    assert hb2 is not None and hb2["block"] == "spam"
+    assert hb2["est_prefix_per_doc"] > cap
+    # noise guard: a sampled block below MIN_BLOCK_SAMPLED_DOCS must
+    # NOT trigger the hot-block rule on its own (rule fires only on
+    # adequately-probed blocks)
+    assert (
+        hb2["n_docs_sampled"]
+        >= dedup_ops.PREFIX_ROUTER_MIN_BLOCK_SAMPLED_DOCS
+    )
+
+
+def test_route_prefix_join_unknown_mode_raises(spark):
+    """ADVICE r14: an unknown mode must raise the friendly ValueError
+    up front, not a bare KeyError from the caps dict."""
+    docs = _router_corpus(spark, degenerate=False).select(
+        "doc_id", "lang", word_shingles("text").alias("shingles")
+    )
+    with pytest.raises(ValueError, match="unknown mode"):
+        dedup_ops.route_prefix_join(docs, 0.3, mode="cosine")

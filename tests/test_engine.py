@@ -410,3 +410,47 @@ def test_insert_lands_one_file_per_batch(engine):
             1 for f in os.listdir(data_dir) if f.endswith(".parquet")
         )
         assert n_parquet == i + 1, n_parquet
+
+
+def test_auto_compact_triggers_once_and_preserves_store(spark, tmp_path):
+    """r14 VERDICT #8: crossing the small-file threshold at flush time
+    must run compact() exactly once (the policy re-arms only after the
+    file count regrows past the threshold), keep rows identical, keep
+    next_id, and stay opt-out-able."""
+    from vfs_spark.engine import VFSEngine
+
+    eng = VFSEngine(spark, str(tmp_path / "store"))
+    eng.init(vector_dimension=2)
+    eng.auto_compact_threshold = 4
+    compacts = []
+    real_compact = eng.compact
+
+    def counting_compact(*a, **kw):
+        compacts.append(1)
+        return real_compact(*a, **kw)
+
+    eng.compact = counting_compact
+    for i in range(6):
+        eng.insert([[float(i), 1.0]])
+    # 5th insert crossed >4 files; the 6th ran over a compacted store
+    assert len(compacts) == 1
+    data_dir = eng._data_dir
+    n_files = sum(
+        1 for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    assert n_files <= eng.auto_compact_threshold
+    rows = sorted(
+        (r.id, [round(x, 4) for x in r.embedding])
+        for r in eng.vectors().collect()
+    )
+    assert rows == [(i + 1, [float(i), 1.0]) for i in range(6)]
+    assert eng.next_id() == 7  # memo survived the layout rewrite
+    # opt-out: no further compacts however fragmented the store gets
+    eng.auto_compact = False
+    for i in range(8):
+        eng.insert([[9.0, float(i)]])
+    assert len(compacts) == 1
+    # default threshold derives from shuffle parallelism
+    eng2 = VFSEngine(spark, str(tmp_path / "store2"))
+    eng2.init(vector_dimension=2)
+    assert eng2.auto_compact and eng2.auto_compact_threshold is None

@@ -1361,3 +1361,44 @@ def test_cluster_manifest_cache_evicts_superseded_fingerprints(
     finally:
         _CLUSTER_MANIFEST_CACHE.clear()
         _CLUSTER_MANIFEST_CACHE.update(before)
+
+
+def test_pipeline_multimodal_curation_manifest(spark, sf_dir):
+    """r14 VERDICT #7: images as a first-class curation stage. The
+    planted media population (docs 10-63, 8 perceptual groups of 8 —
+    see similarity._synth_bmp_media) must resolve to exactly one
+    image-canonical doc per group (the min doc_id among the group's
+    in-corpus members), the verdict must be order-free (independent
+    of text-stage fates), docs without media pass vacuously, and
+    reason follows first-failing-stage precedence."""
+    from vfs_spark.queries.text import q_pipeline_multimodal_curation
+
+    rows = {
+        r["doc_id"]: r
+        for r in q_pipeline_multimodal_curation(spark, sf_dir).collect()
+    }
+    # one manifest row per corpus doc (doc_id >= 10), none dropped
+    assert min(rows) == 10
+    # planted image groups: group g covers ids [8g, 8g+8)
+    for g in range(1, 8):
+        members = [
+            i for i in range(8 * g, 8 * g + 8) if 10 <= i < 64
+        ]
+        canon = min(members)
+        for m in members:
+            assert rows[m]["image_dup"] == (m != canon), (g, m)
+    # no media -> vacuous pass
+    assert all(
+        not rows[i]["image_dup"] for i in rows if i >= 64
+    )
+    # precedence + keep consistency
+    order = ["url_dup", "quality", "exact_dup", "image_neardup", "kept"]
+    for r in rows.values():
+        assert r["reason"] in order
+        assert r["keep"] == (r["reason"] == "kept")
+        # an image_neardup reason implies the flag; the flag with an
+        # earlier reason must NOT surface as image_neardup
+        if r["reason"] == "image_neardup":
+            assert r["image_dup"]
+        if not r["image_dup"]:
+            assert r["reason"] != "image_neardup"

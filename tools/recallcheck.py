@@ -52,6 +52,7 @@ def main() -> None:
     warnings.simplefilter("ignore")
     spark = get_spark()
     entries: list[dict] = []
+    gate_misses: list[tuple] = []
 
     def add(op, dataset, params, n_truth, recall, wall, note=None,
             role=None, gate=None):
@@ -66,6 +67,7 @@ def main() -> None:
         assert (gate is not None) == (role == "registered"), (op, role)
         if role == "registered" and recall < gate:
             print(f"!! GATE MISS: {op} recall {recall:.4f} < gate {gate}")
+            gate_misses.append((op, recall, gate))
         e = {
             "op": op,
             "dataset": dataset,
@@ -479,11 +481,45 @@ def main() -> None:
              f"pairs emitted: {len(got - planted_img)}; corpus is "
              "mixed-codec (even ids BMP, odd ids PNG) since r14")
 
+    # ---- multimodal curation pipeline (image stage recall) ----
+    t = time.time()
+    man = {r["doc_id"]: r for r in QUERIES["pipeline_multimodal_curation"](
+        spark, dedup_sf).collect()}
+    planted_dups = {m for g in range(1, 8)
+                    for m in range(8 * g, 8 * g + 8)
+                    if 10 <= m < 64
+                    and m != min(i for i in range(8 * g, 8 * g + 8)
+                                 if 10 <= i < 64)}
+    hit = sum(1 for m in planted_dups if man[m]["image_dup"])
+    false_flags = sum(1 for d, r in man.items()
+                      if r["image_dup"] and d not in planted_dups)
+    add("pipeline_multimodal_curation (image stage)",
+        os.path.basename(dedup_sf),
+        {"max_hamming": 10, "groups_in_corpus": 7, "per_group": 8},
+        len(planted_dups), hit / len(planted_dups), time.time() - t,
+        role="registered", gate=0.9,
+        note="recall of planted non-canonical group members flagged "
+             f"image_dup in the composed manifest; false flags: "
+             f"{false_flags} (cross-group merges)")
+
     dest = os.path.join(REPO, f"RECALL_r{rnd}.json")
     with open(dest, "w") as fh:
         json.dump({"entries": entries,
                    "ann_sf": ann_sf, "dedup_sf": dedup_sf}, fh, indent=1)
     print(f"wrote {dest}: {len(entries)} entries")
+    # ADVICE r14: a registered-entry gate miss must fail the RUN, not
+    # just print — a ladder script that skips pytest would otherwise
+    # commit a below-gate artifact without noticing. The artifact is
+    # still written above (the evidence of the miss belongs on disk);
+    # the nonzero exit is the loud part.
+    if gate_misses:
+        sys.exit(
+            "GATE MISSES: "
+            + "; ".join(
+                f"{op} {recall:.4f} < {gate}"
+                for op, recall, gate in gate_misses
+            )
+        )
 
 
 if __name__ == "__main__":

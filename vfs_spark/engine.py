@@ -5,8 +5,10 @@ snapshot, restore — over a Parquet-backed vector store.
 The reference serializes all work behind one global mutex
 (main.rs:49); here every verb is a Spark job that parallelizes across
 the cluster. State (next_id etc., storage_manager.rs:18-26) is
-derived, not mutable: next_id = max(id)+1 recomputed from storage,
-snapshots are directory copies of immutable Parquet.
+derived, not mutable: next_id = max(id)+1 derived from storage (and
+MEMOIZED across inserts under the single-writer-per-storage_dir
+contract — see VFSEngine docstring), snapshots are directory copies
+of immutable Parquet.
 """
 
 from __future__ import annotations
@@ -25,9 +27,35 @@ from vfs_spark.operators.knn import exact_knn
 from vfs_spark.schema import VFS_VECTOR_SCHEMA
 
 
+# Auto-compact trigger (r14 VERDICT #8): compact when the store holds
+# more than FACTOR × spark.sql.shuffle.partitions parquet files.
+# Rationale for 64: compact_probe (r14, 12,800-file store) measured
+# 34×/50×/15× lookup/scan/search gains, i.e. per-file footer/open
+# overhead dominates serving well before 10k files; 64×32 = 2,048
+# files is where that overhead is already ~15-30% of a point lookup
+# on this node while a compact() rewrite is still cheap relative to
+# the accumulated insert cost that produced the files. Bounded-
+# mistake reasoning (the knn_batch_auto discipline): triggering too
+# EARLY costs one linear rewrite amortized over the ≥threshold
+# inserts that preceded it (≤1/2048 of a store rewrite per insert);
+# triggering too LATE re-enters the measured 34× serving-degradation
+# regime — so the cheap mistake is early.
+AUTO_COMPACT_FILE_FACTOR = 64
+
+
 class VFSEngine:
     """One engine instance ≈ one reference server deployment (a single
-    vectors collection with a fixed dimension, tcp.rs:26-63)."""
+    vectors collection with a fixed dimension, tcp.rs:26-63).
+
+    Single-writer contract: one engine instance (or reference server)
+    owns a storage_dir at a time — the reference serializes every verb
+    behind one global mutex (main.rs:49), and the derived-state memos
+    here (next_id, row count, fitted indexes) assume the same: a
+    second writer appending to the same directory is visible to
+    vectors()/get() (they re-read storage) but NOT to the memoized
+    next_id(), so concurrent inserts from two instances could assign
+    duplicate ids. Multi-writer ingest belongs to the streaming path
+    (stream_append_vectors), which owns its store the same way."""
 
     def __init__(self, spark: SparkSession, storage_dir: str):
         self.spark = spark
@@ -50,6 +78,11 @@ class VFSEngine:
         # reads per insert and quadratic total ingest cost as a
         # many-small-batches store grows (measured: tools/compact_probe).
         self._next_id_cache: int | None = None
+        # auto-compact policy (r14 VERDICT #8): opt-out flag + optional
+        # explicit threshold (None → AUTO_COMPACT_FILE_FACTOR ×
+        # spark.sql.shuffle.partitions, the documented default)
+        self.auto_compact = True
+        self.auto_compact_threshold: int | None = None
 
     # -- /init (tcp.rs:270-299) -------------------------------------------
     def init(
@@ -146,7 +179,42 @@ class VFSEngine:
         # memo the derived next_id: this batch appended a dense id run,
         # so max(id)+1 is known without re-scanning the store
         self._next_id_cache = next_id + len(rows)
+        self._maybe_auto_compact()
         return [r[0] for r in rows]
+
+    def _maybe_auto_compact(self) -> bool:
+        """Flush-time small-file policy (r14 VERDICT #8): when the
+        store's parquet file count crosses the threshold (default
+        AUTO_COMPACT_FILE_FACTOR × shuffle parallelism — see the
+        constant's rationale), run compact() once. Every insert lands
+        at least one new file, so a many-small-batches ingest would
+        otherwise walk straight into the measured 34×-slower-lookup
+        regime (tools/compact_probe). The check is one driver-side
+        listdir (no Spark job); after a compact the file count falls
+        to ceil(rows/target), so the policy re-arms only after
+        ~threshold further inserts. Opt out with
+        ``engine.auto_compact = False``; override the cutoff with
+        ``engine.auto_compact_threshold``. Returns True iff a compact
+        ran. compact() is row-identical, so the just-memoized next_id
+        survives it."""
+        if not self.auto_compact or not self._have_data():
+            return False
+        thr = self.auto_compact_threshold
+        if thr is None:
+            thr = AUTO_COMPACT_FILE_FACTOR * int(
+                self.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+        n_files = sum(
+            1
+            for f in os.listdir(self._data_dir)
+            if f.endswith(".parquet")
+        )
+        if n_files <= thr:
+            return False
+        memo = self._next_id_cache
+        self.compact()
+        self._next_id_cache = memo  # layout-only rewrite: max(id) unchanged
+        return True
 
     def _invalidate_index(self) -> None:
         for _, vdf in self._lsh_cache.values():

@@ -757,6 +757,13 @@ def prefix_candidate_stats(
     Returns a dict: n_docs, postings, distinct_keys,
     est_candidates_upper (tier 1), and with exact=True also
     prefix_postings, distinct_prefix_keys, est_candidates_prefix.
+    Wherever est_candidates_prefix is computed (sampled tier 1.5 and
+    exact tier 2) the dict also carries ``blocks``: the top
+    PREFIX_STATS_MAX_BLOCKS blocks by per-doc prefix burden, each
+    with n_docs / n_docs_sampled / est_candidates_prefix /
+    est_prefix_per_doc in full-corpus units — an EXACT per-block
+    partition of the global estimate (every per-key term already
+    carries the block), feeding the router's skew rule.
     Inputs are pinned DISK_ONLY for the exact tier (two passes over
     the exploded postings — same discipline as the joins)."""
     if mode not in ("jaccard", "containment"):
@@ -900,9 +907,55 @@ def prefix_candidate_stats(
             pest = F.sum(
                 F.col("_p") * (F.col("_dfh") - 1)
             ) / F.lit(p)
-        prow = pref_key.agg(pest.cast("double").alias("e")).first()
-        out["est_candidates_prefix"] = max(float(prow["e"] or 0.0), 0.0)
+        # Per-BLOCK decomposition of the SAME estimator (r14 VERDICT
+        # #5, skew-awareness): every per-key term already carries
+        # _blk, so grouping by block before summing partitions the
+        # global sum exactly — no new estimator, hence the r14
+        # two-sample/unbiased-weight analysis carries over per block
+        # (each block is just a sub-corpus probed at the same p/q).
+        # The tiny per-block aggregate is persisted so the prefix
+        # pipeline upstream runs ONCE for both the global total and
+        # the per-block detail.
+        from pyspark import StorageLevel
+
+        blk_est = (
+            pref_key.groupBy("_blk")
+            .agg(pest.cast("double").alias("_e"))
+            .join(
+                sh.groupBy(block_col)
+                .agg(F.count("*").alias("_nb"))
+                .withColumnRenamed(block_col, "_blk"),
+                "_blk",
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        tot = blk_est.agg(F.sum("_e").alias("e")).first()
+        # full-corpus units: _e is already rescaled (1/p² pairs or
+        # 1/p postings); block size rescales 1/p → per-doc = _e·p/_nb
+        top = (
+            blk_est.select(
+                "_blk",
+                "_e",
+                "_nb",
+                (F.col("_e") * F.lit(p) / F.col("_nb")).alias("_pd"),
+            )
+            .orderBy(F.desc("_pd"))
+            .limit(PREFIX_STATS_MAX_BLOCKS)
+            .collect()
+        )
+        blk_est.unpersist()
+        out["est_candidates_prefix"] = max(float(tot["e"] or 0.0), 0.0)
         out["df_sample_fraction"] = q
+        out["blocks"] = [
+            {
+                "block": r["_blk"],
+                "n_docs": int(round(r["_nb"] / p)),
+                "n_docs_sampled": int(r["_nb"]),
+                "est_candidates_prefix": max(float(r["_e"] or 0.0), 0.0),
+                "est_prefix_per_doc": max(float(r["_pd"] or 0.0), 0.0),
+            }
+            for r in top
+        ]
         return out
     else:
         out = {
@@ -931,17 +984,58 @@ def prefix_candidate_stats(
         est = F.sum(F.col("_p") * (F.col("_p") - 1) / 2)
     else:
         est = F.sum(F.col("_p") * (F.col("_df") - 1))
-    prow = pref_key.agg(
-        F.sum("_p").alias("prefix_postings"),
-        F.count("*").alias("distinct_prefix_keys"),
-        est.cast("double").alias("est_prefix"),
+    # exact tier gets the same per-block decomposition as the sampled
+    # tier (skew-awareness); the global fields are the per-block sums
+    # (exact partition of the same per-key terms), persisted tiny so
+    # pref_key computes once for both views.
+    from pyspark import StorageLevel
+
+    blk = (
+        pref_key.groupBy("_blk")
+        .agg(
+            F.sum("_p").alias("_pp"),
+            F.count("*").alias("_dk"),
+            est.cast("double").alias("_e"),
+        )
+        .join(
+            sh.groupBy(block_col)
+            .agg(F.count("*").alias("_nb"))
+            .withColumnRenamed(block_col, "_blk"),
+            "_blk",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prow = blk.agg(
+        F.sum("_pp").alias("prefix_postings"),
+        F.sum("_dk").alias("distinct_prefix_keys"),
+        F.sum("_e").alias("est_prefix"),
     ).first()
+    top = (
+        blk.select(
+            "_blk", "_e", "_nb",
+            (F.col("_e") / F.col("_nb")).alias("_pd"),
+        )
+        .orderBy(F.desc("_pd"))
+        .limit(PREFIX_STATS_MAX_BLOCKS)
+        .collect()
+    )
+    blk.unpersist()
     sh.unpersist()
     out.update(
         {
             "prefix_postings": prow["prefix_postings"],
             "distinct_prefix_keys": prow["distinct_prefix_keys"],
             "est_candidates_prefix": float(prow["est_prefix"] or 0.0),
+            "blocks": [
+                {
+                    "block": r["_blk"],
+                    "n_docs": int(r["_nb"]),
+                    "n_docs_sampled": int(r["_nb"]),
+                    "est_candidates_prefix": float(r["_e"] or 0.0),
+                    "est_prefix_per_doc": float(r["_pd"] or 0.0),
+                }
+                for r in top
+            ],
         }
     )
     return out
@@ -995,6 +1089,27 @@ PREFIX_ROUTER_MAX_PREFIX_PER_DOC = {
     "jaccard": 15.0,
     "containment": 1.5,
 }
+# Skew-awareness (r14 VERDICT #5): the corpus-MEAN per-doc rule is
+# blind to a saturated subdomain inside a healthy corpus (template
+# spam on one host: 95% Heaps'-law bulk holds the mean under the cap
+# while the hot block alone generates the spill). The probe's
+# per-key terms already carry the block, so the estimate decomposes
+# exactly per block; the router additionally routes banded when ANY
+# single block exceeds BOTH thresholds on its own — the same
+# per-mode cap applies (a block is just a sub-corpus: the calibrated
+# brackets are per-doc join burden, invariant to how many docs sit
+# outside the block) and the same absolute floor (the spill is
+# caused by absolute candidate volume; a hot block below the floor
+# is minutes of one node's work regardless of its per-doc ratio).
+# MIN_BLOCK_SAMPLED_DOCS bounds estimator variance: a block with
+# only a handful of sampled docs can read an enormous rescaled
+# per-doc value from a couple of coincident pairs; below ~100
+# sampled docs the block estimate is noise and the global rule (plus
+# the next re-probe at a larger p) is the backstop. top-20 blocks by
+# per-doc burden are reported, so a many-block corpus (host-level
+# blocking) stays collect-bounded.
+PREFIX_STATS_MAX_BLOCKS = 20
+PREFIX_ROUTER_MIN_BLOCK_SAMPLED_DOCS = 100
 
 
 def route_prefix_join(
@@ -1017,9 +1132,16 @@ def route_prefix_join(
     chosen so ~PREFIX_ROUTER_TARGET_SAMPLED_DOCS docs are probed,
     floored at PREFIX_ROUTER_SAMPLE_FRACTION — the 73-cpu-s shape
     measured at 5M docs in r13) — and applies the calibrated
-    decision rule documented above. Returns a dict with ``strategy``
-    ('exact' | 'banded'), the probed ``stats``, and the two decision
-    inputs (``est_prefix``, ``est_prefix_per_doc``)."""
+    decision rule documented above, PLUS the per-block hot-spot rule
+    (route banded when any single block with ≥
+    PREFIX_ROUTER_MIN_BLOCK_SAMPLED_DOCS probed docs exceeds both
+    the floor and the per-doc cap on its own — the skew case the
+    corpus mean hides). Returns a dict with ``strategy``
+    ('exact' | 'banded'), the probed ``stats``, the two decision
+    inputs (``est_prefix``, ``est_prefix_per_doc``), and
+    ``hot_block`` (the offending block's stats, or None)."""
+    if mode not in PREFIX_ROUTER_MAX_PREFIX_PER_DOC:
+        raise ValueError(f"unknown mode {mode!r}")
     cap = (
         PREFIX_ROUTER_MAX_PREFIX_PER_DOC[mode]
         if max_prefix_per_doc is None
@@ -1067,7 +1189,17 @@ def route_prefix_join(
     )
     est_prefix = float(stats["est_candidates_prefix"])
     per_doc = est_prefix / max(n, 1)
-    banded = est_prefix > floor and per_doc > cap
+    hot_block = None
+    for b in stats.get("blocks") or []:
+        if b["n_docs_sampled"] < PREFIX_ROUTER_MIN_BLOCK_SAMPLED_DOCS:
+            continue
+        if (
+            b["est_candidates_prefix"] > floor
+            and b["est_prefix_per_doc"] > cap
+        ):
+            hot_block = b
+            break
+    banded = (est_prefix > floor and per_doc > cap) or hot_block is not None
     return {
         "strategy": "banded" if banded else "exact",
         "est_prefix": est_prefix,
@@ -1075,6 +1207,7 @@ def route_prefix_join(
         "n_docs": n,
         "cap_per_doc": cap,
         "min_total": floor,
+        "hot_block": hot_block,
         "stats": stats,
     }
 
@@ -1123,10 +1256,19 @@ def jaccard_pairs_auto(
         )
     import warnings
 
+    hb = route.get("hot_block")
     warnings.warn(
         "jaccard_pairs_auto: estimated prefix-candidate volume "
         f"{route['est_prefix']:.3g} ({route['est_prefix_per_doc']:.1f}"
-        f"/doc over {route['n_docs']} docs) exceeds the calibrated "
+        f"/doc over {route['n_docs']} docs"
+        + (
+            f"; hot block {hb['block']!r}: "
+            f"{hb['est_prefix_per_doc']:.1f}/doc over "
+            f"{hb['n_docs']} docs"
+            if hb
+            else ""
+        )
+        + ") exceeds the calibrated "
         "single-node envelope — falling back to the recall-gated "
         "banded MinHash twin (exact-verified candidates, "
         "probabilistic recall; see RECALL_r*.json)",
@@ -1183,10 +1325,19 @@ def containment_pairs_auto(
         )
     import warnings
 
+    hb = route.get("hot_block")
     warnings.warn(
         "containment_pairs_auto: estimated prefix-candidate volume "
         f"{route['est_prefix']:.3g} ({route['est_prefix_per_doc']:.1f}"
-        f"/doc over {route['n_docs']} docs) exceeds the calibrated "
+        f"/doc over {route['n_docs']} docs"
+        + (
+            f"; hot block {hb['block']!r}: "
+            f"{hb['est_prefix_per_doc']:.1f}/doc over "
+            f"{hb['n_docs']} docs"
+            if hb
+            else ""
+        )
+        + ") exceeds the calibrated "
         "single-node envelope — falling back to the recall-gated "
         "anchored sampler (exact-verified candidates, probabilistic "
         "recall; see RECALL_r*.json)",

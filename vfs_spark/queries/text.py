@@ -4711,3 +4711,122 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 10 != 0),
         jaccard_threshold=0.3,
     )
+
+
+@query("pipeline_multimodal_curation")  # rows-only: the phash stage
+# (PNG/BMP decode + banded hamming) is not SQL-expressible; planted
+# image-group recall is gated in tools/recallcheck.py instead
+def q_pipeline_multimodal_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """⊕ Curation with IMAGES as a first-class stage (r14 VERDICT
+    #7): the text gates of pipeline_curation_full (URL keep-min →
+    Gopher rules → exact-fp keep-min) composed with the image
+    near-dup stage of dedup_image_phash (mixed-codec BMP/PNG decode
+    → 64-bit perceptual hash → AND-banded hamming pairs → connected
+    components), emitting ONE keep/drop manifest over the corpus:
+    (doc_id, source, keep, reason, image_dup).
+
+    Semantics — deterministic and order-free:
+    - reason is the FIRST failing stage in pipeline order
+      ('url_dup' → 'quality' → 'exact_dup' → 'image_neardup' →
+      'kept'); exact_dup is judged among URL/quality survivors,
+      exactly as in pipeline_curation_full.
+    - the image stage runs over the FULL media population (docs with
+      an attached image), not just text survivors — the decontam
+      discipline ('contamination over the RAW corpus scan'): a doc
+      is its image-cluster's canonical representative iff it holds
+      the cluster's min doc_id, so the verdict never depends on
+      which cluster-mates happened to die earlier, and a canonical
+      doc killed by a text gate takes its near-dup copies down with
+      it (the batch keep-min semantics: refetches of dropped content
+      stay dropped).
+    - docs without media (doc_id ≥ 64 in the planted fixture) pass
+      the image stage vacuously (image_dup = false).
+
+    100 TB shape: images collapse to 8-byte phashes in the scan
+    stage (pixels never shuffle); text signals are computed once in
+    a slim scan and dropped of text immediately; every join below
+    moves (id, key, flag) rows only; the final assembly is one
+    id-keyed join of the text manifest with the (small) image
+    verdicts — broadcastable whenever the media population is, an
+    id-only shuffle when it is not."""
+    from pyspark.sql.window import Window
+
+    from vfs_spark.functions.text import normalize_url
+    from vfs_spark.operators import multimodal
+    from vfs_spark.operators.dedup import (
+        connected_components,
+        hamming_pairs_banded_and,
+    )
+    from vfs_spark.queries.similarity import _synth_bmp_media
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).where(
+        F.col("doc_id") >= 10
+    )
+    toks = tokens("text")
+    slim = docs.select(
+        "doc_id",
+        "source",
+        normalize_url(_synth_url_col()).alias("u"),
+        fingerprint("text").alias("fp"),
+        *_gopher_metric_cols(toks),
+    )
+    wu = Window.partitionBy("u").orderBy("doc_id")
+    flags = (
+        slim.withColumn("url_dup", F.row_number().over(wu) > 1)
+        .withColumn("quality_fail", ~_gopher_pass_cond())
+        .select("doc_id", "source", "fp", "url_dup", "quality_fail")
+    )
+    wf = Window.partitionBy("fp").orderBy("doc_id")
+    exact_dups = (
+        flags.where(~F.col("url_dup") & ~F.col("quality_fail"))
+        .withColumn("exact_dup", F.row_number().over(wf) > 1)
+        .select("doc_id", "exact_dup")
+    )
+    # image stage: planted media population (docs 10-63 carry a
+    # 32×32 image, mixed BMP/PNG codecs — see _synth_bmp_media),
+    # phash in the scan stage, AND-banded hamming pairs (pigeonhole-
+    # complete for the budget, exact bit_count verify), min-label
+    # components; a doc is image_dup iff it is NOT its component min
+    media = _synth_bmp_media(spark, sf_dir).where(F.col("media_id") >= 10)
+    fps = multimodal.phash(media)
+    pairs = hamming_pairs_banded_and(
+        fps,
+        id_col="media_id",
+        hash_col="phash",
+        max_hamming=10,
+        out_a="media_a",
+        out_b="media_b",
+    )
+    cc = connected_components(
+        fps.select(F.col("media_id").alias("doc_id")),
+        pairs.select(
+            F.col("media_a").alias("src"), F.col("media_b").alias("dst")
+        ),
+        id_col="doc_id",
+    )
+    image_dups = cc.select(
+        "doc_id",
+        (F.col("doc_id") != F.col("cluster_id")).alias("image_dup"),
+    )
+    m = (
+        flags.join(exact_dups, "doc_id", "left")
+        .join(image_dups, "doc_id", "left")
+        .withColumn("exact_dup", F.coalesce("exact_dup", F.lit(False)))
+        .withColumn("image_dup", F.coalesce("image_dup", F.lit(False)))
+    )
+    reason = (
+        F.when(F.col("url_dup"), "url_dup")
+        .when(F.col("quality_fail"), "quality")
+        .when(F.col("exact_dup"), "exact_dup")
+        .when(F.col("image_dup"), "image_neardup")
+        .otherwise("kept")
+    )
+    return m.select(
+        "doc_id",
+        "source",
+        reason.alias("reason"),
+        (reason == F.lit("kept")).alias("keep"),
+        "image_dup",
+    )
