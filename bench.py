@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     # round-11 additions (VERDICT r10 #6, #7)
     "pipeline_curation_ranked",
     "retrieval_eval_ndcg",
+    # round-15 addition (VERDICT r14 #7)
+    "pipeline_multimodal_curation",
 ]
 
 # Registry slugs deliberately NOT in the timed suite — every exclusion

@@ -490,3 +490,21 @@ def test_ivfpq_single_arrow_matches_expr(emb, pq):
         assert [(x["vec_id"], x["dist"]) for x in a] == [
             (x["vec_id"], x["dist"]) for x in e
         ], r["vec_id"]
+
+
+def test_auto_nprobe_n_aware_dispatch_same_choice(emb):
+    """r14 VERDICT #6: auto_nprobe's truth scan routes through the
+    Arrow/BLAS kernel when the caller passes a big
+    approx_vector_count — the kernel contract (byte-identical top-k
+    to the expr form) must make the CHOSEN nprobe identical on both
+    routes."""
+    km, assigned = ann_ops.build_ivf_index(emb, n_clusters=8)
+    base = ann_ops.auto_nprobe(km, assigned, recall_target=0.9, k=10)
+    routed = ann_ops.auto_nprobe(
+        km,
+        assigned,
+        recall_target=0.9,
+        k=10,
+        approx_vector_count=10_000_000,  # forces the kernel route
+    )
+    assert routed == base

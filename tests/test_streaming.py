@@ -801,7 +801,8 @@ def test_stream_corpus_ingest_rebuilds_missing_sidecar(
 
     dest = str(tmp_path / "corpus")
     q = stream_corpus_ingest(
-        read_document_stream(spark, sf_dir), dest, str(tmp_path / "c1")
+        read_document_stream(spark, sf_dir), dest, str(tmp_path / "c1"),
+        bloom_min_history_rows=0,
     )
     q.awaitTermination()
     n0 = spark.read.parquet(dest).count()
@@ -812,7 +813,8 @@ def test_stream_corpus_ingest_rebuilds_missing_sidecar(
     # replay with the sidecar GONE: full-rescan fallback dedups, and
     # the sidecar is rebuilt covering the historic fps
     q2 = stream_corpus_ingest(
-        read_document_stream(spark, sf_dir), dest, str(tmp_path / "c2")
+        read_document_stream(spark, sf_dir), dest, str(tmp_path / "c2"),
+        bloom_min_history_rows=0,
     )
     q2.awaitTermination()
     assert spark.read.parquet(dest).count() == n0
@@ -820,7 +822,8 @@ def test_stream_corpus_ingest_rebuilds_missing_sidecar(
 
     # and a THIRD replay now rides the rebuilt bloom: still zero adds
     q3 = stream_corpus_ingest(
-        read_document_stream(spark, sf_dir), dest, str(tmp_path / "c3")
+        read_document_stream(spark, sf_dir), dest, str(tmp_path / "c3"),
+        bloom_min_history_rows=0,
     )
     q3.awaitTermination()
     assert spark.read.parquet(dest).count() == n0
@@ -842,6 +845,7 @@ def test_stream_corpus_ingest_bloom_off_matches_on(spark, sf_dir, tmp_path):
             dest,
             str(tmp_path / ck),
             bloom_bits=bits,
+            bloom_min_history_rows=0,
         )
         q.awaitTermination()
     got_on = {r["doc_id"] for r in spark.read.parquet(on).collect()}
@@ -850,3 +854,47 @@ def test_stream_corpus_ingest_bloom_off_matches_on(spark, sf_dir, tmp_path):
     import os
 
     assert not os.path.isdir(off.rstrip("/") + "_fpbloom")
+
+
+def test_stream_corpus_ingest_history_dispatch(spark, sf_dir, tmp_path):
+    """r14 VERDICT #3: below BLOOM_MIN_HISTORY_ROWS the ingest takes
+    the (measured-cheaper) rescan path — no sidecar is written or
+    probed — and lands the identical doc set as the forced-sidecar
+    twin; a stale filter found under the threshold is removed rather
+    than trusted (missing bits would be false NEGATIVES)."""
+    import os
+
+    from vfs_spark.streaming.ingest import (
+        FpBloomSidecar,
+        read_document_stream,
+        stream_corpus_ingest,
+    )
+
+    auto, forced = str(tmp_path / "auto"), str(tmp_path / "forced")
+    q = stream_corpus_ingest(
+        read_document_stream(spark, sf_dir), auto, str(tmp_path / "ca")
+    )
+    q.awaitTermination()
+    # fixture history is far under the default threshold
+    assert not os.path.isdir(auto.rstrip("/") + "_fpbloom")
+    q = stream_corpus_ingest(
+        read_document_stream(spark, sf_dir),
+        forced,
+        str(tmp_path / "cf"),
+        bloom_min_history_rows=0,
+    )
+    q.awaitTermination()
+    assert os.path.isdir(forced.rstrip("/") + "_fpbloom")
+    a = {r["doc_id"] for r in spark.read.parquet(auto).collect()}
+    b = {r["doc_id"] for r in spark.read.parquet(forced).collect()}
+    assert a == b and a
+    # a stale under-threshold filter is removed on the next batch
+    FpBloomSidecar(auto).add(
+        spark.range(5).select(F.xxhash64("id").alias("fp"))
+    )
+    assert os.path.isdir(auto.rstrip("/") + "_fpbloom")
+    q = stream_corpus_ingest(
+        read_document_stream(spark, sf_dir), auto, str(tmp_path / "ca2")
+    )
+    q.awaitTermination()
+    assert not os.path.isdir(auto.rstrip("/") + "_fpbloom")

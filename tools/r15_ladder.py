@@ -1,0 +1,209 @@
+"""Round-15 ladder rungs (r14 VERDICT task #5 validation):
+
+- ``mixed_probe`` — the skew-aware router's per-block estimator
+  validated ON THE LARGE-SCALE GENERATORS (the r14 estimator-bias
+  discipline: fixtures validate the rule, generators validate the
+  statistic). Each rung builds a MIXED corpus — Heaps'-law bulk
+  (lang='en', tools/curation_ab.build_corpus_heaps) plus a
+  closed-vocabulary 'spam' block (lang='spam', build_corpus's
+  1000-word generator) — and records, from ONE sampled
+  route_prefix_join probe, the global mean per-doc statistic and the
+  per-block decomposition, next to PURE-generator anchor probes at
+  each block's own size. Reading: the spam block's per-doc estimate
+  must track the pure-saturated anchor at the block's size and the
+  'en' block the pure-heaps anchor — i.e. blocks do not contaminate
+  each other (the decomposition is exact per construction; this
+  measures sampling noise of the per-block split at production p).
+- ``mixed_demo`` — the production failure the skew rule exists for,
+  demonstrated at the REAL calibrated caps (no overrides): 40M docs
+  = 28M Heaps'-law + 12M saturated spam. The corpus MEAN reads well
+  under the jaccard cap (15.0/doc) — the r14 mean-rule would route
+  EXACT and walk into the measured 20M-scale spill death inside the
+  spam block — while the per-block rule flags the spam block
+  (saturated @12M reads ≈12-21/doc at its own size) and routes
+  banded. Probe-only (the join itself is exactly the death the
+  router prevents; the saturated 20M spill kill is already measured,
+  SCALE.md r13/r14).
+
+Protocol: same-session ladder, zstd shuffle, per-rung scratch
+reclamation, durable JSON dump after every rung (r13 ADVICE #3).
+
+Usage: python tools/r15_ladder.py mixed_probe [totals_csv]
+       python tools/r15_ladder.py mixed_demo
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SPAM_FRAC = 0.10  # decomposition rungs: 10% closed-vocab block
+
+
+def _timed(spark, fn):
+    from vfs_spark.metrics import cpu_delta_s, cpu_snapshot
+
+    s0 = cpu_snapshot(spark)
+    t0 = time.time()
+    out = fn()
+    wall = time.time() - t0
+    return (
+        out,
+        round(wall, 1),
+        round(cpu_delta_s(s0, cpu_snapshot(spark)), 1),
+    )
+
+
+def build_mixed(spark, tmp: str, n_heaps: int, n_spam: int) -> None:
+    """Union of the two established generators, re-labelled by block:
+    Heaps'-law docs keep lang='en'; the closed-vocab block gets
+    lang='spam' and doc_ids offset past the bulk. Text expressions
+    are byte-identical to tools/curation_ab's builders, so per-block
+    readings are comparable to pure-corpus anchor probes."""
+    from tools.curation_ab import build_corpus, build_corpus_heaps
+
+    hdir = os.path.join(tmp, "_h")
+    sdir = os.path.join(tmp, "_s")
+    build_corpus_heaps(spark, hdir, n_heaps)
+    build_corpus(spark, sdir, n_spam)
+    heaps = spark.read.parquet(os.path.join(hdir, "documents.parquet"))
+    spam = (
+        spark.read.parquet(os.path.join(sdir, "documents.parquet"))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(n_heaps))
+        .withColumn("lang", F.lit("spam"))
+    )
+    heaps.unionByName(spam).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    shutil.rmtree(hdir, ignore_errors=True)
+    shutil.rmtree(sdir, ignore_errors=True)
+
+
+def _shingled(spark, path: str):
+    from vfs_spark.functions.text import word_shingles
+
+    docs = spark.read.parquet(os.path.join(path, "documents.parquet"))
+    return docs.select(
+        "doc_id", "lang", word_shingles("text").alias("shingles")
+    )
+
+
+def _route(spark, path: str):
+    from vfs_spark.operators.dedup import route_prefix_join
+
+    sh = _shingled(spark, path)
+    route, wall, cpu = _timed(
+        spark, lambda: route_prefix_join(sh, 0.3, mode="jaccard")
+    )
+    blocks = {
+        b["block"]: {
+            "n_docs": b["n_docs"],
+            "n_docs_sampled": b["n_docs_sampled"],
+            "est_prefix_per_doc": round(b["est_prefix_per_doc"], 3),
+            "est_prefix": b["est_candidates_prefix"],
+        }
+        for b in (route["stats"].get("blocks") or [])
+    }
+    return {
+        "strategy": route["strategy"],
+        "est_prefix": route["est_prefix"],
+        "est_prefix_per_doc": round(route["est_prefix_per_doc"], 3),
+        "n_docs": route["n_docs"],
+        "hot_block": (route["hot_block"] or {}).get("block"),
+        "blocks": blocks,
+        "probe_wall_s": wall,
+        "probe_cpu_s": cpu,
+    }
+
+
+def run_mixed(
+    spark, tmp: str, n_heaps: int, n_spam: int, anchors: bool = True
+) -> dict:
+    """One mixed rung (+ the two pure anchors at each block's size;
+    the demo rung skips anchors — its comparators are the r14
+    calibration table's measured saturated/heaps rows)."""
+    from tools.curation_ab import build_corpus, build_corpus_heaps
+
+    out: dict = {"n_total": n_heaps + n_spam, "n_heaps": n_heaps,
+                 "n_spam": n_spam}
+    mdir = os.path.join(tmp, "mixed")
+    build_mixed(spark, mdir, n_heaps, n_spam)
+    out["mixed"] = _route(spark, mdir)
+    shutil.rmtree(mdir, ignore_errors=True)
+    if not anchors:
+        return out
+    # pure anchors at the SAME sizes as the blocks (the decomposition
+    # check: a block inside the mixture must read like a pure corpus
+    # of its own size — lang-blocked keys never cross blocks)
+    for name, builder, n in (
+        ("anchor_heaps", build_corpus_heaps, n_heaps),
+        ("anchor_spam", build_corpus, n_spam),
+    ):
+        adir = os.path.join(tmp, name)
+        builder(spark, adir, n)
+        out[name] = _route(spark, adir)
+        shutil.rmtree(adir, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] not in ("mixed_probe", "mixed_demo"):
+        sys.exit("usage: r15_ladder.py mixed_probe|mixed_demo [totals_csv]")
+    op = sys.argv[1]
+    from vfs_spark.session import get_spark
+
+    spark = get_spark(
+        f"r15-ladder-{op}",
+        extra_conf={
+            "spark.io.compression.codec": "zstd",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if op == "mixed_demo":
+        rungs = [(28_000_000, 12_000_000)]
+    else:
+        totals = [
+            int(x)
+            for x in (
+                sys.argv[2] if len(sys.argv) > 2 else "2500000,5000000"
+            ).split(",")
+        ]
+        rungs = [
+            (n - int(n * SPAM_FRAC), int(n * SPAM_FRAC)) for n in totals
+        ]
+    out_path = os.path.join(REPO, f".r15_ladder_{op}_results.json")
+    results = []
+    tmps = []
+    try:
+        for n_heaps, n_spam in rungs:
+            tmp = os.path.join(
+                REPO, f".r15_ladder_tmp_{op}_{n_heaps + n_spam}"
+            )
+            tmps.append(tmp)
+            shutil.rmtree(tmp, ignore_errors=True)
+            r = run_mixed(
+                spark, tmp, n_heaps, n_spam, anchors=(op == "mixed_probe")
+            )
+            results.append(r)
+            print(json.dumps(r), flush=True)
+            with open(out_path, "w") as f:
+                json.dump({"rungs": results}, f, indent=1)
+            shutil.rmtree(tmp, ignore_errors=True)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+    finally:
+        for tmp in tmps:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

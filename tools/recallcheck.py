@@ -6,6 +6,9 @@ CORRECTNESS. Previously these gates lived only inside pytest asserts
 and SCALE.md prose.
 
 Usage:  python tools/recallcheck.py [round] [ann_sf_dir] [dedup_sf_dir]
+        [ladder=N1,N2]   (opt-in: auto_nprobe validity on synthetic
+                          ladder stores, r14 VERDICT #6 — builds the
+                          stores under .ann_ladder_tmp/ on first use)
 Defaults: round=06, ANN at /root/testdata/sf0.1 (2k vectors),
 dedup truth at /root/testdata/sf0.01 (all-pairs truth is O(N²) — the
 larger fixture would dominate the tool's runtime for no extra signal).
@@ -30,9 +33,18 @@ def main() -> None:
         sys.exit("usage: recallcheck.py ROUND   (e.g. 08 — writes "
                  "RECALL_r{ROUND}.json; no silent default: a stale "
                  "default once overwrote a historical round's artifact)")
-    rnd = sys.argv[1]
-    ann_sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dedup_sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+    # optional ladder=N1,N2 anywhere after ROUND: also validate the
+    # auto_nprobe operating point on synthetic ladder-scale stores
+    # (r14 VERDICT #6) — expensive (builds the stores), so opt-in
+    args = [a for a in sys.argv[1:] if not a.startswith("ladder=")]
+    ladder = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:]
+         if a.startswith("ladder=")),
+        None,
+    )
+    rnd = args[0]
+    ann_sf = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    dedup_sf = args[2] if len(args) > 2 else "/root/testdata/sf0.01"
 
     import warnings
 
@@ -480,6 +492,123 @@ def main() -> None:
         note="precision structural (exact bit_count verify); cross-group "
              f"pairs emitted: {len(got - planted_img)}; corpus is "
              "mixed-codec (even ids BMP, odd ids PNG) since r14")
+
+    # ---- r14 VERDICT #6: auto_nprobe at ladder scale (opt-in) ----
+    # Routing recall IS end recall for IVF (in-cell scoring exact),
+    # so held-out validity of the fit-time operating point is: draw
+    # 32 queries by a DIFFERENT hash seed than auto_nprobe's
+    # validation draw, exact-truth them once (Arrow kernel), and read
+    # each target's recall off the neighbor→cell-rank array — no
+    # per-nprobe scans. The sf0.1-cached values ride along as the
+    # transfer CONTROL (what blind reuse across N would serve).
+    if ladder:
+        from vfs_spark.operators import index_store
+        from vfs_spark.operators.knn import knn_batch_auto
+
+        LDIM = 64
+        HELDOUT_SEED = 424242
+        ltmp = os.path.join(REPO, ".ann_ladder_tmp")
+        cached = {}
+        emb_sf = spark.read.parquet(f"{ann_sf}/embeddings.parquet")
+        for target in (0.9, 0.95):
+            _, _, np_sf = index_store.load_or_fit_ivf_autoprobe(
+                spark, emb_sf, ann_sf, recall_target=target, k=10
+            )
+            cached[target] = np_sf
+        for n in (int(x) for x in ladder.split(",")):
+            path = os.path.join(ltmp, f"vec_{n}")
+            if not os.path.isdir(path):
+                spark.range(n).select(
+                    F.col("id").alias("vec_id"),
+                    F.array(*[F.rand(seed=i) for i in range(LDIM)])
+                    .cast("array<float>")
+                    .alias("embedding"),
+                ).write.mode("overwrite").parquet(path)
+            emb_n = spark.read.parquet(path)
+            t_fit = time.time()
+            km, assigned = A.build_ivf_index(emb_n, n_clusters=16)
+            assigned = assigned.persist()
+            assigned.count()
+            centers = np.stack(
+                [np.asarray(c) for c in km.clusterCenters()]
+            )
+            val = (
+                assigned.select("vec_id", "embedding")
+                .orderBy(
+                    F.xxhash64(F.col("vec_id"), F.lit(HELDOUT_SEED)),
+                    "vec_id",
+                )
+                .limit(32)
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec"),
+                )
+            )
+            truth = knn_batch_auto(
+                assigned, val, k=10, approx_vector_count=n
+            )
+            hits = (
+                truth.join(
+                    assigned.select("vec_id", "cluster_id"), "vec_id"
+                )
+                .join(
+                    val.select(
+                        "query_id", F.col("query_vec").alias("_qv")
+                    ),
+                    "query_id",
+                )
+                .select("query_id", "_qv", "cluster_id")
+                .collect()
+            )
+            rank_cache = {}
+            ranks = []
+            for r in hits:
+                qid = r["query_id"]
+                if qid not in rank_cache:
+                    q = np.asarray(r["_qv"], dtype=np.float64)
+                    order = np.argsort(((centers - q) ** 2).sum(axis=1))
+                    pos = np.empty(len(centers), dtype=np.int64)
+                    pos[order] = np.arange(len(centers))
+                    rank_cache[qid] = pos
+                ranks.append(int(rank_cache[qid][r["cluster_id"]]))
+            ranks_arr = np.asarray(ranks)
+            fit_wall = time.time() - t_fit
+            for target in (0.9, 0.95):
+                t = time.time()
+                np_n = A.auto_nprobe(
+                    km,
+                    assigned,
+                    recall_target=target,
+                    k=10,
+                    approx_vector_count=n,
+                )
+                rec = float((ranks_arr < np_n).mean())
+                add(
+                    f"ann_ivf auto_nprobe n={n} target={target}",
+                    f"synthetic n={n} dim={LDIM}",
+                    {"n_clusters": 16, "recall_target": target,
+                     "nprobe": np_n, "heldout_queries": 32,
+                     "store_fit_wall_s": round(fit_wall, 1)},
+                    len(ranks_arr), rec, time.time() - t,
+                    role="registered", gate=0.9,
+                    note="held-out ROUTING recall (== end recall: "
+                         "in-cell scoring exact) at the fit-time "
+                         "auto_nprobe point, crossover-ladder "
+                         "generator (VERDICT r14 #6)")
+                rec_sf = float((ranks_arr < cached[target]).mean())
+                add(
+                    f"ann_ivf sf0.1-cached nprobe at n={n} "
+                    f"target={target}",
+                    f"synthetic n={n} dim={LDIM}",
+                    {"n_clusters": 16, "recall_target": target,
+                     "nprobe": cached[target]},
+                    len(ranks_arr), rec_sf, 0.0,
+                    role="sweep",
+                    note="transfer CONTROL: the fixture-calibrated "
+                         "nprobe blindly reused at ladder scale — "
+                         "evidence for/against N-conditional "
+                         "calibration")
+            assigned.unpersist()
 
     # ---- multimodal curation pipeline (image stage recall) ----
     t = time.time()

@@ -47,7 +47,8 @@ def _timed(spark, fn):
 
 
 def run_rung(
-    spark, tmp: str, n: int, n_batches: int, bloom_bits: int = 1 << 24
+    spark, tmp: str, n: int, n_batches: int, bloom_bits: int = 1 << 24,
+    bloom_min_history_rows: int | None = None,
 ) -> dict:
     from tools.curation_ab import build_corpus
     from vfs_spark.queries import QUERIES
@@ -73,8 +74,12 @@ def run_rung(
     ckpt = os.path.join(tmp, "ckpt")
 
     def drain():
+        kw = {}
+        if bloom_min_history_rows is not None:
+            kw["bloom_min_history_rows"] = bloom_min_history_rows
         q = stream_corpus_ingest(
-            stream, dest, ckpt, eval_docs=eval_docs, bloom_bits=bloom_bits
+            stream, dest, ckpt, eval_docs=eval_docs, bloom_bits=bloom_bits,
+            **kw
         )
         q.awaitTermination()
         return spark.read.parquet(dest).count()
@@ -106,7 +111,7 @@ def run_rung(
 
 
 def main() -> None:
-    """streamscale.py [sizes_csv] [n_batches | size=B] [nobloom]
+    """streamscale.py [sizes_csv] [n_batches | size=B] [nobloom|bloomforce]
 
     The second arg picks the ladder AXIS: a plain integer holds the
     batch COUNT fixed (batches grow with n — the r13 protocol whose
@@ -129,6 +134,10 @@ def main() -> None:
         else:
             n_batches = int(sys.argv[2])
     bloom_bits = 0 if "nobloom" in sys.argv[3:] else (1 << 24)
+    # "bloomforce" pins bloom_min_history_rows=0 (always-sidecar arm —
+    # measures the filter machinery itself; the default arm exercises
+    # the production history-size dispatch)
+    bloom_force = "bloomforce" in sys.argv[3:]
     from vfs_spark.session import get_spark
 
     spark = get_spark(
@@ -150,7 +159,10 @@ def main() -> None:
                 if batch_size is not None
                 else n_batches
             )
-            r = run_rung(spark, tmp, n, nb, bloom_bits=bloom_bits)
+            r = run_rung(
+                spark, tmp, n, nb, bloom_bits=bloom_bits,
+                bloom_min_history_rows=0 if bloom_force else None,
+            )
             results.append(r)
             print(json.dumps(r), flush=True)
             shutil.rmtree(tmp, ignore_errors=True)
@@ -161,7 +173,9 @@ def main() -> None:
         # after all rungs already completed (r13 ADVICE #3)
         tag = (
             f"size{batch_size}" if batch_size is not None else f"nb{n_batches}"
-        ) + ("_nobloom" if not bloom_bits else "")
+        ) + ("_nobloom" if not bloom_bits else "") + (
+            "_force" if bloom_force else ""
+        )
         with open(
             os.path.join(REPO, f".streamscale_{tag}_results.json"), "w"
         ) as f:

@@ -327,6 +327,7 @@ def auto_nprobe(
     seed: int = SEED,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    approx_vector_count: int | None = None,
 ) -> int:
     """Pick the smallest ``nprobe`` whose measured routing recall meets
     ``recall_target`` — the IVF analogue of the band_bits auto rule
@@ -366,9 +367,21 @@ def auto_nprobe(
             F.col(vec_col).alias("query_vec"),
         )
     )
-    from vfs_spark.operators.knn import knn_batch
+    # N-aware truth scan (r14 VERDICT #6): at ladder-scale stores the
+    # expr/window form shuffles N·n_val distance rows; the auto
+    # dispatch routes to the Arrow/BLAS kernel (byte-identical output
+    # by the kernel's contract, so the chosen nprobe is unchanged)
+    # whenever the caller knows N is big.
+    from vfs_spark.operators.knn import knn_batch_auto
 
-    truth = knn_batch(assigned_df, val, k=k, id_col=id_col, vec_col=vec_col)
+    truth = knn_batch_auto(
+        assigned_df,
+        val,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        approx_vector_count=approx_vector_count,
+    )
     hits = (
         truth.join(
             assigned_df.select(F.col(id_col), F.col("cluster_id")), id_col

@@ -189,7 +189,15 @@ def load_or_fit_ivf_autoprobe(
         except (OSError, ValueError, KeyError):
             pass  # torn artifact: fall through to re-measure
     nprobe = ann_ops.auto_nprobe(
-        km, assigned, recall_target=recall_target, k=k, vec_col=vec_col
+        km,
+        assigned,
+        recall_target=recall_target,
+        k=k,
+        vec_col=vec_col,
+        # rows was just counted for the meta — the N-axis hint that
+        # routes the calibration's truth scan through the Arrow
+        # kernel on ladder-scale stores (byte-identical top-k)
+        approx_vector_count=meta["rows"],
     )
 
     def _persist():

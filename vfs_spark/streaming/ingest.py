@@ -381,12 +381,16 @@ class FpBloomSidecar:
     is rebuilt from the store — never trusted blindly.
 
     Layout: ``<store>_fpbloom/bloom.json`` (n_bits/seeds metadata) +
-    ``bloom.bin`` (little-endian int64 words, n_bits/64 of them),
-    both written tmp+rename. Default 2²⁴ bits / 3 seeds = 2 MiB →
-    ~0.4% false-positive rate at 1M stored fps; size ``n_bits`` to
-    the expected corpus (FP rate only costs extra exact re-checks,
-    never correctness). On a cluster the driver-side OR and 2 MiB
-    broadcast per batch are noise next to any store scan."""
+    ``bloom.bin`` (little-endian int64 words, n_bits/64 of them, the
+    source of truth) + ``bloom.parquet`` (a derived one-row
+    JVM-readable copy the probe broadcasts — regenerated from the bin
+    when absent), all written tmp+rename. Default 2²⁴ bits / 3 seeds
+    = 2 MiB → ~0.4% false-positive rate at 1M stored fps; size
+    ``n_bits`` to the expected corpus (FP rate only costs extra exact
+    re-checks, never correctness). On a cluster the driver-side OR
+    and 2 MiB broadcast per batch are noise next to any store scan.
+    Single-writer per store (same contract as the owning ingest
+    stream): add() keeps the in-memory words in sync with disk."""
 
     SEEDS = (1, 2, 3)
 
@@ -398,6 +402,8 @@ class FpBloomSidecar:
         self.dir = store_dir.rstrip("/") + "_fpbloom"
         self.meta_path = os.path.join(self.dir, "bloom.json")
         self.bin_path = os.path.join(self.dir, "bloom.bin")
+        # derived JVM-readable copy for the probe broadcast (r15)
+        self.probe_dir = os.path.join(self.dir, "bloom.parquet")
         self.n_bits = n_bits
         self._words = None  # numpy int64 array when loaded
 
@@ -437,23 +443,49 @@ class FpBloomSidecar:
             for s in self.SEEDS
         ]
 
-    def _batch_words(self, df: DataFrame, fp_col: str = "fp"):
-        """(word_idx, or-mask) rows for one batch's fps — map-side
-        combinable bit_or, collect bounded by words TOUCHED by the
-        batch (≤ 3·|batch| ≪ filter size)."""
+    def _batch_positions(self, df: DataFrame, fp_col: str = "fp"):
+        """Raw bit positions touched by one batch's fps, as a numpy
+        array — a SHUFFLE-FREE map-only collect of ≤ 3·|batch| longs
+        (~2.4 MB at 100k docs); the old groupBy/bit_or pre-aggregation
+        cost a full shuffle per batch for no byte savings at serving
+        batch sizes (measured 8.5 → ~2 cpu-s/batch, r15 probe)."""
+        import numpy as np
+
         pos = F.explode(
             F.array(*[F.expr(p) for p in self._positions(fp_col)])
         ).alias("p")
-        return (
-            df.select(pos)
-            .select(
-                F.expr("p div 64").alias("w"),
-                F.expr("shiftleft(1L, cast(p % 64 as int))").alias("m"),
-            )
-            .groupBy("w")
-            .agg(F.expr("bit_or(m)").alias("word"))
-            .collect()
+        rows = df.select(pos).collect()
+        return np.fromiter(
+            (r["p"] for r in rows), dtype=np.int64, count=len(rows)
         )
+
+    def _write_probe_parquet(self, words) -> None:
+        """Derived JVM-readable copy of the words array (one row, one
+        array<long> column), written driver-side with pyarrow. The
+        probe reads THIS with spark.read.parquet, skipping the
+        per-batch createDataFrame of a 262k-element Python list that
+        dominated the r14 sidecar overhead (measured 5.9 cpu-s/batch;
+        the parquet round-trip is ~0.3)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tmpdir = self.probe_dir + ".tmp"
+        if os.path.isdir(tmpdir):
+            import shutil
+
+            shutil.rmtree(tmpdir)
+        os.makedirs(tmpdir)
+        tbl = pa.table(
+            {"_bloom": pa.array([words.tolist()], type=pa.list_(pa.int64()))}
+        )
+        pq.write_table(tbl, os.path.join(tmpdir, "part-0.parquet"))
+        if os.path.isdir(self.probe_dir):
+            import shutil
+
+            shutil.rmtree(self.probe_dir)
+        os.replace(tmpdir, self.probe_dir)
 
     def add(self, df: DataFrame, fp_col: str = "fp") -> None:
         """OR this batch's fps into the sidecar, atomically. MUST run
@@ -468,12 +500,16 @@ class FpBloomSidecar:
             words = np.zeros(self.n_bits // 64, dtype="<i8")
         else:
             words = words.copy()
-        for r in self._batch_words(df, fp_col):
-            words[int(r["w"])] |= np.int64(r["word"])
+        p = self._batch_positions(df, fp_col)
+        if p.size:
+            np.bitwise_or.at(
+                words, p >> 6, np.int64(1) << (p & np.int64(63))
+            )
         os.makedirs(self.dir, exist_ok=True)
         tmp = self.bin_path + ".tmp"
         words.tofile(tmp)
         os.replace(tmp, self.bin_path)
+        self._write_probe_parquet(words)
         if not os.path.isfile(self.meta_path):
             import json
 
@@ -490,13 +526,18 @@ class FpBloomSidecar:
     ) -> DataFrame:
         """Append a boolean membership column — pure whole-stage
         codegen (element_at + shiftleft + AND per seed) over a 1-row
-        broadcast of the words array; no Python in the row path."""
+        broadcast of the words array; no Python in the row path. The
+        broadcast side is the JVM-read probe parquet (see
+        _write_probe_parquet), regenerated from bloom.bin when absent
+        (pre-r15 stores)."""
+        import os
+
         words = self.load()
         assert words is not None, "call load() first"
         spark = df.sparkSession
-        bloom_df = spark.createDataFrame(
-            [(words.tolist(),)], "_bloom array<long>"
-        )
+        if not os.path.isdir(self.probe_dir):
+            self._write_probe_parquet(words)
+        bloom_df = spark.read.parquet(self.probe_dir)
         hit = None
         for p in self._positions(fp_col):
             test = F.expr(
@@ -511,12 +552,30 @@ class FpBloomSidecar:
         )
 
 
+# History-size dispatch for the fp Bloom sidecar (r14 VERDICT #3,
+# r15 measured): the sidecar's per-batch machinery is irreducibly a
+# few Spark jobs — probe broadcast + positive count + position
+# collect — measured ~4.4 cpu-s/batch at 100k-doc batches after the
+# r15 optimizations (parquet-read probe broadcast, shuffle-free
+# add), while the full-rescan anti-join costs ~1.5 cpu-s per MILLION
+# history rows (measured 3.1 @1.6M / 6.8 @4M / 9.2 @8M / 23 @16M).
+# Measured crossover ≈ 3M rows; the threshold sits slightly EARLY
+# (the knn_batch_auto mistake-side rule: an early switch costs a
+# bounded constant per batch, a late switch costs a term that grows
+# with history forever). Below the threshold the ingest takes the
+# rescan path and maintains no filter; crossing it rebuilds the
+# filter from the store's fp column once (the existing
+# missing-sidecar rebuild path). Calibration table in SCALE.md r15.
+BLOOM_MIN_HISTORY_ROWS = 2_500_000
+
+
 def stream_corpus_ingest(
     docs_stream: DataFrame,
     dest_dir: str,
     checkpoint_dir: str,
     eval_docs: DataFrame | None = None,
     bloom_bits: int = 1 << 24,
+    bloom_min_history_rows: int = BLOOM_MIN_HISTORY_ROWS,
 ):
     """Streaming corpus ingest — the streaming twin of the FULL
     pipeline_pretraining_corpus: per micro-batch, quality gate
@@ -613,55 +672,72 @@ def stream_corpus_ingest(
         # Bloom misses are definitely-new (no false negatives under
         # the superset invariant — see FpBloomSidecar), so output is
         # identical to the full-rescan path.
-        bloom_words = sidecar.load() if sidecar is not None else None
+        # history-size dispatch (see BLOOM_MIN_HISTORY_ROWS): under
+        # the threshold the rescan anti-join is strictly cheaper than
+        # the sidecar machinery, so the sidecar is neither probed nor
+        # maintained — and any filter left behind (a lowered
+        # threshold, a truncated store) is REMOVED rather than left
+        # to go stale, because a sidecar missing recent bits would
+        # produce false negatives (missed duplicates). Crossing the
+        # threshold later rebuilds it from the store's fp column.
+        from vfs_spark.sources.parquet import parquet_row_count
+
+        use_bloom = sidecar is not None and (
+            parquet_row_count(dest_dir) or 0
+        ) >= bloom_min_history_rows
+        if sidecar is not None and not use_bloom:
+            import shutil
+
+            shutil.rmtree(sidecar.dir, ignore_errors=True)
+            sidecar._words = None
+        bloom_words = sidecar.load() if use_bloom else None
         historic = []  # fp DataFrames the sidecar must cover on rebuild
         if bloom_words is not None:
-            # Pin the gated batch ONCE, BEFORE the probe (r14 VERDICT
-            # #3): the r14 shape probed over the un-pinned plan and
-            # then split it (where(hit) ∪ where(~hit)), so the whole
-            # quality-gate + fingerprint + window pipeline evaluated
-            # TWICE per batch, and the anti-join's store scan sat in
-            # the plan even for a zero-positive batch — most of the
-            # measured fixed ~15 cpu-s/batch overhead. Now: one gate
-            # evaluation into the pin, probe over the pinned rows,
-            # and a driver-side positive count that makes the
-            # "fresh batch never touches the store" claim literal —
+            # ONE materialization (r14 VERDICT #3): the hit column is
+            # computed INSIDE the pass that pins the gated batch — the
+            # r14 shape probed over the un-pinned plan and split it
+            # (where(hit) ∪ where(~hit)), so the whole quality-gate +
+            # fingerprint + window pipeline evaluated twice per batch,
+            # and the anti-join's store scan sat in the plan even for
+            # a zero-positive batch. The driver-side positive count
+            # makes "a fresh batch never touches the store" literal:
             # the anti-join (and the store read under it) only enters
-            # the plan when positives exist.
-            first = first.localCheckpoint(eager=True)
-            flagged = sidecar.with_hit_column(first)
+            # the plan when positives exist, and then only the small
+            # positive-survivor slice is re-pinned — the negatives
+            # re-read the big checkpoint.
+            flagged = sidecar.with_hit_column(first).localCheckpoint(
+                eager=True
+            )
             n_pos = flagged.where(F.col("_bloomhit")).count()
-            if n_pos > 0:
+            if n_pos == 0:
+                first = flagged.drop("_bloomhit")
+            else:
                 hits = flagged.where(F.col("_bloomhit"))
                 for seen_dir in (dest_dir, tomb_dir):
                     seen = _read_fps(spark, seen_dir)
                     if seen is not None:
                         hits = hits.join(seen, "fp", "left_anti")
-                first = (
-                    hits.unionByName(flagged.where(~F.col("_bloomhit")))
-                    .drop("_bloomhit")
-                    # re-pin: downstream (bloom add, tombstone write,
-                    # contamination probe, data append) re-reads this
-                    # several times — without the pin each action
-                    # would re-run the anti-join's store scan
-                    .localCheckpoint(eager=True)
-                )
+                hits = hits.localCheckpoint(eager=True)
+                first = hits.unionByName(
+                    flagged.where(~F.col("_bloomhit"))
+                ).drop("_bloomhit")
         else:
-            # no/stale sidecar (first batch, pre-existing store, or a
-            # resized filter): full rescan for THIS batch, and fold
-            # the historic fps into the rebuild below
+            # rescan path: under-threshold dispatch, bloom off, or a
+            # missing/resized sidecar at/above threshold (first batch
+            # there, pre-existing store) — full rescan for THIS batch;
+            # when rebuilding, fold the historic fps into add() below
             for seen_dir in (dest_dir, tomb_dir):
                 seen = _read_fps(spark, seen_dir)
                 if seen is not None:
                     first = first.join(seen, "fp", "left_anti")
                     historic.append(seen)
-            # one materialization for the same reason as above
+            # one materialization: everything below re-reads `first`
             first = first.localCheckpoint(eager=True)
         # update the sidecar BEFORE any append (superset invariant:
         # a crash between leaves extra bits, never missing ones);
         # `first` still contains the to-be-tombstoned rows, so both
         # landing and decontaminated fps are covered
-        if sidecar is not None:
+        if use_bloom:
             to_add = first.select("fp")
             for h in historic:
                 to_add = to_add.unionByName(h)
