@@ -169,7 +169,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     if op == "mixed_demo":
-        rungs = [(28_000_000, 12_000_000)]
+        # default 36M+16M: saturated per-doc at 16M ≈ 17.7 (> cap 15,
+        # interpolated on the measured 12.51@10M / 14.26@12M /
+        # 20.94@20M series) while the corpus mean stays ≈ 5.5 — the
+        # decision-flip shape. A heaps,spam override is accepted.
+        if len(sys.argv) > 2:
+            n_h, n_s = (int(x) for x in sys.argv[2].split(","))
+            rungs = [(n_h, n_s)]
+        else:
+            rungs = [(36_000_000, 16_000_000)]
     else:
         totals = [
             int(x)
