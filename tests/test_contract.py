@@ -13,6 +13,9 @@ import __spark_entry__ as entry
 # a justification comment.
 ROWS_ONLY_ALLOWED = {
     "dedup_image_phash",  # perceptual-hash pairs; known-answer gated in tests
+    # image stage (PNG/BMP decode + banded hamming) not SQL-expressible;
+    # planted-recall gated in RECALL_r15 + tests/test_text.py:
+    "pipeline_multimodal_curation",
     "dedup_containment_anchored",  # anchor-sampled candidates (xxhash64 family); recall-vs-blocked-truth gated in test_text.py
     "approx_knn",  # LSH candidate set
     "approx_knn_multiprobe",  # LSH candidate set; recall monotone in probe_width

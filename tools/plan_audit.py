@@ -67,6 +67,13 @@ EXPECTED = {
     # key-only exchange per composed stage (url keep-min, fp keep-min,
     # contamination distinct, source totals) — each documented at its
     # standalone slug
+    # curation with the image stage composed in (r15): the same
+    # key-only exchange per stage (url keep-min, fp keep-min window
+    # among survivors, two id-keyed flag joins) — every exchange
+    # moves (id, key, flag)-width rows; text and pixels never
+    # shuffle (phash collapses images to 8 bytes in the scan; the
+    # component assignment is checkpointed → ckpt-stub):
+    "pipeline_multimodal_curation": {"many"},
     # streaming twin's manifest view: the same 1-row (sum_w6,
     # total_tokens) scalar attach as sample_temperature (the per-doc
     # stages ran inside foreachBatch; only the mixture view is planned
