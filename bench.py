@@ -30,6 +30,71 @@ def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# Host-weather calibration reference (r15 VERDICT #2). Values are the
+# probe pair measured on the round-16 host at suite-idle (commit
+# stamped in NOTES.md §host-weather); a later run's host_factor is
+# its probe divided by these, so cross-day suite walls can be
+# normalized (wall_normalized = wall / host_factor_wall) instead of
+# paying a same-day worktree A/B to adjudicate every weather swing.
+# The probes are FIXED work: re-pinning these constants is only valid
+# together with a NOTES.md entry naming the new anchor day.
+CALIBRATION_REF = {
+    "numpy_sort_wall_s": 0.2453,
+    "spark_shuffle_wall_s": 0.6553,
+    "spark_shuffle_cpu_s": 7.57,
+}
+
+
+def _calibration_probe(spark) -> dict:
+    """Fixed synthetic work pair measuring the HOST, not the engine
+    (r15 VERDICT #2): a pinned single-threaded NumPy kernel (sort of
+    a seeded 16M-float array — deliberately NOT a BLAS matmul, whose
+    thread pool made the probe itself weather-noisy when measured)
+    and a pinned 32-partition Spark shuffle+agg (JVM + shuffle + task
+    scheduling path), each best-of-3. Identical work every run, so
+    the ratio to CALIBRATION_REF is the day's host factor. Runs at
+    suite start AND end (BENCH_DETAIL.calibration) so within-suite
+    drift is visible too. Single-core wall vs cpu separation is the
+    co-tenancy diagnostic: contention inflates the wall while
+    process_time stays flat."""
+    import numpy as np
+
+    out = {}
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal(16_000_000)
+    best_w, best_c = float("inf"), float("inf")
+    for _ in range(3):
+        c0, t0 = time.process_time(), time.time()
+        np.sort(a)
+        best_w = min(best_w, time.time() - t0)
+        best_c = min(best_c, time.process_time() - c0)
+    out["numpy_sort_wall_s"] = round(best_w, 4)
+    out["numpy_sort_cpu_s"] = round(best_c, 4)
+    best_w, best_c = float("inf"), float("inf")
+    for _ in range(3):
+        s0, t0 = cpu_snapshot(spark), time.time()
+        (
+            spark.range(0, 4_000_000, 1, 32)
+            .select(
+                (F.col("id") % 997).alias("k"),
+                (F.col("id") * 2654435761 % 1_000_003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        best_w = min(best_w, time.time() - t0)
+        best_c = min(best_c, cpu_delta_s(s0, cpu_snapshot(spark)))
+    out["spark_shuffle_wall_s"] = round(best_w, 4)
+    out["spark_shuffle_cpu_s"] = round(best_c, 4)
+    for k, ref in CALIBRATION_REF.items():
+        if ref and k in out:
+            out[f"host_factor_{k}"] = round(out[k] / ref, 3)
+    return out
+
+
 # Registry slugs timed by the headline suite (module-level so
 # tests/test_contract.py can assert none have drifted from queries()).
 BENCH_QUERIES = [
@@ -346,14 +411,15 @@ def main() -> None:
 
         guarded(name, run)
 
+    calibration: dict[str, dict] = {}
     try:
-        _suite(sf_dir, times, errors, timed, guarded)
+        _suite(sf_dir, times, errors, timed, guarded, calibration)
     except Exception as e:  # noqa: BLE001 — report, don't crash
         errors["__suite__"] = f"{type(e).__name__}: {e}"[:300]
-    _report(sf_dir, times, errors, times_cold, times_cpu, flags)
+    _report(sf_dir, times, errors, times_cold, times_cpu, flags, calibration)
 
 
-def _suite(sf_dir, times, errors, timed, guarded) -> None:
+def _suite(sf_dir, times, errors, timed, guarded, calibration=None) -> None:
     from vfs_spark.session import get_spark
     from vfs_spark.queries import QUERIES
     from vfs_spark.operators import ann as ann_ops
@@ -371,6 +437,13 @@ def _suite(sf_dir, times, errors, timed, guarded) -> None:
             lambda it: (pdf for pdf in it), "id long"
         ).write.mode("overwrite").format("noop").save(),
     ))
+
+    if calibration is not None:
+        # host-weather probe (r15 VERDICT #2): after warmup so the
+        # start probe doesn't time JVM cold start
+        guarded("__calibration_start__", lambda: calibration.__setitem__(
+            "start", _calibration_probe(spark)
+        ))
 
     # -- vector engine ------------------------------------------------------
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
@@ -452,6 +525,11 @@ def _suite(sf_dir, times, errors, timed, guarded) -> None:
             continue
         timed(name, lambda n=name: _run(QUERIES[n](spark, sf_dir)))
 
+    if calibration is not None:
+        guarded("__calibration_end__", lambda: calibration.__setitem__(
+            "end", _calibration_probe(spark)
+        ))
+
 
 def _current_round() -> int | None:
     """The build round this bench run belongs to: env override, else
@@ -476,7 +554,13 @@ def _current_round() -> int | None:
 
 
 def _report(
-    sf_dir, times, errors, times_cold=None, times_cpu=None, flags=None
+    sf_dir,
+    times,
+    errors,
+    times_cold=None,
+    times_cpu=None,
+    flags=None,
+    calibration=None,
 ) -> None:
     amortized = times.get("exact_knn_amortized_per_query", 0.0)
     total = round(sum(times.values()) - amortized, 3)
@@ -506,6 +590,12 @@ def _report(
         # comparisons and ladder exponents should gate on this
         "queries_cpu": times_cpu or {},
         "flags": flags or {},
+        # host-weather probe pair at suite start/end (r15 VERDICT #2):
+        # host_factor_* fields are this run's probe over the pinned
+        # CALIBRATION_REF — the normalization rule lives in NOTES.md
+        # (§host-weather): cross-day wall comparisons divide by the
+        # run's mean host_factor before being read as code deltas
+        "calibration": calibration or {},
         "errors": errors,
         "sf": sf,
         "run_round": _current_round(),
