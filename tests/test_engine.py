@@ -454,3 +454,47 @@ def test_auto_compact_triggers_once_and_preserves_store(spark, tmp_path):
     eng2 = VFSEngine(spark, str(tmp_path / "store2"))
     eng2.init(vector_dimension=2)
     assert eng2.auto_compact and eng2.auto_compact_threshold is None
+
+
+def test_auto_compact_floor_guard_prevents_quadratic_ingest(
+    spark, tmp_path
+):
+    """r15 ADVICE: once ceil(rows/target) itself exceeds the file
+    threshold, compact() cannot land under the threshold and the naive
+    policy rewrites the FULL store on every subsequent insert
+    (quadratic ingest). The guard skips (with a one-time warning)
+    until a further threshold of small files accumulates past the
+    post-compact floor. Scaled down via auto_compact_target_rows."""
+    import warnings
+
+    eng = VFSEngine(spark, str(tmp_path / "store"))
+    eng.init(vector_dimension=2)
+    eng.auto_compact_threshold = 2
+    eng.auto_compact_target_rows = 1  # floor == n_rows at test scale
+    compacts = []
+    real_compact = eng.compact
+
+    def counting_compact(*a, **kw):
+        compacts.append(kw.get("target_rows_per_file"))
+        return real_compact(*a, **kw)
+
+    eng.compact = counting_compact
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        for i in range(5):
+            eng.insert([[float(i), 1.0]])
+        floor_warns = [
+            x for x in w if "post-compact floor" in str(x.message)
+        ]
+    # floor after 3 rows = 3 > thr 2: every trigger point from the
+    # 3rd insert on is floor-guarded — zero compacts, one warning
+    assert compacts == []
+    assert len(floor_warns) == 1
+    # the documented escape: re-tune the target so the floor drops
+    # back under the threshold — the normal policy resumes (and the
+    # compact runs with the instance target, not compact()'s default)
+    eng.auto_compact_target_rows = 100
+    eng.insert([[9.0, 9.0]])
+    assert compacts == [100]
+    rows = sorted(r.id for r in eng.vectors().collect())
+    assert rows == list(range(1, 7))  # nothing lost across the guard

@@ -898,3 +898,66 @@ def test_stream_corpus_ingest_history_dispatch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
     assert not os.path.isdir(auto.rstrip("/") + "_fpbloom")
+
+
+def test_stream_append_auto_compacts_once(spark, tmp_path, monkeypatch):
+    """r15 VERDICT #6: a long availableNow drain whose per-batch
+    appends cross the small-file threshold must compact exactly once
+    (the policy re-arms only after the count regrows), keep landed
+    rows identical, and leave the store under the threshold."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i in range(8):  # 8 one-row files -> 8 micro-batches
+        spark.range(i, i + 1).selectExpr(
+            "id", "cast(id as double) as value"
+        ).coalesce(1).write.parquet(str(feed / f"b{i}"))
+    stream = (
+        spark.readStream.schema("id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "b*"))
+    )
+    compacts = []
+    real = ingest.maybe_compact_append_store
+
+    def counting(*a, **kw):
+        ran = real(*a, **kw)
+        if ran:
+            compacts.append(1)
+        return ran
+
+    monkeypatch.setattr(ingest, "maybe_compact_append_store", counting)
+    import os
+
+    dest = str(tmp_path / "data")
+    q = ingest.stream_append_vectors(
+        stream, dest, str(tmp_path / "ckpt"), auto_compact_threshold=4
+    )
+    q.awaitTermination()
+    # the 5th append crossed >4 files; batches 6-8 ran over the
+    # compacted store and stayed under the threshold
+    assert len(compacts) == 1
+    got = sorted(r["id"] for r in spark.read.parquet(dest).collect())
+    assert got == list(range(8))
+    n_files = sum(
+        1 for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+    assert n_files <= 4
+
+
+def test_maybe_compact_append_store_recovers_interrupted_swap(
+    spark, tmp_path
+):
+    """A crash between the two swap renames (store gone, .old intact)
+    must be rolled back before any policy decision — the engine.init
+    recovery semantics, applied by the streaming epilogue itself
+    because a stream has no init()."""
+    import os
+
+    dest = str(tmp_path / "data")
+    spark.range(5).write.parquet(dest)
+    os.rename(dest, dest + ".old")
+    assert not os.path.isdir(dest)
+    ran = ingest.maybe_compact_append_store(spark, dest, threshold=100)
+    assert not ran  # recovery only; 100-file threshold not crossed
+    assert spark.read.parquet(dest).count() == 5
+    assert not os.path.isdir(dest + ".old")

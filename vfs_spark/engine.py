@@ -83,6 +83,11 @@ class VFSEngine:
         # spark.sql.shuffle.partitions, the documented default)
         self.auto_compact = True
         self.auto_compact_threshold: int | None = None
+        # rows-per-file target used by the auto-compact path (and the
+        # re-arm guard below); compact() called explicitly keeps its
+        # own default argument
+        self.auto_compact_target_rows: int = 1_000_000
+        self._auto_compact_floor_warned = False
 
     # -- /init (tcp.rs:270-299) -------------------------------------------
     def init(
@@ -174,11 +179,18 @@ class VFSEngine:
             for i, v in enumerate(vectors)
         ]
         df = self.spark.createDataFrame(rows, schema=VFS_VECTOR_SCHEMA)
+        known_count = getattr(self, "_row_count_cache", None)
         self._flush(df, scale_factor=scale_factor)
         self._invalidate_index()  # index no longer covers the store
         # memo the derived next_id: this batch appended a dense id run,
         # so max(id)+1 is known without re-scanning the store
         self._next_id_cache = next_id + len(rows)
+        # same memo for the row count (append of a known batch size):
+        # keeps the auto-compact floor guard O(1) per insert instead
+        # of an O(files) footer scan once n_files sits above the
+        # threshold permanently (big-store regime)
+        if known_count is not None:
+            self._row_count_cache = known_count + len(rows)
         self._maybe_auto_compact()
         return [r[0] for r in rows]
 
@@ -196,7 +208,11 @@ class VFSEngine:
         ``engine.auto_compact = False``; override the cutoff with
         ``engine.auto_compact_threshold``. Returns True iff a compact
         ran. compact() is row-identical, so the just-memoized next_id
-        survives it."""
+        survives it. When the store has grown past ~thr·target rows,
+        the post-compact floor itself exceeds the threshold and the
+        naive policy degenerates to a full rewrite per insert; the
+        guard below re-tunes the trigger to floor+thr (see inline
+        comment)."""
         if not self.auto_compact or not self._have_data():
             return False
         thr = self.auto_compact_threshold
@@ -211,9 +227,40 @@ class VFSEngine:
         )
         if n_files <= thr:
             return False
+        # Re-arm guard (r15 ADVICE): once the store is big enough that
+        # even a perfect rewrite lands ceil(rows/target) > thr files,
+        # compact() can never bring the count under the threshold and
+        # EVERY subsequent insert would trigger a full-store rewrite —
+        # quadratic ingest. Skip (warn once) when the post-compact
+        # floor already exceeds the threshold; the floor check costs a
+        # footer scan and runs only after the cheap n_files test. A
+        # compact is still worthwhile while n_files sits well above
+        # the floor, so require headroom of a full threshold of NEW
+        # small files past the floor before rewriting again.
+        n_rows = self.approx_vector_count() or 0
+        floor = max(
+            1, -(-n_rows // max(1, int(self.auto_compact_target_rows)))
+        )
+        if floor > thr:
+            if n_files <= floor + thr:
+                if not self._auto_compact_floor_warned:
+                    import warnings
+
+                    warnings.warn(
+                        "auto-compact: post-compact floor "
+                        f"ceil({n_rows}/{self.auto_compact_target_rows})="
+                        f"{floor} exceeds threshold {thr}; compacting "
+                        "only after a further threshold of small files "
+                        "accumulates (raise auto_compact_target_rows or "
+                        "auto_compact_threshold to retune)",
+                        stacklevel=2,
+                    )
+                    self._auto_compact_floor_warned = True
+                return False
         memo = self._next_id_cache
-        self.compact()
+        self.compact(target_rows_per_file=self.auto_compact_target_rows)
         self._next_id_cache = memo  # layout-only rewrite: max(id) unchanged
+        self._row_count_cache = n_rows  # row-identical rewrite
         return True
 
     def _invalidate_index(self) -> None:

@@ -97,16 +97,102 @@ def run_to_memory(
     return q
 
 
+def maybe_compact_append_store(
+    spark: SparkSession,
+    dest_dir: str,
+    threshold: int | None = None,
+    target_rows_per_file: int = 1_000_000,
+    sort_col: str | None = None,
+) -> bool:
+    """Flush-time small-file policy for STREAMING append stores (r15
+    VERDICT #6) — the foreachBatch twin of
+    VFSEngine._maybe_auto_compact: per-batch appends accumulate ≥1
+    parquet file per batch exactly like many-small-inserts, so a long
+    drain walks into the same measured 34×-slower-scan regime
+    (tools/compact_probe) the batch engine auto-compacts out of. Same
+    default threshold (AUTO_COMPACT_FILE_FACTOR × shuffle
+    parallelism), same post-compact-floor re-arm guard (r15 ADVICE:
+    once ceil(rows/target) itself exceeds the threshold a rewrite
+    can't land under it — require a further threshold of NEW files
+    past the floor instead of rewriting per batch), and the engine's
+    copy-on-write two-rename swap, with its interrupted-swap recovery
+    run up front (a crash between renames is promoted or rolled back
+    the same way engine.init does). Layout-only and row-identical, so
+    an at-least-once replay that re-triggers it is harmless; the
+    cheap path is one driver-side listdir per batch. Returns True iff
+    a compact ran."""
+    import os
+    import shutil
+
+    from vfs_spark.engine import AUTO_COMPACT_FILE_FACTOR
+    from vfs_spark.sources.parquet import parquet_row_count
+
+    old, tmp = dest_dir + ".old", dest_dir + ".rewrite"
+    if not os.path.isdir(dest_dir):
+        if os.path.isdir(tmp) and os.path.exists(
+            os.path.join(tmp, "_SUCCESS")
+        ):
+            os.rename(tmp, dest_dir)
+        elif os.path.isdir(old):
+            os.rename(old, dest_dir)
+    if not os.path.isdir(dest_dir):
+        return False
+    for leftover in (old, tmp):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+    n_files = sum(
+        1 for f in os.listdir(dest_dir) if f.endswith(".parquet")
+    )
+    thr = threshold
+    if thr is None:
+        thr = AUTO_COMPACT_FILE_FACTOR * int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+    if n_files <= thr:
+        return False
+    n_rows = parquet_row_count(dest_dir) or 0
+    floor = max(1, -(-n_rows // max(1, int(target_rows_per_file))))
+    if floor > thr and n_files <= floor + thr:
+        return False
+    df = spark.read.parquet(dest_dir)
+    if sort_col and sort_col in df.columns:
+        df = df.repartitionByRange(floor, sort_col).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        df = df.repartition(floor)
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(dest_dir, old)
+    os.rename(tmp, dest_dir)
+    shutil.rmtree(old)
+    return True
+
+
 def stream_append_vectors(
-    events: DataFrame, dest_dir: str, checkpoint_dir: str
+    events: DataFrame,
+    dest_dir: str,
+    checkpoint_dir: str,
+    auto_compact: bool = True,
+    auto_compact_threshold: int | None = None,
 ):
     """foreachBatch append into the Parquet vector-store layout — the
     memtable-flush analogue: each micro-batch is one flush
     (storage_manager.rs:139-157); checkpointing provides exactly-once
-    appends and replaces snapshot/restore."""
+    appends and replaces snapshot/restore. The flush epilogue applies
+    the engine's small-file auto-compact policy (r15 VERDICT #6 —
+    see maybe_compact_append_store); opt out with
+    ``auto_compact=False``, override the cutoff with
+    ``auto_compact_threshold`` (None → the engine's default)."""
 
     def _flush(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(dest_dir)
+        if auto_compact:
+            maybe_compact_append_store(
+                batch_df.sparkSession,
+                dest_dir,
+                threshold=auto_compact_threshold,
+                sort_col="id",
+            )
 
     return (
         events.writeStream.foreachBatch(_flush)
@@ -576,6 +662,8 @@ def stream_corpus_ingest(
     eval_docs: DataFrame | None = None,
     bloom_bits: int = 1 << 24,
     bloom_min_history_rows: int = BLOOM_MIN_HISTORY_ROWS,
+    auto_compact: bool = True,
+    auto_compact_threshold: int | None = None,
 ):
     """Streaming corpus ingest — the streaming twin of the FULL
     pipeline_pretraining_corpus: per micro-batch, quality gate
@@ -757,6 +845,17 @@ def stream_corpus_ingest(
             dropped.select("fp").write.mode("append").parquet(tomb_dir)
             first = first.join(contaminated, "doc_id", "left_anti")
         first.write.mode("append").parquet(dest_dir)
+        # small-file epilogue (r15 VERDICT #6): same policy and
+        # opt-out as the batch engine; layout-only, so the fp
+        # anti-join, the sidecar (content-keyed bits), and replay
+        # idempotence are all unaffected
+        if auto_compact:
+            maybe_compact_append_store(
+                spark,
+                dest_dir,
+                threshold=auto_compact_threshold,
+                sort_col="doc_id",
+            )
 
     return (
         docs_stream.writeStream.foreachBatch(_apply)
