@@ -1689,3 +1689,209 @@ def test_route_prefix_join_unknown_mode_raises(spark):
     )
     with pytest.raises(ValueError, match="unknown mode"):
         dedup_ops.route_prefix_join(docs, 0.3, mode="cosine")
+
+
+def _host_skew_corpus(spark):
+    """The r15 VERDICT #4 production shape: 40,000 open-vocab docs
+    spread across 1,000 hosts, ALL lang='en', plus one 300-doc
+    template-spam block on a single HOST (also lang='en' — so the
+    lang axis cannot see it). Global prefix volume 10·C(300,2) =
+    448,500 over 40,300 docs ≈ 11.1/doc: under the jaccard cap, and
+    the whole corpus is ONE lang block, so both the corpus-mean rule
+    and a lang-blocked decomposition read clean."""
+    open_docs = spark.range(40_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.concat(
+            F.lit("host"),
+            (F.col("id") % 1000).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.expr(
+            "transform(sequence(1,12), j -> "
+            "concat('o', cast(id as string), '_', cast(j as string)))"
+        ).alias("shingles"),
+    )
+    spam = spark.range(300).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("spam-farm.example.com").alias("host"),
+        F.expr(
+            "transform(sequence(1,12), j -> "
+            "concat('spamw', cast(j as string)))"
+        ).alias("shingles"),
+    )
+    return open_docs.unionByName(spam)
+
+
+def test_route_prefix_join_host_axis_detects_per_host_spam(spark):
+    """r15 VERDICT #4 'Done' gate: template spam on ONE HOST inside a
+    same-lang Heaps'-law corpus. The lang axis (single 'en' block ==
+    the corpus mean) reads clean and routes exact — the host axis
+    must flag the spam host and route banded, while the GLOBAL
+    estimate (the join is still lang-blocked) stays byte-identical
+    between the two probes."""
+    sh = _host_skew_corpus(spark)
+    cap = dedup_ops.PREFIX_ROUTER_MAX_PREFIX_PER_DOC["jaccard"]
+    r_lang = dedup_ops.route_prefix_join(
+        sh, 0.3, mode="jaccard", min_total=1000.0
+    )
+    assert r_lang["est_prefix_per_doc"] < cap
+    assert r_lang["strategy"] == "exact"
+    assert r_lang["hot_block"] is None
+    r_host = dedup_ops.route_prefix_join(
+        sh, 0.3, mode="jaccard", min_total=1000.0,
+        route_block_col="host",
+    )
+    # same join, same global estimate (exact tier: both are the true
+    # pre-positional-filter volume of the lang-blocked join)
+    assert r_host["est_prefix"] == r_lang["est_prefix"]
+    assert r_host["strategy"] == "banded"
+    hb = r_host["hot_block"]
+    assert hb is not None and hb["block"] == "spam-farm.example.com"
+    assert hb["n_docs"] == 300
+    assert hb["est_prefix_per_doc"] > cap
+    assert r_host["stats"]["route_block_col"] == "host"
+    # sampled tier reaches the same decision on the host axis
+    r_s = dedup_ops.route_prefix_join(
+        sh, 0.3, mode="jaccard", min_total=1000.0,
+        sample_fraction=0.5, route_block_col="host",
+    )
+    assert r_s["strategy"] == "banded"
+    assert r_s["hot_block"]["block"] == "spam-farm.example.com"
+
+
+def test_host_axis_block_decomposition_invariants(spark):
+    """Attribution semantics of the routing-axis split (exact tier,
+    so no sampling noise): containment terms are per-posting → the
+    host blocks partition the global estimate EXACTLY; jaccard terms
+    are per doc-pair → within-host credits are a lower bound (cross-
+    host pairs belong to no block). The host-blocked detail must not
+    change the global figures at all."""
+    sh = _host_skew_corpus(spark).limit(0).unionByName(
+        _host_skew_corpus(spark).where(
+            (F.col("doc_id") >= 999_000) | (F.col("doc_id") < 3_000)
+        )
+    )
+    for mode in ("jaccard", "containment"):
+        plain = dedup_ops.prefix_candidate_stats(
+            sh, 0.3, mode=mode, exact=True
+        )
+        routed = dedup_ops.prefix_candidate_stats(
+            sh, 0.3, mode=mode, exact=True, route_block_col="host"
+        )
+        assert (
+            routed["est_candidates_prefix"]
+            == plain["est_candidates_prefix"]
+        )
+        assert routed["prefix_postings"] == plain["prefix_postings"]
+        assert (
+            routed["distinct_prefix_keys"]
+            == plain["distinct_prefix_keys"]
+        )
+        block_sum = sum(
+            b["est_candidates_prefix"] for b in routed["blocks"]
+        )
+        if mode == "containment":
+            assert block_sum == pytest.approx(
+                routed["est_candidates_prefix"]
+            )
+        else:
+            assert block_sum <= routed["est_candidates_prefix"] + 1e-9
+
+
+def test_sampled_top_blocks_rank_eligible_first(spark):
+    """r15 ADVICE (medium): >20 under-sampled blocks whose 1/p²-
+    rescaled per-doc values are pure coincidence noise must NOT crowd
+    an adequately-sampled hot block out of the bounded top-blocks
+    report — the router scans only that report, so under the old
+    pure-per-doc ordering it silently fell back to the corpus-mean
+    rule in exactly the host-skew case the rule exists for."""
+    p = 0.1
+    # ids the deterministic id-hash sampler (seed=7) keeps at p=0.1
+    sampled_ids = [
+        r["id"]
+        for r in spark.range(2_000_000, 2_200_000)
+        .where(
+            F.abs(F.xxhash64(F.col("id"), F.lit(7))) % 1_000_000
+            < int(p * 1_000_000)
+        )
+        .limit(50)
+        .collect()
+    ]
+    assert len(sampled_ids) == 50
+    # 25 noisy blocks: exactly 2 SAMPLED docs each, sharing a long
+    # identical shingle set -> per-block noise reads ~150/doc after
+    # the 1/p² rescale (true block volume is a single doc pair)
+    noise_rows = [
+        (
+            sampled_ids[2 * i + k],
+            "en",
+            f"noise{i}.example.com",
+            [f"n{i}_{j}" for j in range(40)],
+        )
+        for i in range(25)
+        for k in range(2)
+    ]
+    noise = spark.createDataFrame(
+        noise_rows, "doc_id long, lang string, host string, shingles array<string>"
+    )
+    # hot block: 1,500 docs on ONE host in templates of 9 near-
+    # identical docs -> true ~40 candidates/doc (past the cap), and
+    # ~150 sampled docs (eligible, unlike the noise blocks)
+    hot = spark.range(1_500).select(
+        (F.col("id") + 3_000_000).alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("hot.example.com").alias("host"),
+        F.expr(
+            "transform(sequence(1,12), j -> concat('hot', "
+            "cast(id div 9 as string), '_', cast(j as string)))"
+        ).alias("shingles"),
+    )
+    # open-vocab bulk keeps the corpus MEAN under the cap, so only
+    # the hot-block rule can route banded
+    bulk = spark.range(40_000).select(
+        (F.col("id") + 4_000_000).alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.concat(
+            F.lit("bulk"),
+            (F.col("id") % 997).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.expr(
+            "transform(sequence(1,12), j -> "
+            "concat('b', cast(id as string), '_', cast(j as string)))"
+        ).alias("shingles"),
+    )
+    sh = bulk.unionByName(hot).unionByName(noise)
+    cap = dedup_ops.PREFIX_ROUTER_MAX_PREFIX_PER_DOC["jaccard"]
+    r = dedup_ops.route_prefix_join(
+        sh, 0.3, mode="jaccard", min_total=500.0,
+        sample_fraction=p, route_block_col="host",
+    )
+    assert r["est_prefix_per_doc"] < cap  # mean rule alone says exact
+    blocks = r["stats"]["blocks"]
+    noisy_reported = [
+        b for b in blocks if b["block"].startswith("noise")
+    ]
+    # the crowding precondition is real: the noise blocks DO out-rank
+    # the hot block on raw per-doc value and there are >20 of them
+    assert len(noise_rows) / 2 > dedup_ops.PREFIX_STATS_MAX_BLOCKS
+    assert any(
+        b["est_prefix_per_doc"]
+        > next(
+            hb["est_prefix_per_doc"]
+            for hb in blocks
+            if hb["block"] == "hot.example.com"
+        )
+        for b in noisy_reported
+    )
+    # eligible-first ranking: the adequately-sampled hot block leads
+    # the report and the router flags it
+    assert blocks[0]["block"] == "hot.example.com"
+    assert (
+        blocks[0]["n_docs_sampled"]
+        >= dedup_ops.PREFIX_ROUTER_MIN_BLOCK_SAMPLED_DOCS
+    )
+    assert r["strategy"] == "banded"
+    assert r["hot_block"]["block"] == "hot.example.com"

@@ -1402,3 +1402,77 @@ def test_pipeline_multimodal_curation_manifest(spark, sf_dir):
             assert r["image_dup"]
         if not r["image_dup"]:
             assert r["reason"] != "image_neardup"
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_pipeline_multimodal_curation_text_stages_vs_oracle(spark, sf):
+    """r15 VERDICT #5: the slug is honestly rows-only (the phash
+    stage is not SQL-expressible), but its TEXT gates are — so a
+    text-gate regression must not be able to hide behind the
+    rows-only grade. The manifest with image verdicts projected away
+    (reason 'image_neardup' and 'kept' both mean 'passed every text
+    gate') is pinned to a DuckDB CTE chain spliced from
+    pipeline_curation_full's oracle stages, at BOTH fixture SFs."""
+    import duckdb
+
+    from vfs_spark.queries.text import (
+        _FP,
+        _GOPHER_PASS_SQL,
+        _URL_SYNTH_SQL,
+        _url_norm_sql,
+        _TOKS,
+        q_pipeline_multimodal_curation,
+    )
+
+    got = {
+        (r["doc_id"], r["source"], r["reason"])
+        for r in q_pipeline_multimodal_curation(spark, sf)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("reason").isin("image_neardup", "kept"),
+                "kept_text",
+            )
+            .otherwise(F.col("reason"))
+            .alias("reason"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle = con.sql(
+        f"""
+WITH base AS (
+  SELECT doc_id, source, {_TOKS} AS t,
+         {_url_norm_sql(_URL_SYNTH_SQL)} AS u, {_FP} AS fp
+  FROM documents WHERE doc_id >= 10
+),
+u1 AS (
+  SELECT b.* FROM base b
+  JOIN (SELECT u, MIN(doc_id) AS doc_id FROM base GROUP BY u) w
+    USING (u, doc_id)
+),
+q1 AS (
+  SELECT doc_id, fp FROM u1 WHERE {_GOPHER_PASS_SQL}
+),
+d1 AS (
+  SELECT q.doc_id FROM q1 q
+  JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM q1 GROUP BY fp) w
+    USING (fp, doc_id)
+)
+SELECT b.doc_id, b.source,
+       CASE WHEN b.doc_id NOT IN (SELECT doc_id FROM u1) THEN 'url_dup'
+            WHEN b.doc_id NOT IN (SELECT doc_id FROM q1) THEN 'quality'
+            WHEN b.doc_id NOT IN (SELECT doc_id FROM d1) THEN 'exact_dup'
+            ELSE 'kept_text' END AS reason
+FROM base b
+"""
+    ).fetchall()
+    want = {(r[0], r[1], r[2]) for r in oracle}
+    assert got == want

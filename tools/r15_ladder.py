@@ -15,13 +15,15 @@
   each other (the decomposition is exact per construction; this
   measures sampling noise of the per-block split at production p).
 - ``mixed_demo`` — the production failure the skew rule exists for,
-  demonstrated at the REAL calibrated caps (no overrides): 40M docs
-  = 28M Heaps'-law + 12M saturated spam. The corpus MEAN reads well
-  under the jaccard cap (15.0/doc) — the r14 mean-rule would route
-  EXACT and walk into the measured 20M-scale spill death inside the
-  spam block — while the per-block rule flags the spam block
-  (saturated @12M reads ≈12-21/doc at its own size) and routes
-  banded. Probe-only (the join itself is exactly the death the
+  demonstrated at the REAL calibrated caps (no overrides): 52M docs
+  = 36M Heaps'-law + 16M saturated spam (the default rung below;
+  pass ``n_heaps,n_spam`` to override). The corpus MEAN reads well
+  under the jaccard cap (15.0/doc; measured 7.11/doc at this rung) —
+  the r14 mean-rule would route EXACT and walk into the measured
+  20M-scale spill death inside the spam block — while the per-block
+  rule flags the spam block (saturated @16M reads ≈17.7/doc at its
+  own size, within 1% of the interpolated pure-saturated trajectory)
+  and routes banded. Probe-only (the join itself is exactly the death the
   router prevents; the saturated 20M spill kill is already measured,
   SCALE.md r13/r14).
 

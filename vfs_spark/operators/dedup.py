@@ -667,6 +667,7 @@ def prefix_candidate_stats(
     sample_fraction: float | None = None,
     seed: int = 7,
     df_sample_factor: float = 10.0,
+    route_block_col: str | None = None,
 ):
     """Pre-flight for the exact prefix joins: ESTIMATE the candidate
     volume without paying the self-join. The r13 ladders showed the
@@ -764,6 +765,29 @@ def prefix_candidate_stats(
     est_prefix_per_doc in full-corpus units — an EXACT per-block
     partition of the global estimate (every per-key term already
     carries the block), feeding the router's skew rule.
+
+    ``route_block_col`` (r15 VERDICT #4) decouples the SKEW axis from
+    the JOIN's blocking: production web-corpus skew is per-HOST
+    (template spam on one domain) while the join blocks per-lang, so
+    the per-``lang`` detail dilutes the hot host into the megablock.
+    When set, ``blocks`` decomposes along this column instead, while
+    the GLOBAL estimate still describes the ``block_col``-blocked
+    join (the per-key terms additionally carry the routing block and
+    are re-summed per key for the global figure — byte-identical to
+    the undecomposed estimate). Attribution semantics per mode:
+    containment terms are per-posting, so the routing split is an
+    exact partition; jaccard terms are per doc-PAIR, so a routing
+    block is credited its WITHIN-block pairs — a lower bound that is
+    tight for the template-spam failure mode (spam docs collide with
+    each other) and conservative only about cross-host mass, which
+    the unchanged global rule still catches. Default (None) keeps
+    blocks == join blocks, numerically identical to before. The
+    reported top blocks rank adequately-sampled blocks
+    (n_docs_sampled ≥ PREFIX_ROUTER_MIN_BLOCK_SAMPLED_DOCS) FIRST:
+    under-sampled blocks carry 1/p-inflated per-doc noise that would
+    otherwise crowd a genuinely hot, adequately-probed block out of
+    the top-PREFIX_STATS_MAX_BLOCKS report (r15 ADVICE), exactly in
+    the many-tiny-blocks host-routing case.
     Inputs are pinned DISK_ONLY for the exact tier (two passes over
     the exploded postings — same discipline as the joins)."""
     if mode not in ("jaccard", "containment"):
@@ -794,9 +818,11 @@ def prefix_candidate_stats(
             F.abs(F.xxhash64(F.col(id_col), F.lit(seed))) % 1_000_000
             < cut
         )
+    rblk = route_block_col if route_block_col != block_col else None
     sh = sh.select(
         id_col,
         block_col,
+        *([rblk] if rblk else []),
         F.array_distinct(set_col).alias(set_col),
     ).where(F.size(set_col) > 0)
     if exact:
@@ -806,6 +832,7 @@ def prefix_candidate_stats(
     ex = sh.select(
         F.col(id_col),
         F.col(block_col).alias("_blk"),
+        F.col(rblk or block_col).alias("_rblk"),
         F.size(set_col).alias("_n"),
         F.explode(
             F.transform(F.col(set_col), lambda g: F.xxhash64(g))
@@ -891,13 +918,25 @@ def prefix_candidate_stats(
         # corpora at every rung — pure rare-tail artifact, zero
         # routing information). Negative per-key terms are kept (the
         # unbiasedness needs them); only the aggregate is floored.
+        # Per-key terms grouped at (join block, key, ROUTING block)
+        # granularity: re-summing over _rblk recovers the exact
+        # per-(blk, g) counts for the GLOBAL estimate (byte-identical
+        # to the undecomposed form), while grouping by _rblk yields
+        # the skew detail along the routing axis (r14 VERDICT #5 /
+        # r15 VERDICT #4 — see docstring for the per-mode attribution
+        # semantics). pref_key is persisted for the two consumers; it
+        # is bounded by the p-sample's prefix postings (~50k target
+        # docs), not the corpus.
+        from pyspark import StorageLevel
+
         pref_key = (
             ex.join(dfreq_b, ["_blk", "_g"], "left")
             .withColumn("_dfh", F.coalesce("_dfh", F.lit(0.0)))
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= plen)
-            .groupBy("_blk", "_g")
+            .groupBy("_blk", "_g", "_rblk")
             .agg(F.count("*").alias("_p"), F.first("_dfh").alias("_dfh"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         if mode == "jaccard":
             pest = F.sum(F.col("_p") * (F.col("_p") - 1) / 2) / F.lit(
@@ -907,48 +946,54 @@ def prefix_candidate_stats(
             pest = F.sum(
                 F.col("_p") * (F.col("_dfh") - 1)
             ) / F.lit(p)
-        # Per-BLOCK decomposition of the SAME estimator (r14 VERDICT
-        # #5, skew-awareness): every per-key term already carries
-        # _blk, so grouping by block before summing partitions the
-        # global sum exactly — no new estimator, hence the r14
-        # two-sample/unbiased-weight analysis carries over per block
-        # (each block is just a sub-corpus probed at the same p/q).
-        # The tiny per-block aggregate is persisted so the prefix
-        # pipeline upstream runs ONCE for both the global total and
-        # the per-block detail.
-        from pyspark import StorageLevel
-
+        tot = (
+            pref_key.groupBy("_blk", "_g")
+            .agg(F.sum("_p").alias("_p"), F.first("_dfh").alias("_dfh"))
+            .agg(pest.cast("double").alias("e"))
+            .first()
+        )
         blk_est = (
-            pref_key.groupBy("_blk")
+            pref_key.groupBy("_rblk")
             .agg(pest.cast("double").alias("_e"))
             .join(
-                sh.groupBy(block_col)
+                sh.groupBy(rblk or block_col)
                 .agg(F.count("*").alias("_nb"))
-                .withColumnRenamed(block_col, "_blk"),
-                "_blk",
+                .withColumnRenamed(rblk or block_col, "_rblk"),
+                "_rblk",
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        tot = blk_est.agg(F.sum("_e").alias("e")).first()
         # full-corpus units: _e is already rescaled (1/p² pairs or
-        # 1/p postings); block size rescales 1/p → per-doc = _e·p/_nb
+        # 1/p postings); block size rescales 1/p → per-doc = _e·p/_nb.
+        # Adequately-sampled blocks rank FIRST (r15 ADVICE): an
+        # under-sampled block's rescaled per-doc value is 1/p-inflated
+        # noise and must not crowd an eligible hot block out of the
+        # bounded report the router scans.
         top = (
             blk_est.select(
-                "_blk",
+                "_rblk",
                 "_e",
                 "_nb",
                 (F.col("_e") * F.lit(p) / F.col("_nb")).alias("_pd"),
             )
-            .orderBy(F.desc("_pd"))
+            .orderBy(
+                F.desc(
+                    F.col("_nb")
+                    >= F.lit(PREFIX_ROUTER_MIN_BLOCK_SAMPLED_DOCS)
+                ),
+                F.desc("_pd"),
+            )
             .limit(PREFIX_STATS_MAX_BLOCKS)
             .collect()
         )
         blk_est.unpersist()
+        pref_key.unpersist()
         out["est_candidates_prefix"] = max(float(tot["e"] or 0.0), 0.0)
         out["df_sample_fraction"] = q
+        out["route_block_col"] = rblk or block_col
         out["blocks"] = [
             {
-                "block": r["_blk"],
+                "block": r["_rblk"],
                 "n_docs": int(round(r["_nb"] / p)),
                 "n_docs_sampled": int(r["_nb"]),
                 "est_candidates_prefix": max(float(r["_e"] or 0.0), 0.0),
@@ -973,62 +1018,76 @@ def prefix_candidate_stats(
         - F.floor(F.lit(t) * F.col("_n")).cast("int")
         + F.lit(1)
     )
+    # exact tier gets the same per-block decomposition as the sampled
+    # tier (skew-awareness), at the same (join block, key, routing
+    # block) granularity: global fields come from the per-key re-sum
+    # (byte-identical to the undecomposed estimate), skew detail from
+    # the _rblk grouping. pref_key (one row per prefix key × routing
+    # block) is persisted for the two consumers — DISK_ONLY, the
+    # exact-tier discipline (this is the calibration tier, never the
+    # router).
+    from pyspark import StorageLevel
+
     pref_key = (
         ex.join(dfreq.select("_blk", "_g", "_df"), ["_blk", "_g"])
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= plen)
-        .groupBy("_blk", "_g")
+        .groupBy("_blk", "_g", "_rblk")
         .agg(F.count("*").alias("_p"), F.first("_df").alias("_df"))
+        .persist(StorageLevel.DISK_ONLY)
     )
     if mode == "jaccard":
         est = F.sum(F.col("_p") * (F.col("_p") - 1) / 2)
     else:
         est = F.sum(F.col("_p") * (F.col("_df") - 1))
-    # exact tier gets the same per-block decomposition as the sampled
-    # tier (skew-awareness); the global fields are the per-block sums
-    # (exact partition of the same per-key terms), persisted tiny so
-    # pref_key computes once for both views.
-    from pyspark import StorageLevel
-
-    blk = (
-        pref_key.groupBy("_blk")
+    prow = (
+        pref_key.groupBy("_blk", "_g")
+        .agg(F.sum("_p").alias("_p"), F.first("_df").alias("_df"))
         .agg(
-            F.sum("_p").alias("_pp"),
-            F.count("*").alias("_dk"),
-            est.cast("double").alias("_e"),
+            F.sum("_p").alias("prefix_postings"),
+            F.count("*").alias("distinct_prefix_keys"),
+            est.cast("double").alias("est_prefix"),
         )
+        .first()
+    )
+    blk = (
+        pref_key.groupBy("_rblk")
+        .agg(est.cast("double").alias("_e"))
         .join(
-            sh.groupBy(block_col)
+            sh.groupBy(rblk or block_col)
             .agg(F.count("*").alias("_nb"))
-            .withColumnRenamed(block_col, "_blk"),
-            "_blk",
+            .withColumnRenamed(rblk or block_col, "_rblk"),
+            "_rblk",
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prow = blk.agg(
-        F.sum("_pp").alias("prefix_postings"),
-        F.sum("_dk").alias("distinct_prefix_keys"),
-        F.sum("_e").alias("est_prefix"),
-    ).first()
     top = (
         blk.select(
-            "_blk", "_e", "_nb",
+            "_rblk", "_e", "_nb",
             (F.col("_e") / F.col("_nb")).alias("_pd"),
         )
-        .orderBy(F.desc("_pd"))
+        .orderBy(
+            F.desc(
+                F.col("_nb")
+                >= F.lit(PREFIX_ROUTER_MIN_BLOCK_SAMPLED_DOCS)
+            ),
+            F.desc("_pd"),
+        )
         .limit(PREFIX_STATS_MAX_BLOCKS)
         .collect()
     )
     blk.unpersist()
+    pref_key.unpersist()
     sh.unpersist()
     out.update(
         {
             "prefix_postings": prow["prefix_postings"],
             "distinct_prefix_keys": prow["distinct_prefix_keys"],
             "est_candidates_prefix": float(prow["est_prefix"] or 0.0),
+            "route_block_col": rblk or block_col,
             "blocks": [
                 {
-                    "block": r["_blk"],
+                    "block": r["_rblk"],
                     "n_docs": int(r["_nb"]),
                     "n_docs_sampled": int(r["_nb"]),
                     "est_candidates_prefix": float(r["_e"] or 0.0),
@@ -1123,6 +1182,7 @@ def route_prefix_join(
     min_total: float | None = None,
     sample_fraction: float | None = None,
     df_sample_factor: float = 10.0,
+    route_block_col: str | None = None,
 ) -> dict:
     """Pre-flight routing decision for an exact prefix self-join.
 
@@ -1139,7 +1199,16 @@ def route_prefix_join(
     corpus mean hides). Returns a dict with ``strategy``
     ('exact' | 'banded'), the probed ``stats``, the two decision
     inputs (``est_prefix``, ``est_prefix_per_doc``), and
-    ``hot_block`` (the offending block's stats, or None)."""
+    ``hot_block`` (the offending block's stats, or None).
+
+    ``route_block_col`` (r15 VERDICT #4): the SKEW axis for the
+    hot-block rule, independent of the join's ``block_col``.
+    Production web-corpus skew is per-HOST (template spam on one
+    domain) while the join blocks per-lang — a lang-level
+    decomposition dilutes the hot host into the 'en' megablock and
+    reads clean. Pass the canonical host column here to detect it;
+    the global estimate and the join semantics are unchanged (see
+    prefix_candidate_stats for the per-mode attribution)."""
     if mode not in PREFIX_ROUTER_MAX_PREFIX_PER_DOC:
         raise ValueError(f"unknown mode {mode!r}")
     cap = (
@@ -1186,6 +1255,7 @@ def route_prefix_join(
         exact=sample_fraction is None,
         sample_fraction=sample_fraction,
         df_sample_factor=df_sample_factor,
+        route_block_col=route_block_col,
     )
     est_prefix = float(stats["est_candidates_prefix"])
     per_doc = est_prefix / max(n, 1)
@@ -1221,6 +1291,7 @@ def jaccard_pairs_auto(
     route: dict | None = None,
     max_prefix_per_doc: float | None = None,
     min_total: float | None = None,
+    route_block_col: str | None = None,
 ) -> DataFrame:
     """Jaccard near-dup pairs with AUTO strategy (r13 VERDICT task
     #1): run route_prefix_join's measured pre-flight, then the exact
@@ -1236,9 +1307,17 @@ def jaccard_pairs_auto(
     at ``threshold``, so a caller's ``jaccard >= t`` filter is
     correct on either. ``route`` lets a caller pass a precomputed /
     cached decision (the query layer probes once per corpus and
-    shares it across the jaccard-family slugs)."""
+    shares it across the jaccard-family slugs).
+    ``route_block_col``: skew axis forwarded to route_prefix_join
+    (r15 VERDICT #4 — pass the canonical host column to catch
+    per-host template spam); the JOIN still blocks on ``block_col``,
+    so the output pair set is unchanged."""
+    probe_cols = [route_block_col] if (
+        route is None and route_block_col and route_block_col != block_col
+    ) else []
     sh = docs.select(
-        id_col, block_col, word_shingles(text_col).alias("shingles")
+        id_col, block_col, *probe_cols,
+        word_shingles(text_col).alias("shingles"),
     )
     if route is None:
         route = route_prefix_join(
@@ -1249,6 +1328,7 @@ def jaccard_pairs_auto(
             block_col=block_col,
             max_prefix_per_doc=max_prefix_per_doc,
             min_total=min_total,
+            route_block_col=route_block_col,
         )
     if route["strategy"] == "exact":
         return jaccard_pairs_prefix(
@@ -1294,6 +1374,7 @@ def containment_pairs_auto(
     route: dict | None = None,
     max_prefix_per_doc: float | None = None,
     min_total: float | None = None,
+    route_block_col: str | None = None,
 ) -> DataFrame:
     """Containment near-dup pairs with AUTO strategy — the
     jaccard_pairs_auto discipline for the asymmetric join: exact
@@ -1305,9 +1386,14 @@ def containment_pairs_auto(
     anchored path pre-filtered at ``threshold`` — a caller's integer
     predicate is correct on either. NOTE the anchored path is
     UNBLOCKED (no block_col) — the documented semantics of the
-    probabilistic twin."""
+    probabilistic twin. ``route_block_col``: skew axis forwarded to
+    route_prefix_join (r15 VERDICT #4), join blocking unchanged."""
+    probe_cols = [route_block_col] if (
+        route is None and route_block_col and route_block_col != block_col
+    ) else []
     sh = docs.select(
-        id_col, block_col, word_shingles(text_col).alias("shingles")
+        id_col, block_col, *probe_cols,
+        word_shingles(text_col).alias("shingles"),
     )
     if route is None:
         route = route_prefix_join(
@@ -1318,6 +1404,7 @@ def containment_pairs_auto(
             block_col=block_col,
             max_prefix_per_doc=max_prefix_per_doc,
             min_total=min_total,
+            route_block_col=route_block_col,
         )
     if route["strategy"] == "exact":
         return containment_pairs_prefix(

@@ -749,15 +749,29 @@ _PREFIX_ROUTE_CACHE: dict = {}
 def _corpus_prefix_route(
     spark: SparkSession, sf_dir: str, docs: DataFrame, mode: str, threshold: float
 ) -> dict:
+    from vfs_spark.functions.text import normalize_url, url_domain
     from vfs_spark.operators.dedup import route_prefix_join
 
     key = _manifest_key(spark, sf_dir) + (mode, threshold)
     r = _PREFIX_ROUTE_CACHE.get(key)
     if r is None:
+        # r15 VERDICT #4: the skew axis for the hot-block rule is the
+        # canonical HOST (the same derivation corpus_domain_stats
+        # aggregates by) — production template spam lives on one
+        # domain, and a lang-level decomposition dilutes it into the
+        # 'en' megablock. The JOIN itself still blocks on lang (the
+        # slugs' pinned pair semantics); only the routing detail and
+        # hot_block attribution change, and the global estimate is
+        # byte-identical, so fixture routes are unchanged.
         sh = docs.select(
-            "doc_id", "lang", word_shingles("text").alias("shingles")
+            "doc_id",
+            "lang",
+            url_domain(normalize_url(_synth_url_col())).alias("host"),
+            word_shingles("text").alias("shingles"),
         )
-        r = route_prefix_join(sh, threshold, mode=mode)
+        r = route_prefix_join(
+            sh, threshold, mode=mode, route_block_col="host"
+        )
         _PREFIX_ROUTE_CACHE[key] = r
     return r
 
@@ -3171,6 +3185,19 @@ def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The five Gopher rule bits as one DuckDB predicate over a token
+# array named `t` — the SQL twin of _gopher_pass_cond(), shared by
+# _CURATION_FULL_ORACLE and the multimodal text-stage cross-check
+# (tests/test_text.py) so the two can't drift apart.
+_GOPHER_PASS_SQL = f"""CAST(len(t) AS BIGINT) BETWEEN 10 AND 100000
+    AND (CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t))
+          BETWEEN 3.0 AND 10.0
+    AND CAST(len(list_filter(t, x -> x IN {_STOP})) AS DOUBLE) / len(t)
+          >= 0.02
+    AND CAST(len(list_filter(t, x -> regexp_matches(x, '[^a-z0-9]')))
+             AS DOUBLE) / len(t) <= 0.1
+    AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.3"""
+
 # Shared by pipeline_curation_full AND the streaming twin
 # (stream_curation_full in queries/streaming_queries.py): the two
 # paths claim identical semantics, so they must be held to the SAME
@@ -3188,14 +3215,7 @@ u1 AS (
 ),
 q1 AS (
   SELECT doc_id, text, source, t, fp FROM u1
-  WHERE CAST(len(t) AS BIGINT) BETWEEN 10 AND 100000
-    AND (CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t))
-          BETWEEN 3.0 AND 10.0
-    AND CAST(len(list_filter(t, x -> x IN {_STOP})) AS DOUBLE) / len(t)
-          >= 0.02
-    AND CAST(len(list_filter(t, x -> regexp_matches(x, '[^a-z0-9]')))
-             AS DOUBLE) / len(t) <= 0.1
-    AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.3
+  WHERE {_GOPHER_PASS_SQL}
 ),
 d1 AS (
   SELECT q.* FROM q1 q
