@@ -28,6 +28,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _walled(fn) -> float:
+    """Wall seconds of one call — the ladder's serving-latency probe
+    (r15 VERDICT #7); callers take best-of-3."""
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def main() -> None:
     if len(sys.argv) < 2:
         sys.exit("usage: recallcheck.py ROUND   (e.g. 08 — writes "
@@ -573,6 +581,28 @@ def main() -> None:
                 ranks.append(int(rank_cache[qid][r["cluster_id"]]))
             ranks_arr = np.asarray(ranks)
             fit_wall = time.time() - t_fit
+            # r15 VERDICT #7: the ladder validated RECALL at the
+            # operating point but never the serving WALL it buys —
+            # persist the rung's store in the production layout (one
+            # Hive partition per cluster, the partition-pruned
+            # serving path) and time a single-query search at the
+            # calibrated nprobe vs the exact scan over the same rung,
+            # best-of-3 each, so RECALL_r16+ rows carry latency next
+            # to recall
+            ppath = os.path.join(ltmp, f"ivf_{n}")
+            A.write_ivf_partitioned(assigned, ppath)
+            q0 = [float(x) for x in hits[0]["_qv"]]
+            exact_wall = min(
+                _walled(
+                    lambda: knn_batch_auto(
+                        assigned,
+                        val.limit(1),
+                        k=10,
+                        approx_vector_count=n,
+                    ).collect()
+                )
+                for _ in range(3)
+            )
             for target in (0.9, 0.95):
                 t = time.time()
                 np_n = A.auto_nprobe(
@@ -583,12 +613,25 @@ def main() -> None:
                     approx_vector_count=n,
                 )
                 rec = float((ranks_arr < np_n).mean())
+                serve_wall = min(
+                    _walled(
+                        lambda: A.ivf_search_partitioned(
+                            spark, km, ppath, q0, k=10, nprobe=np_n
+                        ).collect()
+                    )
+                    for _ in range(3)
+                )
                 add(
                     f"ann_ivf auto_nprobe n={n} target={target}",
                     f"synthetic n={n} dim={LDIM}",
                     {"n_clusters": 16, "recall_target": target,
                      "nprobe": np_n, "heldout_queries": 32,
-                     "store_fit_wall_s": round(fit_wall, 1)},
+                     "store_fit_wall_s": round(fit_wall, 1),
+                     # single-query serving wall at the registered
+                     # operating point (partition-pruned store) vs
+                     # the exact scan of the same rung, best-of-3
+                     "serve_wall_s": round(serve_wall, 3),
+                     "exact_scan_wall_s": round(exact_wall, 3)},
                     len(ranks_arr), rec, time.time() - t,
                     role="registered", gate=0.9,
                     note="held-out ROUTING recall (== end recall: "

@@ -73,6 +73,8 @@ def run_rung(
     dest = os.path.join(tmp, "store")
     ckpt = os.path.join(tmp, "ckpt")
 
+    batch_walls_ms: list[int] = []
+
     def drain():
         kw = {}
         if bloom_min_history_rows is not None:
@@ -82,6 +84,17 @@ def run_rung(
             **kw
         )
         q.awaitTermination()
+        # per-batch trigger walls from the streaming progress log —
+        # the r15 VERDICT #3 crossover evidence axis: in the DEFAULT
+        # arm the history-size dispatch flips to the Bloom sidecar
+        # mid-drain (history ≥ bloom_min_history_rows) and later
+        # batches must stay cheaper than the forced-rescan arm's,
+        # whose anti-join cost grows with the store
+        batch_walls_ms.extend(
+            int(p["durationMs"]["triggerExecution"])
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        )
         return spark.read.parquet(dest).count()
 
     # throughput denominator = rows actually STREAMED (the source
@@ -89,6 +102,13 @@ def run_rung(
     # by wall overstated docs/s by the eval fraction (r13 ADVICE #5)
     streamed = spark.read.parquet(src).count()
     landed, wall, cpu = _timed(spark, drain)
+    # order-insensitive content hash of the landed store: the A/B
+    # arms (default dispatch / nobloom rescan / forced sidecar) claim
+    # BIT-IDENTICAL output, so the gate is hash equality, not counts
+    landed_df = spark.read.parquet(dest)
+    landed_hash = landed_df.agg(
+        F.bit_xor(F.xxhash64(*sorted(landed_df.columns))).alias("h")
+    ).first()["h"]
     # batch twin on the SAME corpus for the cost comparison
     _, bwall, bcpu = _timed(
         spark,
@@ -102,8 +122,10 @@ def run_rung(
         "bloom_bits": bloom_bits,
         "streamed": streamed,
         "landed": landed,
+        "landed_hash": landed_hash,
         "wall_s": wall,
         "cpu_s": cpu,
+        "batch_walls_ms": batch_walls_ms,
         "docs_per_s": round(streamed / wall, 0) if wall else None,
         "batch_twin_wall_s": bwall,
         "batch_twin_cpu_s": bcpu,
