@@ -1,0 +1,68 @@
+"""Merge the round-16 same-day isolated A/B logs into
+BENCH_DETAIL.isolated_r16 (the r15 adjudication protocol: pinned
+worktree per code version, fresh JVM per slug, best-of-3 warm; compare
+cpu_best ratios within the same day only).
+
+Usage: python tools/merge_iso_r16.py HEAD_LOG PIN_LOG HEAD_COMMIT PIN_COMMIT
+Reads the per-slug JSON lines isobench prints as it goes (robust to a
+truncated final summary)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _parse(path: str) -> dict:
+    out = {}
+    with open(path) as fh:
+        for ln in fh:
+            ln = ln.strip()
+            if not (ln.startswith("{") and ln.endswith("}")):
+                continue
+            try:
+                d = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            # per-slug lines are {slug: {...}}; the final summary is
+            # {slug: {...}, ...} — both merge the same way
+            for k, v in d.items():
+                if isinstance(v, dict) and ("cpu_best" in v or "error" in v):
+                    out[k] = v
+    return out
+
+
+def main() -> None:
+    head_log, pin_log, head_commit, pin_commit = sys.argv[1:5]
+    head, pin = _parse(head_log), _parse(pin_log)
+    deltas = {}
+    for slug in sorted(head):
+        h, p = head.get(slug, {}), pin.get(slug, {})
+        if "cpu_best" in h and "cpu_best" in p and p["cpu_best"]:
+            deltas[slug] = round(h["cpu_best"] / p["cpu_best"], 2)
+    bd_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    with open(bd_path) as fh:
+        bd = json.load(fh)
+    bd["isolated_r16"] = {
+        "protocol": (
+            "tools/isobench.py, sf0.1, same-day pinned-worktree A/B "
+            f"(r16 code at {head_commit} vs r15 code at {pin_commit}), "
+            "fresh JVM per slug, cold + best-of-3 warm, cpu_best is "
+            "the comparison column (r15 rule: cross-day walls/cpus "
+            "are not evidence)"
+        ),
+        "cpu_ratio_r16_over_r15": deltas,
+        "r16_code": head,
+        "r15_code": pin,
+    }
+    with open(bd_path, "w") as fh:
+        json.dump(bd, fh, indent=1, sort_keys=True)
+    print(json.dumps(deltas, indent=1))
+    print(f"merged {len(head)}+{len(pin)} slugs into BENCH_DETAIL.isolated_r16")
+
+
+if __name__ == "__main__":
+    main()
