@@ -784,6 +784,84 @@ def test_fp_bloom_sidecar_membership_and_reload(spark, tmp_path):
     assert FpBloomSidecar(store, n_bits=1 << 17).load() is None
 
 
+def test_sidecar_bulk_add_matches_batch_add(spark, tmp_path):
+    """add(bulk=True) — the history-sized REBUILD path, whose driver
+    collect is bounded by the filter's word count instead of
+    3·|input| positions (the r16 8M A/B caught the per-batch collect
+    seeing 7.8M longs at the dispatch flip) — must produce a
+    byte-identical words array to the per-batch path on the same fps,
+    including the boundary masks (bit 63 → negative int64)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from vfs_spark.streaming.ingest import FpBloomSidecar
+
+    fps = spark.range(5000).select(
+        F.concat(F.lit("fp"), F.col("id")).alias("fp")
+    )
+    a = FpBloomSidecar(str(tmp_path / "a"), n_bits=1 << 16)
+    a.add(fps)
+    b = FpBloomSidecar(str(tmp_path / "b"), n_bits=1 << 16)
+    b.add(fps, bulk=True)
+    wa, wb = a.load(), b.load()
+    assert wa is not None and wb is not None
+    assert np.array_equal(wa, wb)
+    # 5000 keys x 3 seeds in 65536 bits: bit 63 of some word is set,
+    # so the shiftleft sign boundary is exercised, not vacuous
+    assert (wb < 0).any()
+
+
+def test_dispatch_history_probe_reads_footers_once(
+    spark, tmp_path, monkeypatch
+):
+    """The history-size dispatch must read store footers ONCE per
+    stream (then track landed rows driver-side): the r16 8M A/B
+    caught the naive per-batch parquet_row_count — an O(files) driver
+    scan per batch, quadratic over a drain and growing to seconds per
+    batch by 2,000 files."""
+    import vfs_spark.sources.parquet as parquet_mod
+    from vfs_spark.streaming.ingest import stream_corpus_ingest
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i in range(4):
+        spark.createDataFrame(
+            [(100 + 10 * i + j, f"the doc text number {100 + 10 * i + j} "
+              + "and the content words here again more tokens " * 3,
+              "web", "en")
+             for j in range(10)],
+            "doc_id long, text string, source string, lang string",
+        ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+            str(feed / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, source string, lang string, n_chars int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "b*"))
+    )
+    calls = []
+    real = parquet_mod.parquet_row_count
+
+    def counting(path):
+        calls.append(path)
+        return real(path)
+
+    monkeypatch.setattr(parquet_mod, "parquet_row_count", counting)
+    dest = str(tmp_path / "store")
+    q = stream_corpus_ingest(
+        stream, dest, str(tmp_path / "ckpt"), bloom_min_history_rows=15
+    )
+    q.awaitTermination()
+    # 4 micro-batches, exactly one footer probe of the store (the
+    # memo seeds on the first batch; increments cover the rest) —
+    # the auto-compact epilogue's own row count only runs past its
+    # file threshold, which 4 files never cross
+    assert [p for p in calls if p == dest] == [dest]
+    assert spark.read.parquet(dest).count() > 0
+
+
 def test_stream_corpus_ingest_rebuilds_missing_sidecar(
     spark, sf_dir, tmp_path
 ):

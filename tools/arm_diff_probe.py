@@ -1,0 +1,85 @@
+"""Row-level diff of the streaming ingest's Bloom-dispatch arm vs the
+forced-rescan arm on ONE shared corpus/src (r16, VERDICT r15 #3): the
+bit-identical claim's real invariant is "same arrival order ->
+identical landed rows", and landed COUNT equality (what the r14/r15
+rungs recorded) cannot see a duplicate-pair winner swap. This probe
+drains both arms over the same src with the dispatch flipping
+mid-drain, then asserts full-row exceptAll is empty BOTH directions.
+
+r16 result (2M docs, 20 batches, flip at 500k-row history):
+counts 1,640,941 == 1,640,941; only_in_bloom 0; only_in_rescan 0;
+store hashes equal. Cross-INVOCATION full-row hashes can still differ
+legitimately (file-source trigger order on tied mtimes changes which
+copy of a duplicate pair arrives first); use streamscale's fp_hash
+for a winner-invariant cross-invocation comparator.
+
+Usage: python tools/arm_diff_probe.py [n_docs] [n_batches] [flip_rows]
+"""
+import os
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    from tools.curation_ab import build_corpus
+    from vfs_spark.session import get_spark
+    from vfs_spark.streaming.ingest import stream_corpus_ingest
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    batches = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    flip = int(sys.argv[3]) if len(sys.argv) > 3 else 500_000
+    spark = get_spark("armdiff")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = os.path.join(REPO, ".armdiff_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    try:
+        build_corpus(spark, tmp, n)
+        docs = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
+        src = os.path.join(tmp, "stream_in")
+        docs.where(F.col("doc_id") >= 10).repartition(batches).write.mode(
+            "overwrite"
+        ).parquet(src)
+        eval_docs = docs.where(F.col("doc_id") < 10).localCheckpoint(
+            eager=True
+        )
+        schema = spark.read.parquet(src).schema
+
+        def drain(tag, bloom_bits):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = stream_corpus_ingest(
+                stream,
+                os.path.join(tmp, f"store_{tag}"),
+                os.path.join(tmp, f"ckpt_{tag}"),
+                eval_docs=eval_docs,
+                bloom_bits=bloom_bits,
+                bloom_min_history_rows=flip,
+            )
+            q.awaitTermination()
+            return spark.read.parquet(os.path.join(tmp, f"store_{tag}"))
+
+        a = drain("bloom", 1 << 24)
+        b = drain("rescan", 0)
+        na, nb = a.count(), b.count()
+        da, db = a.exceptAll(b).count(), b.exceptAll(a).count()
+        print(
+            f"counts: {na} {nb}; only_in_bloom: {da}; only_in_rescan: {db}"
+        )
+        if da or db or na != nb:
+            sys.exit("ARM DIFF FOUND — bit-identical invariant violated")
+        print("arms row-identical")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

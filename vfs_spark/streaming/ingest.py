@@ -573,10 +573,44 @@ class FpBloomSidecar:
             shutil.rmtree(self.probe_dir)
         os.replace(tmpdir, self.probe_dir)
 
-    def add(self, df: DataFrame, fp_col: str = "fp") -> None:
+    def _bulk_words(self, df: DataFrame, fp_col: str = "fp"):
+        """(word_idx, bits) pairs for an UNBOUNDED fp set, aggregated
+        in-plan: the per-batch `_batch_positions` collect is bounded
+        by 3·|batch| longs and must never see a history-sized input —
+        the r16 8M-row A/B caught the threshold-crossing REBUILD
+        collecting 3·|history| positions (7.8M longs, a 137 s driver
+        stall). Here the positions fold to ≤ n_bits/64 rows via a
+        map-side-combined bit_or before anything reaches the driver,
+        so the rebuild collect is bounded by the FILTER size (262k
+        rows at 2²⁴ bits), not the history."""
+        import numpy as np
+
+        pos = F.explode(
+            F.array(*[F.expr(p) for p in self._positions(fp_col)])
+        ).alias("p")
+        rows = (
+            df.select(pos)
+            .select(
+                F.expr("p div 64").alias("w"),
+                F.expr("shiftleft(1L, cast(p % 64 as int))").alias("m"),
+            )
+            .groupBy("w")
+            .agg(F.expr("bit_or(m)").alias("m"))
+            .collect()
+        )
+        w = np.fromiter((r["w"] for r in rows), dtype=np.int64, count=len(rows))
+        m = np.fromiter((r["m"] for r in rows), dtype=np.int64, count=len(rows))
+        return w, m
+
+    def add(self, df: DataFrame, fp_col: str = "fp", bulk: bool = False) -> None:
         """OR this batch's fps into the sidecar, atomically. MUST run
         before the corresponding data/tombstone append (superset
-        invariant; see class docstring)."""
+        invariant; see class docstring). ``bulk=True`` routes through
+        the in-plan bit_or aggregation (`_bulk_words`) whose driver
+        collect is bounded by the filter size instead of the input —
+        REQUIRED whenever the input is history-sized (the dispatch
+        rebuild path); byte-identical result either way
+        (test-pinned)."""
         import os
 
         import numpy as np
@@ -586,11 +620,16 @@ class FpBloomSidecar:
             words = np.zeros(self.n_bits // 64, dtype="<i8")
         else:
             words = words.copy()
-        p = self._batch_positions(df, fp_col)
-        if p.size:
-            np.bitwise_or.at(
-                words, p >> 6, np.int64(1) << (p & np.int64(63))
-            )
+        if bulk:
+            w, m = self._bulk_words(df, fp_col)
+            if w.size:
+                np.bitwise_or.at(words, w, m)
+        else:
+            p = self._batch_positions(df, fp_col)
+            if p.size:
+                np.bitwise_or.at(
+                    words, p >> 6, np.int64(1) << (p & np.int64(63))
+                )
         os.makedirs(self.dir, exist_ok=True)
         tmp = self.bin_path + ".tmp"
         words.tofile(tmp)
@@ -638,21 +677,31 @@ class FpBloomSidecar:
         )
 
 
-# History-size dispatch for the fp Bloom sidecar (r14 VERDICT #3,
-# r15 measured): the sidecar's per-batch machinery is irreducibly a
-# few Spark jobs — probe broadcast + positive count + position
-# collect — measured ~4.4 cpu-s/batch at 100k-doc batches after the
-# r15 optimizations (parquet-read probe broadcast, shuffle-free
-# add), while the full-rescan anti-join costs ~1.5 cpu-s per MILLION
-# history rows (measured 3.1 @1.6M / 6.8 @4M / 9.2 @8M / 23 @16M).
-# Measured crossover ≈ 3M rows; the threshold sits slightly EARLY
-# (the knn_batch_auto mistake-side rule: an early switch costs a
-# bounded constant per batch, a late switch costs a term that grows
-# with history forever). Below the threshold the ingest takes the
-# rescan path and maintains no filter; crossing it rebuilds the
-# filter from the store's fp column once (the existing
-# missing-sidecar rebuild path). Calibration table in SCALE.md r15.
-BLOOM_MIN_HISTORY_ROWS = 2_500_000
+# History-size dispatch for the fp Bloom sidecar (r14 VERDICT #3;
+# r15 measured the cpu model; r16 RE-DERIVED the threshold from an
+# end-to-end 4M/8M A/B — SCALE.md r16). Two currencies, measured:
+# - CPU: machinery ~4.4 cpu-s/batch vs rescan ~1.5 cpu-s per MILLION
+#   history rows (r15 probes: 3.1 @1.6M / 6.8 @4M / 9.2 @8M / 23
+#   @16M) → cpu crossover ≈ 3M rows. Confirmed end-to-end at 8M:
+#   the sidecar arm saved ~6 cpu-s/batch (4,403 vs 4,689 total).
+# - WALL: the rescan anti-join parallelizes (measured FLAT ~8
+#   s/batch through 6.5M-row history; slope ≈ 1.5/32 ≈ 0.05 s per M
+#   rows on 32 cores), while the sidecar's overhead is SERIAL driver
+#   latency (~3.3 s/batch post-fix: probe checkpoint + positive
+#   count + add round-trips) → wall crossover ≈ 3.3/0.05 ≈ 70M rows.
+# The r15 threshold (2.5M, cpu-early) made the default arm 36%
+# SLOWER end-to-end at 8M while saving 6% cpu — the wrong default
+# for a latency-facing ingest. The default now sits at the wall
+# crossover's early side: below it the rescan is never worse in wall
+# and forgoes at most (1.5·H/1M − 4.4) cpu-s/batch; above it the
+# rescan's cost grows without bound in BOTH currencies. Deployments
+# billed purely in cluster cpu-s can lower `bloom_min_history_rows`
+# toward the ~3M cpu crossover — the trade is explicit now, not
+# hidden behind a cpu-only model. Below the threshold the ingest
+# takes the rescan path and maintains no filter; crossing it
+# rebuilds the filter from the store's fp column once (bulk add —
+# filter-bounded driver collect).
+BLOOM_MIN_HISTORY_ROWS = 50_000_000
 
 
 def stream_corpus_ingest(
@@ -736,6 +785,11 @@ def stream_corpus_ingest(
         else None  # bloom_bits=0 → legacy full-rescan path (the
         # streamscale A/B control; output is identical either way)
     )
+    # dispatch memo: landed-history row count, read from footers ONCE
+    # (first batch; None = not yet read) then incremented per batch —
+    # see the dispatch comment in _apply for why (r16: per-batch
+    # footer scans were O(files) driver work, quadratic over a drain)
+    _history_rows: list = [None]
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -768,11 +822,22 @@ def stream_corpus_ingest(
         # to go stale, because a sidecar missing recent bits would
         # produce false negatives (missed duplicates). Crossing the
         # threshold later rebuilds it from the store's fp column.
-        from vfs_spark.sources.parquet import parquet_row_count
+        # The history size is MEMOIZED in the stream (footers read
+        # once, on the first batch): the r16 8M A/B caught the naive
+        # form re-reading every store footer on EVERY batch — an
+        # O(files) driver scan per batch, quadratic over a drain —
+        # while the landed count per batch is already known
+        # driver-side. The memo counts rows BEFORE the decontam drop
+        # (strictly an overcount), so the flip can only come EARLY —
+        # the bounded-mistake side, same as the threshold itself.
+        if sidecar is not None and _history_rows[0] is None:
+            from vfs_spark.sources.parquet import parquet_row_count
 
-        use_bloom = sidecar is not None and (
-            parquet_row_count(dest_dir) or 0
-        ) >= bloom_min_history_rows
+            _history_rows[0] = parquet_row_count(dest_dir) or 0
+        use_bloom = (
+            sidecar is not None
+            and _history_rows[0] >= bloom_min_history_rows
+        )
         if sidecar is not None and not use_bloom:
             import shutil
 
@@ -799,6 +864,7 @@ def stream_corpus_ingest(
             n_pos = flagged.where(F.col("_bloomhit")).count()
             if n_pos == 0:
                 first = flagged.drop("_bloomhit")
+                _history_rows[0] += flagged.count()
             else:
                 hits = flagged.where(F.col("_bloomhit"))
                 for seen_dir in (dest_dir, tomb_dir):
@@ -809,6 +875,10 @@ def stream_corpus_ingest(
                 first = hits.unionByName(
                     flagged.where(~F.col("_bloomhit"))
                 ).drop("_bloomhit")
+                # counts over the two checkpoints — no recompute
+                _history_rows[0] += (
+                    flagged.count() - n_pos + hits.count()
+                )
         else:
             # rescan path: under-threshold dispatch, bloom off, or a
             # missing/resized sidecar at/above threshold (first batch
@@ -821,6 +891,8 @@ def stream_corpus_ingest(
                     historic.append(seen)
             # one materialization: everything below re-reads `first`
             first = first.localCheckpoint(eager=True)
+            if sidecar is not None:
+                _history_rows[0] += first.count()  # cheap: checkpointed
         # update the sidecar BEFORE any append (superset invariant:
         # a crash between leaves extra bits, never missing ones);
         # `first` still contains the to-be-tombstoned rows, so both
@@ -829,7 +901,10 @@ def stream_corpus_ingest(
             to_add = first.select("fp")
             for h in historic:
                 to_add = to_add.unionByName(h)
-            sidecar.add(to_add)
+            # bulk on the rebuild (history-sized input): in-plan
+            # bit_or keeps the driver collect filter-bounded — the
+            # per-batch positions collect must never see history
+            sidecar.add(to_add, bulk=bool(historic))
         if ev is not None:
             contaminated = (
                 first.select(
