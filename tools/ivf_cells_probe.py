@@ -1,0 +1,155 @@
+"""IVF cells-scaling probe (r16): the RECALL ladder's fixed
+n_clusters=16 is honest for calibration but badly under-clustered at
+10M vectors — the calibrated operating point (nprobe 10-12 of 16)
+probes 62-75% of the store, and the 'pruned' serving wall (4.4-6.9 s)
+EXCEEDS the BLAS exact scan (3.0 s). This probe re-runs the same
+held-out protocol at ladder scale with cells scaled toward ~sqrt(N)
+(capped by the single-node KMeans fit budget), recording
+recall/nprobe/serve-wall per cell count — the evidence that IVF
+selectivity is a property of the CELL GRID, not of nprobe
+calibration. Appends role=sweep entries to RECALL_r{round}.json.
+
+Usage: python tools/ivf_cells_probe.py ROUND [n=10000000] [cells=64,256]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+LDIM = 64
+HELDOUT_SEED = 424242
+
+
+def main() -> None:
+    rnd = sys.argv[1]
+    n = int(next((a.split("=")[1] for a in sys.argv[2:] if a.startswith("n=")),
+                 10_000_000))
+    cells_list = [int(x) for x in next(
+        (a.split("=")[1] for a in sys.argv[2:] if a.startswith("cells=")),
+        "64,256").split(",")]
+    from vfs_spark.operators import ann as A
+    from vfs_spark.operators.knn import knn_batch_auto
+    from vfs_spark.session import get_spark
+
+    spark = get_spark("ivf-cells-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    ltmp = os.path.join(REPO, ".ann_ladder_tmp")
+    path = os.path.join(ltmp, f"vec_{n}")
+    if not os.path.isdir(path):
+        spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=i) for i in range(LDIM)])
+            .cast("array<float>")
+            .alias("embedding"),
+        ).write.mode("overwrite").parquet(path)
+    emb = spark.read.parquet(path)
+    entries = []
+    for ncells in cells_list:
+        t_fit = time.time()
+        km, assigned = A.build_ivf_index(emb, n_clusters=ncells)
+        assigned = assigned.persist()
+        assigned.count()
+        fit_wall = time.time() - t_fit
+        centers = np.stack([np.asarray(c) for c in km.clusterCenters()])
+        val = (
+            assigned.select("vec_id", "embedding")
+            .orderBy(F.xxhash64(F.col("vec_id"), F.lit(HELDOUT_SEED)), "vec_id")
+            .limit(32)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+        )
+        truth = knn_batch_auto(assigned, val, k=10, approx_vector_count=n)
+        hits = (
+            truth.join(assigned.select("vec_id", "cluster_id"), "vec_id")
+            .join(val.select("query_id", F.col("query_vec").alias("_qv")),
+                  "query_id")
+            .select("query_id", "_qv", "cluster_id")
+            .collect()
+        )
+        rank_cache, ranks = {}, []
+        for r in hits:
+            qid = r["query_id"]
+            if qid not in rank_cache:
+                q = np.asarray(r["_qv"], dtype=np.float64)
+                order = np.argsort(((centers - q) ** 2).sum(axis=1))
+                pos = np.empty(len(centers), dtype=np.int64)
+                pos[order] = np.arange(len(centers))
+                rank_cache[qid] = pos
+            ranks.append(int(rank_cache[qid][r["cluster_id"]]))
+        ranks_arr = np.asarray(ranks)
+        ppath = os.path.join(ltmp, f"ivf_{n}_c{ncells}")
+        A.write_ivf_partitioned(assigned, ppath)
+        q0 = [float(x) for x in hits[0]["_qv"]]
+
+        def walled(fn):
+            t0 = time.time()
+            fn()
+            return time.time() - t0
+
+        exact_wall = min(
+            walled(lambda: knn_batch_auto(
+                assigned, val.limit(1), k=10, approx_vector_count=n
+            ).collect())
+            for _ in range(3)
+        )
+        for target in (0.9, 0.95):
+            np_n = A.auto_nprobe(
+                km, assigned, recall_target=target, k=10,
+                approx_vector_count=n,
+            )
+            rec = float((ranks_arr < np_n).mean())
+            serve_wall = min(
+                walled(lambda: A.ivf_search_partitioned(
+                    spark, km, ppath, q0, k=10, nprobe=np_n
+                ).collect())
+                for _ in range(3)
+            )
+            row = {
+                "op": f"ann_ivf cells-scaling n={n} cells={ncells} "
+                      f"target={target}",
+                "dataset": f"synthetic n={n} dim={LDIM}",
+                "params": {
+                    "n_clusters": ncells, "recall_target": target,
+                    "nprobe": np_n,
+                    "frac_probed": round(np_n / ncells, 3),
+                    "store_fit_wall_s": round(fit_wall, 1),
+                    "serve_wall_s": round(serve_wall, 3),
+                    "exact_scan_wall_s": round(exact_wall, 3),
+                },
+                "truth_size": len(ranks_arr),
+                "recall": rec,
+                "wall_s": 0.0,
+                "role": "sweep",
+                "note": "held-out ROUTING recall at auto_nprobe's "
+                        "operating point with cells scaled toward "
+                        "sqrt(N) (r16: at 16 cells the calibrated "
+                        "point probed 62-75% of the store and lost "
+                        "to the exact scan; selectivity comes from "
+                        "the cell grid)",
+            }
+            entries.append(row)
+            print(json.dumps(row), flush=True)
+        assigned.unpersist()
+    dest = os.path.join(REPO, f"RECALL_r{rnd}.json")
+    with open(dest) as fh:
+        data = json.load(fh)
+    keep = [e for e in data["entries"]
+            if not e["op"].startswith("ann_ivf cells-scaling")]
+    data["entries"] = keep + entries
+    with open(dest, "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(f"appended {len(entries)} cells-scaling entries to {dest}")
+
+
+if __name__ == "__main__":
+    main()
