@@ -1,0 +1,77 @@
+"""Full-row output snapshot/compare for rows-only slugs — the
+optimization round's identity gate: a slug with no DuckDB oracle is
+pinned by comparing its complete sorted row set before vs after a
+code change (exact values, bitwise on floats via repr).
+
+Usage:
+    python tools/rowsnap.py snap <outfile.json> <sf_dir> <slug> [...]
+    python tools/rowsnap.py diff <a.json> <b.json>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _canon_rows(df) -> list:
+    cols = sorted(df.columns)
+    rows = df.select(*cols).collect()
+    out = sorted(tuple(repr(v) for v in r) for r in rows)
+    return [list(r) for r in out]
+
+
+def snap(outfile: str, sf_dir: str, slugs: list[str]) -> None:
+    from vfs_spark.session import get_spark
+    from vfs_spark.queries import QUERIES
+
+    spark = get_spark("rowsnap")
+    spark.sparkContext.setLogLevel("ERROR")
+    res = {}
+    for slug in slugs:
+        df = QUERIES[slug](spark, sf_dir)
+        res[slug] = {"cols": sorted(df.columns), "rows": _canon_rows(df)}
+        print(f"snapped {slug}: {len(res[slug]['rows'])} rows", file=sys.stderr)
+    with open(outfile, "w") as f:
+        json.dump({"sf_dir": sf_dir, "slugs": res}, f)
+
+
+def diff(a_path: str, b_path: str) -> None:
+    a = json.load(open(a_path))
+    b = json.load(open(b_path))
+    rc = 0
+    for slug in sorted(set(a["slugs"]) | set(b["slugs"])):
+        sa, sb = a["slugs"].get(slug), b["slugs"].get(slug)
+        if sa is None or sb is None:
+            print(f"MISSING {slug}: only in {'b' if sa is None else 'a'}")
+            rc = 1
+            continue
+        if sa["cols"] != sb["cols"]:
+            print(f"FAIL {slug}: cols {sa['cols']} != {sb['cols']}")
+            rc = 1
+            continue
+        ra = [tuple(r) for r in sa["rows"]]
+        rb = [tuple(r) for r in sb["rows"]]
+        if ra == rb:
+            print(f"PASS {slug}: {len(ra)} rows identical")
+        else:
+            only_a = set(ra) - set(rb)
+            only_b = set(rb) - set(ra)
+            print(
+                f"FAIL {slug}: {len(ra)} vs {len(rb)} rows; "
+                f"only_a={list(only_a)[:3]} only_b={list(only_b)[:3]}"
+            )
+            rc = 1
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "snap":
+        snap(sys.argv[2], sys.argv[3], sys.argv[4:])
+    elif sys.argv[1] == "diff":
+        diff(sys.argv[2], sys.argv[3])
+    else:
+        sys.exit("usage: rowsnap.py snap|diff ...")

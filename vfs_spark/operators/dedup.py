@@ -15,6 +15,7 @@ self-joins). These are the sub-quadratic production paths:
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pandas as pd
 
@@ -26,6 +27,24 @@ from pyspark.sql.window import Window
 from vfs_spark.functions.text import tokens, word_shingles
 
 SEED = 42
+
+# embedding_simhash_pairs verify dispatch (r16 optimization): ceiling
+# on the float64 verify-matrix bytes the gather path may collect and
+# broadcast (the memory class of a broadcast-join build side). Above
+# it the join-path verify runs — same output, payload-shuffling plan.
+# Parameterised for cluster deployments (more executor memory → raise).
+EMBED_VERIFY_GATHER_MAX_BYTES = int(
+    os.environ.get("VFS_EMBED_VERIFY_GATHER_MAX_BYTES", str(256 << 20))
+)
+
+# connected_components driver dispatch (r16 optimization): edge sets
+# at or under this count are solved with one vectorized NumPy pass on
+# the driver and re-attached via a broadcast join (≤ 32 MB of edge
+# arrays + a ≤2·|E|-row mapping at the default — broadcast-build
+# memory class). Above it the distributed propagation loop runs.
+CC_DRIVER_MAX_EDGES = int(
+    os.environ.get("VFS_CC_DRIVER_MAX_EDGES", str(2_000_000))
+)
 
 
 def minhash_near_dup_pairs(
@@ -1871,7 +1890,28 @@ def connected_components(
     a recursive-CTE ground truth.
 
     Returns (id_col, cluster_id) for every node; cluster_id = the
-    smallest node id in the component."""
+    smallest node id in the component. Precondition (both paths):
+    ``nodes`` covers every edge endpoint — all in-repo callers pass
+    either the endpoint set itself or the whole collection.
+
+    r16 optimization (guide §1.2 — fix the distributed algorithm
+    first): near-dup EDGE sets are candidate-bounded and already
+    eagerly checkpointed, so when |edges| ≤ CC_DRIVER_MAX_EDGES the
+    components are solved in one vectorized NumPy pass on the driver
+    (min-label propagation + full pointer-jumping per round, O(log d)
+    rounds at memory bandwidth) and re-attached as a BROADCAST join
+    of the ≤2·|edges| (node → comp) mapping — the exact memory
+    contract of a broadcast-join build side, which this repo already
+    accepts for id semi-joins. The fixture's semantic graph took
+    ELEVEN distributed rounds (diameter ~10) at ~0.7 s of fixed
+    per-round latency (3 shuffles + checkpoint + count against a
+    32-task floor) for 4,060 edges — 9.2 s of wall for microseconds
+    of actual work. Above the guard the distributed loop runs as
+    before, now with POINTER-HALVING through the previous round's
+    checkpointed labels (comp ← labels[comp], a reachable-min, so the
+    fixpoint is unchanged — verified fixpoint-identical on the
+    fixture graph) which roughly halves the round count on deep
+    components (measured 11 → 8 on diameter ~10)."""
     # materialize the DIRECTED edge list once, BEFORE symmetrizing —
     # the union references `edges` twice, and without the checkpoint
     # each reference (and then every propagation round) replays the
@@ -1880,6 +1920,51 @@ def connected_components(
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).localCheckpoint(eager=True)
+
+    n_edges = e.count()
+    if n_edges <= CC_DRIVER_MAX_EDGES:
+        import numpy as np
+
+        spark = nodes.sparkSession
+        if n_edges == 0:
+            return nodes.select(
+                F.col(id_col), F.col(id_col).alias("cluster_id")
+            )
+        ep = e.toPandas()
+        u = ep["u"].to_numpy(dtype=np.int64, copy=False)
+        v = ep["v"].to_numpy(dtype=np.int64, copy=False)
+        ids = np.unique(np.concatenate([u, v]))
+        ui = np.searchsorted(ids, u)
+        vi = np.searchsorted(ids, v)
+        # index-space labels: ids is sorted ascending, so the minimum
+        # INDEX in a component is the minimum node id — identical to
+        # the distributed fixpoint (min reachable id).
+        lab = np.arange(len(ids), dtype=np.int64)
+        while True:
+            old = lab.copy()
+            m = np.minimum(lab[ui], lab[vi])
+            np.minimum.at(lab, ui, m)
+            np.minimum.at(lab, vi, m)
+            while True:  # full pointer-jumping to the current root
+                nl = lab[lab]
+                if np.array_equal(nl, lab):
+                    break
+                lab = nl
+            if np.array_equal(lab, old):
+                break
+        mp = spark.createDataFrame(
+            pd.DataFrame({"node": ids, "comp": ids[lab]}),
+            schema="node long, comp long",
+        )
+        return (
+            nodes.select(F.col(id_col).alias("node"))
+            .join(F.broadcast(mp), "node", "left")
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce("comp", F.col("node")).alias("cluster_id"),
+            )
+        )
+
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("comp")
@@ -1895,16 +1980,31 @@ def connected_components(
         # fixpoint is one cheap count over the just-checkpointed rows —
         # not an extra join of the new labels against the old ones per
         # round (one fewer shuffle per iteration, same fixpoint).
+        prop = labels.join(nb, labels["node"] == nb["v"], "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce("nb_comp", F.col("comp"))
+            ).alias("pcomp"),
+            F.col("comp").alias("_old"),
+        )
+        # pointer-halving against the PREVIOUS round's checkpointed
+        # labels: comp ← labels[comp] is a reachable-min shortcut, so
+        # hop coverage compounds geometrically instead of linearly —
+        # same unique fixpoint, fewer rounds on deep components. Using
+        # the old (checkpointed) labels avoids re-computing the
+        # propagation subtree a second time in the same round.
+        lb2 = labels.select(
+            F.col("node").alias("_cn"), F.col("comp").alias("_cc")
+        )
+        new_comp = F.least(
+            F.col("pcomp"), F.coalesce("_cc", F.col("pcomp"))
+        )
         new = (
-            labels.join(nb, labels["node"] == nb["v"], "left")
+            prop.join(lb2, prop["pcomp"] == lb2["_cn"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("comp"), F.coalesce("nb_comp", F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce("nb_comp", F.col("comp")) < F.col("comp")).alias(
-                    "chg"
-                ),
+                new_comp.alias("comp"),
+                (new_comp < F.col("_old")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
@@ -2103,7 +2203,25 @@ def embedding_simhash_pairs(
     ``block_col``: optional extra blocking key — candidate pairs must
     agree on it in addition to the band value. Used by semdedup_pairs
     to band WITHIN oversized KMeans cells (the megacluster fallback)
-    without emitting cross-cell pairs."""
+    without emitting cross-cell pairs.
+
+    r16 optimization (guide §2.3/§4.1 — shuffle keys, not payloads;
+    ship only the columns the kernel needs): when the verify-touched
+    id set is small enough (≤ EMBED_VERIFY_GATHER_MAX_BYTES of
+    float64 matrix, default 256 MiB — same memory class as a
+    broadcast-join build side), the exact-cosine verify no longer
+    attaches full vectors to every candidate pair via two joins
+    (which shuffled the O(candidates) pair table three times with
+    dim-sized array payloads and shipped 2·dim doubles per pair
+    across the Arrow boundary). Instead the verify vectors are
+    collected ONCE (bounded by the guard, exactly like a broadcast
+    hash relation), broadcast, and the kernel gathers rows by id —
+    only two int64s per pair cross the boundary. float64 math is
+    op-for-op identical to the join-path kernel, so emitted values
+    are bitwise unchanged; above the guard the join path runs as
+    before. The kernel is marked nondeterministic so the optimizer
+    cannot duplicate it below the threshold filter (guide §4.4 — the
+    r16 plan audit caught TWO ArrowEvalPython nodes for one verify)."""
     import math
 
     import numpy as np
@@ -2143,6 +2261,13 @@ def embedding_simhash_pairs(
             *keep_cols,
             F.posexplode("_bv").alias("band_idx", "band_val"),
         )
+        # lazy checkpoint: a self-join duplicates its child subtree, so
+        # without this the scan + projection matmul (the ArrowEvalPython
+        # above) runs TWICE over the corpus — once per join side. The
+        # checkpoint materializes (id, band_idx, band_val) rows once,
+        # inside the candidate job (eager=False: no extra blocking job),
+        # and both sides read it. N·n_bands small rows, never vectors.
+        .localCheckpoint(eager=False)
     )
     a, b = sig.alias("a"), sig.alias("b")
     join_cond = (
@@ -2166,13 +2291,79 @@ def embedding_simhash_pairs(
         .distinct()
         .localCheckpoint(eager=True)  # candidates only — never the corpus
     )
-    ids = cand.select(
-        F.explode(F.array("vec_a", "vec_b")).alias(id_col)
-    ).distinct()
     bounds = cand.agg(F.min("vec_a"), F.max("vec_b")).first()
     verify_src = df
     if bounds[0] is not None:
         verify_src = df.where(F.col(id_col).between(bounds[0], bounds[1]))
+
+    # Gather-path probe: the verify matrix only needs a SUPERSET of the
+    # candidate-touched ids, so the id-range slice of the corpus (the
+    # same bounds pruning the join path uses) is collected directly
+    # with a limit(max_rows + 1) guard — ONE job, no ids-distinct and
+    # no count round-trips (two fewer driver barriers per call).
+    pdf_v = None
+    max_rows = EMBED_VERIFY_GATHER_MAX_BYTES // max(1, dim * 8)
+    if bounds[0] is not None:
+        probe = (
+            verify_src.select(F.col(id_col), F.col(vec_col))
+            .limit(max_rows + 1)
+            .toPandas()
+        )
+        if 0 < len(probe) <= max_rows:
+            pdf_v = probe
+    if pdf_v is not None:
+        # Gather path (guide §2.3/§8: decide with small rows, never
+        # re-attach the payload through a shuffle join): collect the
+        # verify vectors once — the collect is bounded by the guard
+        # above, the same memory contract as a broadcast join build —
+        # broadcast (ids_sorted, float64 matrix), and verify pairs by
+        # id-gather. Only (vec_a, vec_b) int64s cross the JVM→Python
+        # boundary, vs 2·dim float64 per candidate before. Assumes
+        # unique ids (every in-repo corpus keys vectors by a unique
+        # vec_id; the join path would emit duplicate pair rows on a
+        # duplicate id, i.e. neither path supports them).
+        idv = pdf_v[id_col].to_numpy()
+        order = np.argsort(idv, kind="stable")
+        ids_sorted = idv[order].astype(np.int64, copy=False)
+        # np.stack → astype float64: the exact op sequence of the join
+        # kernel, so gathered rows are bitwise the kernel's inputs
+        mat = np.stack(pdf_v[vec_col].to_numpy())[order].astype(np.float64)
+        bc = df.sparkSession.sparkContext.broadcast((ids_sorted, mat))
+
+        @pandas_udf("double")
+        def _cos_gather(a_ids: pd.Series, b_ids: pd.Series) -> pd.Series:
+            import numpy as np
+
+            ids_s, m = bc.value
+            xa = m[np.searchsorted(ids_s, a_ids.to_numpy())]
+            xb = m[np.searchsorted(ids_s, b_ids.to_numpy())]
+            num = (xa * xb).sum(axis=1)
+            den = np.linalg.norm(xa, axis=1) * np.linalg.norm(xb, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.where(den > 0, num / den, np.nan)
+            return pd.Series(out)
+
+        # nondeterministic: stop the optimizer cloning the kernel below
+        # the pushed threshold filter (guide §4.4) — one ArrowEvalPython
+        _cos_gather = _cos_gather.asNondeterministic()
+        return (
+            cand.select(
+                "vec_a",
+                "vec_b",
+                _cos_gather("vec_a", "vec_b").alias("_raw"),
+            )
+            .where(F.col("_raw") >= cos_threshold)
+            .select(
+                "vec_a", "vec_b", F.round("_raw", 6).alias("cos_sim")
+            )
+        )
+
+    # Join path (above the gather guard): broadcast semi-join the
+    # candidate-touched ids into the bounded scan, then attach vectors
+    # to the pair table — the pre-r16 plan, unchanged.
+    ids = cand.select(
+        F.explode(F.array("vec_a", "vec_b")).alias(id_col)
+    ).distinct()
     embn = verify_src.join(F.broadcast(ids), id_col).select(
         F.col(id_col), F.col(vec_col)
     )
@@ -2200,6 +2391,7 @@ def embedding_simhash_pairs(
             out = np.where(den > 0, num / den, np.nan)
         return pd.Series(out)
 
+    _cos_kernel = _cos_kernel.asNondeterministic()  # guide §4.4
     # Threshold on the UNROUNDED similarity (rounding first could admit
     # pairs up to 5e-7 below the contract); round only the emitted value.
     return (
