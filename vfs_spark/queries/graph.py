@@ -15,6 +15,8 @@ engines (the dedup_url URL-synthesis discipline)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,6 +50,49 @@ def _edges(docs: DataFrame) -> DataFrame:
     )
 
 
+# pagerank driver dispatch (r16 optimization): edge lists at or under
+# this count run the power iterations as one vectorized NumPy pass on
+# the driver (collected via a limit-guarded probe — broadcast-build
+# memory class). Above it the distributed iteration runs.
+PAGERANK_DRIVER_MAX_EDGES = int(
+    os.environ.get("VFS_PAGERANK_DRIVER_MAX_EDGES", str(2_000_000))
+)
+
+
+def _pagerank_driver(
+    edges: DataFrame, n_iters: int, damping: float
+) -> DataFrame | None:
+    """NumPy pagerank for guard-sized graphs; None above the guard."""
+    import numpy as np
+    import pandas as pd
+
+    probe = edges.limit(PAGERANK_DRIVER_MAX_EDGES + 1).toPandas()
+    if len(probe) > PAGERANK_DRIVER_MAX_EDGES:
+        return None
+    spark = edges.sparkSession
+    if len(probe) == 0:
+        return spark.createDataFrame([], schema="u string, r double")
+    codes, uniques = pd.factorize(
+        pd.concat([probe["src"], probe["dst"]], ignore_index=True)
+    )
+    si = codes[: len(probe)]
+    di = codes[len(probe):]
+    n = len(uniques)
+    outdeg = np.bincount(si, minlength=n)
+    dangling = outdeg == 0
+    safe_deg = np.where(dangling, 1, outdeg)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, r[si] / safe_deg[si])
+        m = r[dangling].sum()
+        r = (1.0 - damping) / n + damping * (contrib + m / n)
+    return spark.createDataFrame(
+        pd.DataFrame({"u": np.asarray(uniques), "r": r}),
+        schema="u string, r double",
+    )
+
+
 def pagerank(edges: DataFrame, n_iters: int = N_ITERS, damping: float = DAMPING) -> DataFrame:
     """Fixed-iteration PageRank with dangling-mass redistribution:
     each iteration is contribs = edges ⋈ ranks (shuffle on dst, the
@@ -75,7 +120,27 @@ def pagerank(edges: DataFrame, n_iters: int = N_ITERS, damping: float = DAMPING)
     is referenced once per iteration.
 
     Returns (u, rank) with rank UNROUNDED; callers round once at the
-    boundary (the float policy)."""
+    boundary (the float policy).
+
+    r16 optimization (guide §1.2, the connected_components dispatch
+    applied to the rank iteration): a link graph at or under
+    PAGERANK_DRIVER_MAX_EDGES collects ONCE (limit-guarded probe — the
+    broadcast-build memory contract) and the power iterations run as
+    vectorized NumPy on the driver: factorize nodes, np.add.at for
+    the contribs, boolean mask for the dangling mass — the identical
+    per-iteration formula, microseconds per round instead of ~6
+    blocking distributed jobs (contribs join, dangling agg broadcast,
+    frontier checkpoint) whose per-job floor dominated the fixture
+    wall. Floating-point sum ORDER differs from the shuffled
+    aggregation — exactly as it already differs between Spark and the
+    DuckDB oracle — and the slugs' hash gate (ROUND(r,6) /
+    micro-units) is the declared equality contract both paths meet.
+    Above the guard the distributed loop below runs unchanged (at
+    crawl scale the edge table is the corpus — that path is the 100 TB
+    story; the driver path is the serving/fixture regime)."""
+    cheap = _pagerank_driver(edges, n_iters, damping)
+    if cheap is not None:
+        return cheap
     edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     nodes = (
