@@ -75,6 +75,18 @@ def test_bpe_encode_greedy_and_lossless(spark, tiny_docs):
         assert len(toks) < sum(len(w) + 1 for w in text.split())
 
 
+def test_bpe_driver_dispatch_matches_distributed(spark, tiny_docs, monkeypatch):
+    """The r16 driver-side merge loop (vocab under the size guard)
+    must be merge-for-merge identical to the distributed iteration —
+    same argmax tie-break, same left-to-right fold, same early stop."""
+    import vfs_spark.operators.bpe as bpe_mod
+
+    fast = bpe_train(tiny_docs, n_merges=12)          # driver path
+    monkeypatch.setattr(bpe_mod, "BPE_DRIVER_MAX_TYPES", 0)
+    slow = bpe_train(tiny_docs, n_merges=12)          # distributed path
+    assert fast == slow
+
+
 def test_bpe_merge_no_overlap(spark):
     """'aaaa' with merge (a,a) must fold to [aa, aa, EOW]-style
     non-overlapping units, matching the reference exactly."""
