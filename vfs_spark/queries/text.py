@@ -3583,35 +3583,41 @@ def _phrase_bm25_ranked(spark, sf_dir):
         .distinct()
     )
     sh = word_shingles("text", 5)
-    # dl is computed BELOW the generate, in the same projection that
-    # materializes the shingle array: putting size(sh) next to
-    # explode(sh) in ONE select lets CollapseProject inline the whole
-    # tokenize+shingle expression into the POST-generate projection,
-    # re-evaluating it once per exploded row — measured 75 s vs 6 s at
-    # 200k docs (the split() tax multiplies by shingles-per-doc).
-    # A Generate node is a projection barrier; staging through it is
-    # the general fix for any expensive-array explode+size pair.
-    sh_base = corpus.select(
-        "doc_id", F.size(sh).alias("dl"), sh.alias("_sh")
-    )
-    postings = (
-        sh_base.select("doc_id", "dl", F.explode("_sh").alias("term"))
-        .join(F.broadcast(qt.select("term").distinct()), "term")
-        .groupBy("doc_id", "term")
-        .agg(
-            F.lit(1).cast("bigint").alias("tf"),
-            F.max("dl").cast("bigint").alias("dl"),
+    # r16 single-pass serving (guide §1.2/§2.4): the old shape ran TWO
+    # full corpus shingle passes — explode(all shingles) + broadcast
+    # semi-join for postings, then a second scan for dl stats — plus a
+    # per-branch job/codegen floor that dominates at fixture scale
+    # (41 Exchanges in the before-plan, plans/r16). Since word_shingles
+    # is already DISTINCT per doc and tf ≡ 1, postings membership is
+    # array_intersect(sh, phrases) against the ONE-row collect_set of
+    # the ≤|queries|·3 phrase table — no shingle-row Generate, no hash
+    # join, no groupBy — and dl rides the same projection. The narrow
+    # per-doc table (doc_id, dl, matched⊆phrases) is persisted and
+    # feeds BOTH postings and stats: one corpus scan total. At 100 TB
+    # the persist is O(n_docs) int rows (vs re-scanning O(corpus
+    # bytes) for the dl pass); size(sh)/intersect(sh,·) share the
+    # shingle subexpression under codegen CSE (verified in the plan:
+    # one project, no duplicate split).
+    phr = qt.agg(F.collect_set("term").alias("_terms"))
+    per_doc = (
+        corpus.crossJoin(F.broadcast(phr))
+        .select(
+            "doc_id",
+            F.size(sh).alias("dl"),
+            F.array_intersect(sh, F.col("_terms")).alias("_m"),
         )
-        # two consumers (dfs and the score join) — without the pin the
-        # corpus shingle explode re-runs per branch; post-join postings
-        # is candidate-bounded (|query phrases| x docs-containing), so
-        # the cache is tiny and lazy (populated at first action)
         .persist()
+    )
+    postings = per_doc.select(
+        "doc_id",
+        F.explode("_m").alias("term"),
+        F.lit(1).cast("bigint").alias("tf"),
+        F.col("dl").cast("bigint").alias("dl"),
     )
     dfs = postings.groupBy("term").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df")
     )
-    stats = sh_base.agg(
+    stats = per_doc.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
