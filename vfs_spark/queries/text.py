@@ -3997,7 +3997,18 @@ def _dsir_select(spark, sf_dir, fit_pred):
             ),
         )
     )
-    bg = (
+    # r16 single-hash restructure (guide §2.3 partial aggregation +
+    # §1.2 algorithm-first): the old shape evaluated the bigram
+    # explode + md5 hash once per CONSUMER of the score table — model
+    # fit, range-sampling, checkpoint and count jobs each re-ran the
+    # full corpus hash pass (~6 passes measured, 42-50 cpu-s isolated
+    # at sf0.1). The per-(doc, bucket) count table is the exact
+    # sufficient statistic for BOTH the model fit (sum of counts per
+    # bucket) and the per-doc scores (dot product with the broadcast
+    # lr table), is bounded at 256 rows/doc at any corpus size, and is
+    # persisted so the md5 pass runs exactly once. Sums of per-doc
+    # counts are integer-exact, so model and scores are unchanged.
+    bg_counts = (
         docs.select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
         .where(F.col("bigram") != "")
         .select(
@@ -4010,11 +4021,16 @@ def _dsir_select(spark, sf_dir, fit_pred):
                 % 256
             ).alias("b"),
         )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .persist()
     )
-    fit_bg = bg.where(fit_pred) if fit_pred is not None else bg
+    fit_bg = bg_counts.where(fit_pred) if fit_pred is not None else bg_counts
     model = fit_bg.groupBy("b").agg(
-        F.count("*").cast("bigint").alias("cr"),
-        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("ct"),
+        F.sum("cnt").cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("ct"),
     )
     tots = model.agg(
         F.sum("ct").cast("bigint").alias("t_tot"),
@@ -4045,13 +4061,19 @@ def _dsir_select(spark, sf_dir, fit_pred):
             .alias("lr_u6"),
         )
     )
+    # scored is consumed by the ranker's sampling + checkpoint jobs
+    # and the n_docs count — persist the n_docs-row result so those
+    # jobs never re-derive the model fit.
     scored = (
-        bg.join(F.broadcast(lr), "b")
+        bg_counts.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("lr_u6").cast("bigint").alias("score_u6"),
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lr_u6")).cast("bigint").alias(
+                "score_u6"
+            ),
         )
+        .persist()
     )
     ranked = assign_dense_ids_ranged(
         scored.withColumn("neg", -F.col("score_u6")),
