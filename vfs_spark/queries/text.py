@@ -3870,33 +3870,43 @@ def _bm25_doc_scored(spark, sf_dir):
         )
         .distinct()
     )
-    # stage dl + the token array through a pre-generate projection —
-    # size(toks) beside explode(toks) in one select gets collapsed
-    # into the POST-generate projection and re-tokenizes per exploded
-    # row (the retrieval_eval_mrr lesson: ~tokens-per-doc× scan tax)
-    tok_base = corpus.select(
-        "doc_id",
-        F.size(tokens("text")).alias("dl"),
-        tokens("text").alias("_toks"),
+    # r16 single-pass serving (same restructure as _phrase_bm25_ranked,
+    # guide §1.2/§2.4): the old shape ran the corpus tokenize twice
+    # (token explode + broadcast semi-join for postings, second scan
+    # for dl stats). Here tf is a REAL count, so membership comes from
+    # array_intersect (one hash probe per token) and tf is recounted
+    # only for the matched terms of matching docs — O(|matched|·dl)
+    # interpreted work on the match-bearing rows, zero on the rest.
+    # The narrow per-doc (doc_id, dl, (term, tf) pairs) table is
+    # persisted and feeds postings AND stats: one corpus scan, no
+    # token-row Generate/join/groupBy.
+    toks = tokens("text")
+    phr = qt.agg(F.collect_set("term").alias("_terms"))
+    pairs = F.transform(
+        F.array_intersect(toks, F.col("_terms")),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(toks, lambda x: x == t))
+            .cast("bigint")
+            .alias("tf"),
+        ),
     )
-    postings = (
-        tok_base.select("doc_id", "dl", F.explode("_toks").alias("term"))
-        .join(F.broadcast(qt.select("term").distinct()), "term")
-        .groupBy("doc_id", "term")
-        .agg(
-            F.count("*").cast("bigint").alias("tf"),
-            F.max("dl").cast("bigint").alias("dl"),
-        )
-        # same pin as retrieval_eval_mrr: dfs + the score join both
-        # consume postings; the post-semi-join table is candidate-
-        # bounded, so a lazy persist trades a tiny cache for a whole
-        # corpus token-explode pass
+    per_doc = (
+        corpus.crossJoin(F.broadcast(phr))
+        .select("doc_id", F.size(toks).alias("dl"), pairs.alias("_p"))
         .persist()
+    )
+    pcol = F.explode("_p").alias("_pt")
+    postings = per_doc.select("doc_id", "dl", pcol).select(
+        "doc_id",
+        F.col("_pt.term").alias("term"),
+        F.col("_pt.tf").alias("tf"),
+        F.col("dl").cast("bigint").alias("dl"),
     )
     dfs = postings.groupBy("term").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df")
     )
-    stats = tok_base.agg(
+    stats = per_doc.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
@@ -4191,27 +4201,56 @@ def q_pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    postings = (
-        chunks.select(
+    # r16 single-pass scoring (the _bm25_doc_scored restructure at
+    # chunk granularity, guide §1.2/§2.4): the old shape re-ran the
+    # tokenize + chunk explode once per consumer (postings, the dfs
+    # broadcast build, and the stats scan). Membership via
+    # array_intersect against the one-row broadcast term set, tf
+    # recounted only for matched terms of matching chunks; the narrow
+    # per-chunk (ids, offsets, dl, (term, tf) pairs) table is
+    # persisted and feeds postings AND stats — chunk text still never
+    # leaves the scan stage.
+    phr = qt.agg(F.collect_set("term").alias("_terms"))
+    pairs = F.transform(
+        F.array_intersect(F.col("ct"), F.col("_terms")),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(F.col("ct"), lambda x: x == t))
+            .cast("bigint")
+            .alias("tf"),
+        ),
+    )
+    per_chunk = (
+        chunks.crossJoin(F.broadcast(phr))
+        .select(
             "doc_id",
             "chunk_id",
             "token_start",
             F.size("ct").alias("dl"),
-            F.explode("ct").alias("term"),
+            pairs.alias("_p"),
         )
-        .join(F.broadcast(qt.select("term").distinct()), "term")
-        .groupBy("doc_id", "chunk_id", "token_start", "term")
-        .agg(
-            F.count("*").cast("bigint").alias("tf"),
-            F.max("dl").cast("bigint").alias("dl"),
-        )
+        .persist()
+    )
+    postings = per_chunk.select(
+        "doc_id",
+        "chunk_id",
+        "token_start",
+        "dl",
+        F.explode("_p").alias("_pt"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "token_start",
+        F.col("_pt.term").alias("term"),
+        F.col("_pt.tf").alias("tf"),
+        F.col("dl").cast("bigint").alias("dl"),
     )
     dfs = postings.groupBy("term").agg(
         F.count("*").cast("bigint").alias("df")
     )
-    stats = chunks.agg(
+    stats = per_chunk.agg(
         F.count("*").cast("bigint").alias("n_chunks"),
-        (F.sum(F.size("ct")).cast("double") / F.count("*")).alias("avgdl"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     term_u6 = _bm25_term_u6("n_chunks")
     scored = (
