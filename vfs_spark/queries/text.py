@@ -2580,11 +2580,14 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vfs_spark.functions.text import quality_score_e6
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # persisted (r16): base feeds the tercile percentile action, the
+    # training filter and the full scoring pass — three evaluations of
+    # the tokenize + quality projection without the pin.
     base = docs.select(
         "doc_id",
         tokens("text").alias("toks"),
         quality_score_e6("text", "n_chars").alias("q"),
-    )
+    ).persist()
     lo, hi = base.select(
         F.expr("percentile(q, 1.0/3)"), F.expr("percentile(q, 2.0/3)")
     ).first()
