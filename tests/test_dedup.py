@@ -1895,3 +1895,69 @@ def test_sampled_top_blocks_rank_eligible_first(spark):
     )
     assert r["strategy"] == "banded"
     assert r["hot_block"]["block"] == "hot.example.com"
+
+
+def test_prefix_driver_dispatch_equals_distributed(spark, monkeypatch):
+    """r16 optimization gate: the driver-side prefix-join twin
+    (_prefix_pairs_driver, dispatched when total postings ≤
+    PREFIX_DRIVER_MAX_POSTINGS) must emit the same verified pair set
+    and the same exact values as the distributed prefix join at the
+    caller's threshold — for BOTH modes, on a fixture with boundary
+    pairs, multi-block rows, and whitespace quirks."""
+    rows = [
+        # J(1,2) = 3/10 = 0.3 exactly; containment 3/6 = 0.5
+        (1, "x", ["a", "b", "c", "d", "e", "f"]),
+        (2, "x", ["a", "b", "c", "g", "h", "i", "j"]),
+        # subset pair: containment 1.0, jaccard 0.3
+        (7, "x", ["p1", "p2", "p3"]),
+        (8, "x", ["p1", "p2", "p3", "p4", "p5", "p6", "p7", "p8",
+                  "p9", "p10"]),
+        # identical sets across a block boundary must NOT pair
+        (5, "x", ["u", "v", "w"]),
+        (6, "x", ["u", "v", "w"]),
+        (9, "y", ["u", "v", "w"]),
+        # singletons
+        (10, "x", ["solo"]),
+        (11, "x", ["solo"]),
+        # shared rare + disjoint bulk (sub-threshold candidate)
+        (12, "x", ["rare1"] + [f"za{i}" for i in range(20)]),
+        (13, "x", ["rare1"] + [f"zb{i}" for i in range(20)]),
+    ]
+    sh = spark.createDataFrame(
+        rows, "doc_id long, lang string, shingles array<string>"
+    )
+
+    def collect_j(df):
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in df.where(F.col("jaccard") >= 0.3).collect()
+        }
+
+    def collect_c(df):
+        return {
+            (r["doc_a"], r["doc_b"], r["inter_size"], r["min_size"])
+            for r in df.where(
+                (F.col("min_size") > 0)
+                & (5 * F.col("inter_size") >= 3 * F.col("min_size"))
+            ).collect()
+        }
+
+    # driver path (fixture is far under the default guard)
+    got_j = collect_j(dedup_ops.jaccard_pairs_prefix(sh, threshold=0.3))
+    got_c = collect_c(
+        dedup_ops.containment_pairs_prefix(sh, threshold=0.6)
+    )
+    # forced distributed path
+    monkeypatch.setattr(dedup_ops, "PREFIX_DRIVER_MAX_POSTINGS", -1)
+    dist_j = collect_j(dedup_ops.jaccard_pairs_prefix(sh, threshold=0.3))
+    dist_c = collect_c(
+        dedup_ops.containment_pairs_prefix(sh, threshold=0.6)
+    )
+    assert got_j == dist_j and got_j  # non-trivial equality
+    assert got_c == dist_c and got_c
+    # candidate-volume safety valve: a zero cap makes the driver path
+    # bail (return None) and the distributed join produce the result
+    monkeypatch.setattr(dedup_ops, "PREFIX_DRIVER_MAX_POSTINGS", 10**9)
+    monkeypatch.setattr(dedup_ops, "PREFIX_DRIVER_MAX_CANDIDATES", -1)
+    bail_j = collect_j(dedup_ops.jaccard_pairs_prefix(sh, threshold=0.3))
+    assert bail_j == dist_j

@@ -1,0 +1,188 @@
+"""Phase-level timing probe for the exact prefix-join dedup family
+(round-16 optimization): where do dedup_containment /
+dedup_ngram_jaccard walls go at sf0.1?
+
+Times, in one fresh session, with the bench warm-up applied:
+  1. shingle build + DISK_ONLY pin (the operator's first job)
+  2. prefix-posting build (dfreq agg + window) materialized alone
+  3. candidate self-join + distinct
+  4. the full operator (warm, best-of-2) for reference
+
+Usage: python tools/prefix_probe.py [jaccard|containment]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark import StorageLevel  # noqa: E402
+from pyspark.sql import Window, functions as F  # noqa: E402
+
+from vfs_spark.metrics import cpu_delta_s, cpu_snapshot  # noqa: E402
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "containment"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from vfs_spark.session import get_spark
+    from vfs_spark.sources.parquet import load_table
+    from vfs_spark.functions.text import word_shingles
+
+    spark = get_spark(f"prefix-probe-{mode}")
+    spark.sparkContext.setLogLevel("ERROR")
+    load_table(spark, sf_dir, "embeddings").count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.mode("overwrite").format("noop").save()
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    t = (0.3 if mode == "jaccard" else 0.6) - 0.01
+
+    def stamp(label, fn):
+        s0 = cpu_snapshot(spark)
+        t0 = time.time()
+        out = fn()
+        print(
+            f"{label:34s} wall={time.time()-t0:7.2f}s "
+            f"cpu={cpu_delta_s(s0, cpu_snapshot(spark)):7.1f}s",
+            flush=True,
+        )
+        return out
+
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(word_shingles("text")).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    sh = sh.persist(StorageLevel.DISK_ONLY)
+    stamp("1 shingles pin+count", lambda: sh.count())
+
+    ex = sh.select(
+        F.col("doc_id"),
+        F.col("lang").alias("_blk"),
+        F.size("shingles").alias("_n"),
+        F.explode(
+            F.transform(F.col("shingles"), lambda g: F.xxhash64(g))
+        ).alias("_g"),
+    )
+    stamp("1b posting count", lambda: ex.count())
+    dfreq = ex.groupBy("_blk", "_g").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy("_df", "_g")
+    full = (
+        ex.join(dfreq, ["_blk", "_g"])
+        .withColumn("_rn", F.row_number().over(w))
+        .select("_blk", "_g", F.col("doc_id").alias("_id"), "_n", "_rn")
+    )
+    plen = (
+        F.col("_n") - F.floor(F.lit(t) * F.col("_n")).cast("int") + F.lit(1)
+    )
+    if mode == "jaccard":
+        pref = full.where(F.col("_rn") <= plen)
+        probe_side_a, probe_side_b = pref, pref
+    else:
+        pref = full.where(F.col("_rn") <= plen)
+        probe_side_a, probe_side_b = pref, full
+
+    stamp(
+        "2 prefix build (noop)",
+        lambda: probe_side_a.write.mode("overwrite")
+        .format("noop")
+        .save(),
+    )
+
+    a, b = probe_side_a.alias("a"), probe_side_b.alias("b")
+    if mode == "jaccard":
+        alpha = F.ceil(
+            F.lit(t / (1.0 + t))
+            * (F.col("a._n") + F.col("b._n")).cast("double")
+            - F.lit(1e-9)
+        )
+        cand = (
+            a.join(
+                b,
+                (F.col("a._blk") == F.col("b._blk"))
+                & (F.col("a._g") == F.col("b._g"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .where(
+                F.least(F.col("a._n"), F.col("b._n")).cast("double")
+                >= F.lit(t) * F.greatest(F.col("a._n"), F.col("b._n"))
+            )
+            .where(
+                1
+                + F.least(
+                    F.col("a._n") - F.col("a._rn"),
+                    F.col("b._n") - F.col("b._rn"),
+                )
+                >= alpha
+            )
+            .select(
+                F.col("a._id").alias("doc_a"),
+                F.col("b._id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    else:
+        alpha = F.ceil(F.lit(t) * F.col("a._n").cast("double") - F.lit(1e-9))
+        cand = (
+            a.join(
+                b,
+                (F.col("a._blk") == F.col("b._blk"))
+                & (F.col("a._g") == F.col("b._g"))
+                & (
+                    (F.col("a._n") < F.col("b._n"))
+                    | (
+                        (F.col("a._n") == F.col("b._n"))
+                        & (F.col("a._id") < F.col("b._id"))
+                    )
+                ),
+            )
+            .where(
+                1
+                + F.least(
+                    F.col("a._n") - F.col("a._rn"),
+                    F.col("b._n") - F.col("b._rn"),
+                )
+                >= alpha
+            )
+            .select(
+                F.least(F.col("a._id"), F.col("b._id")).alias("doc_a"),
+                F.greatest(F.col("a._id"), F.col("b._id")).alias("doc_b"),
+            )
+            .distinct()
+        )
+    n_cand = stamp("3 candidate join+distinct", lambda: cand.count())
+    print(f"   candidates: {n_cand}")
+
+    from vfs_spark.operators.dedup import (
+        containment_pairs_prefix,
+        jaccard_pairs_prefix,
+    )
+
+    op = (
+        jaccard_pairs_prefix if mode == "jaccard" else containment_pairs_prefix
+    )
+    thr = 0.3 if mode == "jaccard" else 0.6
+
+    def run_full():
+        op(
+            docs.select(
+                "doc_id", "lang", word_shingles("text").alias("shingles")
+            ),
+            thr,
+        ).write.mode("overwrite").format("noop").save()
+
+    stamp("4 full operator cold", run_full)
+    stamp("4 full operator warm", run_full)
+    stamp("4 full operator warm", run_full)
+    sh.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,244 @@ CC_DRIVER_MAX_EDGES = int(
     os.environ.get("VFS_CC_DRIVER_MAX_EDGES", str(2_000_000))
 )
 
+# jaccard/containment prefix-join driver dispatch (r16 optimization):
+# corpora whose TOTAL posting count (Σ |shingle set|) is at or under
+# this bound are solved with one vectorized driver pass — the same
+# prefix-filter candidate scheme + exact verify, in NumPy/CPython —
+# instead of the ~6-exchange distributed pipeline whose fixed job
+# floor dominates at small scale. 4M postings ≈ a few hundred MB of
+# Python strings + int-code sets: the broadcast-build memory class
+# this repo already accepts for driver work. Above the bound the
+# distributed prefix join runs unchanged.
+PREFIX_DRIVER_MAX_POSTINGS = int(
+    os.environ.get("VFS_PREFIX_DRIVER_MAX_POSTINGS", str(4_000_000))
+)
+
+# Safety valve inside the driver path: if the PREFIX candidate volume
+# (Σ C(pref_df,2) for jaccard, Σ pref_df·df for containment) computed
+# from the collected postings exceeds this, bail back to the
+# distributed join, which spills gracefully where a driver loop
+# would not. A sane corpus under the postings bound never hits this;
+# a degenerate-vocabulary one (the router's job to catch upstream)
+# does.
+PREFIX_DRIVER_MAX_CANDIDATES = int(
+    os.environ.get("VFS_PREFIX_DRIVER_MAX_CANDIDATES", str(20_000_000))
+)
+
+
+def _prefix_pairs_driver(
+    sh: DataFrame,
+    threshold: float,
+    mode: str,
+    id_col: str,
+    block_col: str,
+    set_col: str,
+    out_a: str,
+    out_b: str,
+):
+    """Driver-side twin of the distributed prefix joins (r16, guide
+    §1.2: fix the job shape before per-task work). Same candidate
+    scheme — per-doc (global-frequency, element) order, prefix length
+    n − floor(t·n) + 1, symmetric (jaccard) or smaller-prefix ×
+    larger-full (containment) probing — and the same EXACT verify
+    arithmetic: float64 inter/(na+nb−inter) for jaccard (identical
+    IEEE ops to the Catalyst expression), exact integers for
+    containment. Completeness needs only a block-consistent total
+    order on (df, element), which the factorized codes provide; the
+    tie-break differs from the distributed path's xxhash64 order, so
+    the CANDIDATE sets can differ, but verified outputs at any
+    caller threshold ≥ the relaxed bound are identical — emitted
+    pairs are exactly those whose verified similarity clears the
+    relaxed t (the distributed path's completeness envelope).
+
+    Returns a small local DataFrame, or None if the candidate volume
+    exceeds PREFIX_DRIVER_MAX_CANDIDATES (caller falls back to the
+    distributed join). Input ``sh`` must already be distinct-element,
+    non-empty sets (the operators enforce that upstream).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    spark = sh.sparkSession
+    t = max(threshold - 0.01, 0.0)
+    # Arrow end to end: the element strings are dictionary-encoded to
+    # int codes (a C factorize over the contiguous string buffer)
+    # without ever materializing Python string objects — the same
+    # "keys move, text doesn't" discipline as the distributed path's
+    # xxhash64, except the encoding is collision-free by construction
+    # so the verify stays exact on codes alone.
+    tbl = sh.select(id_col, block_col, set_col).toArrow().sort_by(id_col)
+    n = tbl.num_rows
+    ids = tbl[id_col].combine_chunks().to_numpy()
+    lists = tbl[set_col].combine_chunks()
+    sizes = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(lists)
+    g = (
+        pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
+        if len(flat)
+        else np.zeros(0, dtype=np.int64)
+    )
+    blk = (
+        pc.dictionary_encode(tbl[block_col].combine_chunks())
+        .indices.to_numpy()
+        .astype(np.int64)
+        if n
+        else np.zeros(0, dtype=np.int64)
+    )
+    n_vocab = int(g.max()) + 1 if len(g) else 1
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    key = np.repeat(blk, sizes) * n_vocab + g
+    # df per (block, element); inv = per-posting group id
+    _, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+    dfp = cnt[inv]
+    # per-doc (df, element) order — doc runs stay contiguous because
+    # doc_of is the primary key and postings were built doc-by-doc
+    order = np.lexsort((inv, dfp, doc_of))
+    inv_s, doc_s = inv[order], doc_of[order]
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    pos = np.arange(len(doc_of), dtype=np.int64) - np.repeat(
+        starts[:-1], sizes
+    )
+    nsz = np.repeat(sizes, sizes)
+    plen = nsz - np.floor(t * nsz.astype(np.float64)).astype(np.int64) + 1
+    is_pref = pos + 1 <= plen
+
+    # candidate-volume pre-check from the collected postings alone
+    n_groups = len(cnt)
+    pref_cnt = np.bincount(inv_s[is_pref], minlength=n_groups)
+    if mode == "jaccard":
+        vol = float((pref_cnt * (pref_cnt - 1) // 2).sum())
+    else:
+        vol = float((pref_cnt.astype(np.float64) * cnt).sum())
+    if vol > PREFIX_DRIVER_MAX_CANDIDATES:
+        return None
+
+    # per-doc element-code sets for the exact verify (original
+    # posting order is doc-contiguous)
+    doc_sets = [
+        set(key[starts[d]: starts[d + 1]].tolist()) for d in range(n)
+    ]
+
+    def _excl_cumsum(x):
+        out = np.zeros(len(x), dtype=np.int64)
+        np.cumsum(x[:-1], out=out[1:])
+        return out
+
+    empty = np.zeros(0, dtype=np.int64)
+    if mode == "jaccard":
+        # postings restricted to prefixes, grouped by element key with
+        # docs ascending inside each run — then every posting at local
+        # position p pairs (as the larger doc) with the p earlier run
+        # members, enumerated with two repeats and no Python loop
+        p_inv = inv_s[is_pref]
+        p_doc = doc_s[is_pref]
+        if len(p_inv) == 0:
+            p_inv = p_doc = empty
+        o2 = np.lexsort((p_doc, p_inv))
+        p_inv, p_doc = p_inv[o2], p_doc[o2]
+        run_id = (
+            np.cumsum(np.concatenate(([False], np.diff(p_inv) != 0)))
+            if len(p_inv)
+            else empty
+        )
+        run_start = _excl_cumsum(np.bincount(run_id))
+        pos_in_run = np.arange(len(p_inv), dtype=np.int64) - run_start[
+            run_id
+        ]
+        right = np.repeat(np.arange(len(p_inv), dtype=np.int64), pos_in_run)
+        left = (
+            np.arange(len(right), dtype=np.int64)
+            - np.repeat(_excl_cumsum(pos_in_run), pos_in_run)
+            + np.repeat(run_start[run_id], pos_in_run)
+        )
+        ii, jj = p_doc[left], p_doc[right]
+    else:
+        # smaller-role PREFIX postings × larger-role FULL postings of
+        # the same key: every full posting pairs with every prefix
+        # member of its run; the role filter is applied vectorized
+        o2 = np.argsort(inv_s, kind="stable")
+        a_inv, a_doc, a_pref = inv_s[o2], doc_s[o2], is_pref[o2]
+        run_id = (
+            np.cumsum(np.concatenate(([False], np.diff(a_inv) != 0)))
+            if len(a_inv)
+            else empty
+        )
+        n_runs = int(run_id[-1]) + 1 if len(run_id) else 0
+        pref_idx = np.flatnonzero(a_pref)
+        pref_run = run_id[pref_idx]
+        npref = np.bincount(pref_run, minlength=n_runs)
+        pref_run_start = _excl_cumsum(npref)
+        cnt_l = npref[run_id]
+        l_idx = np.repeat(np.arange(len(a_inv), dtype=np.int64), cnt_l)
+        s_local = (
+            np.arange(len(l_idx), dtype=np.int64)
+            - np.repeat(_excl_cumsum(cnt_l), cnt_l)
+        )
+        s_idx = pref_idx[
+            np.repeat(pref_run_start[run_id], cnt_l) + s_local
+        ]
+        sd, ld = a_doc[s_idx], a_doc[l_idx]
+        ns_, nl_ = sizes[sd], sizes[ld]
+        keep = (ns_ < nl_) | ((ns_ == nl_) & (sd < ld))
+        sd, ld = sd[keep], ld[keep]
+        ii, jj = np.minimum(sd, ld), np.maximum(sd, ld)
+
+    if len(ii):
+        packed = np.unique(ii.astype(np.int64) * n + jj)
+        ii, jj = packed // n, packed % n
+    rows_a, rows_b, v1, v2 = [], [], [], []
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        inter = len(doc_sets[i] & doc_sets[j])
+        na, nb = int(sizes[i]), int(sizes[j])
+        if mode == "jaccard":
+            denom = na + nb - inter
+            jac = float(inter) / float(denom) if denom else 0.0
+            if jac >= t:
+                rows_a.append(ids[i])
+                rows_b.append(ids[j])
+                v1.append(jac)
+        else:
+            m = min(na, nb)
+            if float(inter) >= t * float(m):
+                rows_a.append(ids[i])
+                rows_b.append(ids[j])
+                v1.append(inter)
+                v2.append(m)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_dt = sh.schema[id_col].dataType
+    if mode == "jaccard":
+        schema = StructType(
+            [
+                StructField(out_a, id_dt),
+                StructField(out_b, id_dt),
+                StructField("jaccard", DoubleType()),
+            ]
+        )
+        data = pd.DataFrame({out_a: rows_a, out_b: rows_b, "jaccard": v1})
+    else:
+        schema = StructType(
+            [
+                StructField(out_a, id_dt),
+                StructField(out_b, id_dt),
+                StructField("inter_size", LongType()),
+                StructField("min_size", LongType()),
+            ]
+        )
+        data = pd.DataFrame(
+            {out_a: rows_a, out_b: rows_b, "inter_size": v1, "min_size": v2}
+        )
+    if len(data) == 0:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(data, schema)
+
 
 def minhash_near_dup_pairs(
     docs: DataFrame,
@@ -437,7 +675,19 @@ def jaccard_pairs_prefix(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.DISK_ONLY)
-        sh.count()
+        # one job materializes the pin AND returns the driver-dispatch
+        # guard stat (r16): total postings = Σ |set|
+        n_post = sh.agg(
+            F.sum(F.size(set_col)).alias("p")
+        ).first()["p"]
+        if (n_post or 0) <= PREFIX_DRIVER_MAX_POSTINGS:
+            res = _prefix_pairs_driver(
+                sh, threshold, "jaccard", id_col, block_col, set_col,
+                out_a, out_b,
+            )
+            if res is not None:
+                sh.unpersist()
+                return res
     ex = sh.select(
         F.col(id_col),
         F.col(block_col).alias("_blk"),
@@ -594,7 +844,19 @@ def containment_pairs_prefix(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.DISK_ONLY)
-        sh.count()
+        # one job materializes the pin AND returns the driver-dispatch
+        # guard stat (r16): total postings = Σ |set|
+        n_post = sh.agg(
+            F.sum(F.size(set_col)).alias("p")
+        ).first()["p"]
+        if (n_post or 0) <= PREFIX_DRIVER_MAX_POSTINGS:
+            res = _prefix_pairs_driver(
+                sh, threshold, "containment", id_col, block_col,
+                set_col, out_a, out_b,
+            )
+            if res is not None:
+                sh.unpersist()
+                return res
     ex = sh.select(
         F.col(id_col),
         F.col(block_col).alias("_blk"),
