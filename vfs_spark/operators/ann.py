@@ -352,7 +352,7 @@ def auto_nprobe(
     probing is what the target demands."""
     import numpy as np
 
-    centers = np.stack([np.asarray(c) for c in km_model.clusterCenters()])
+    centers = _centers_np(km_model)
     n_clusters = len(centers)
     # deterministic bounded validation draw: xxhash64(id, seed) is a
     # seeded uniform scramble of the id space, so the first n_val by
@@ -421,6 +421,24 @@ def auto_nprobe(
     return n_clusters
 
 
+
+def _centers_np(km_model):
+    """Cluster centers as one float64 matrix, memoized on the model:
+    serving paths re-read the centers on EVERY query, and the py4j
+    round trip per center dominated ivfpq plan-build time (r16). The
+    model is a fit-once serving structure, so the memo has index,
+    not result, lifetime."""
+    import numpy as np
+
+    c = getattr(km_model, "_vfs_centers_np", None)
+    if c is None:
+        c = np.stack([np.asarray(x) for x in km_model.clusterCenters()])
+        try:
+            km_model._vfs_centers_np = c
+        except Exception:  # noqa: BLE001 — memo is best-effort
+            pass
+    return c
+
 def ivf_search(
     km_model,
     assigned_df: DataFrame,
@@ -437,7 +455,7 @@ def ivf_search(
     import numpy as np
 
     q = np.asarray(list(query), dtype=float)
-    centers = np.stack([np.asarray(c) for c in km_model.clusterCenters()])
+    centers = _centers_np(km_model)
     nearest = np.argsort(((centers - q) ** 2).sum(axis=1))[:nprobe].tolist()
     cand = assigned_df.where(F.col("cluster_id").isin(nearest))
     dist = F.round(euclidean(vec_col, array_lit(q)), 6).alias("dist")
@@ -482,7 +500,7 @@ def ivf_search_batch(
         return spark.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, dist double"
         )
-    centers = np.stack([np.asarray(c) for c in km_model.clusterCenters()])
+    centers = _centers_np(km_model)
     routing = []
     for r in qrows:
         q = np.asarray(r[1], dtype=float)
@@ -547,7 +565,7 @@ def ivf_search_partitioned(
     import numpy as np
 
     q = np.asarray(list(query), dtype=float)
-    centers = np.stack([np.asarray(c) for c in km_model.clusterCenters()])
+    centers = _centers_np(km_model)
     nearest = np.argsort(((centers - q) ** 2).sum(axis=1))[:nprobe].tolist()
     cand = spark.read.parquet(path).where(F.col("cluster_id").isin(nearest))
     dist = F.round(euclidean(vec_col, array_lit(q)), 6).alias("dist")
@@ -971,16 +989,15 @@ def ivfpq_search(
     import numpy as np
 
     q = np.asarray(list(query), dtype=np.float64)
-    centers = np.stack([np.asarray(c) for c in km_model.clusterCenters()])
+    centers = _centers_np(km_model)
     nearest = np.argsort(((centers - q) ** 2).sum(axis=1))[:nprobe].tolist()
     cand = assigned_encoded_df.where(F.col("cluster_id").isin(nearest))
     if adc == "arrow":
-        spark = assigned_encoded_df.sparkSession
-        q_df = spark.createDataFrame(
-            [(0, [float(x) for x in q])], "query_id long, query_vec array<double>"
-        )
+        # pre-collected one-row serving batch: no createDataFrame →
+        # collect round trip just to get the vector back (r16)
         short = pq_search_batch_arrow(
-            cand, codebooks, q_df, k=shortlist, id_col=id_col
+            cand, codebooks, [(0, [float(x) for x in q])],
+            k=shortlist, id_col=id_col,
         ).drop("query_id")
     else:
         short = pq_search(cand, codebooks, query, k=shortlist, id_col=id_col)
@@ -1030,7 +1047,7 @@ def ivfpq_search_batch(
     out_schema = f"{query_id_col} long, {id_col} long, dist double"
     if not qrows:
         return spark.createDataFrame([], out_schema)
-    centers = np.stack([np.asarray(c) for c in km_model.clusterCenters()])
+    centers = _centers_np(km_model)
     qids, lut = _pq_luts(codebooks, qrows)
     m = len(codebooks)
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])

@@ -56,6 +56,17 @@ def collect_serving_batch(
     `pq_search_batch`'s broadcast-join shape) as the overflow path for
     bulk workloads."""
     cap = MAX_SERVING_BATCH if max_queries is None else int(max_queries)
+    if isinstance(queries, list):
+        # pre-collected (id, vec) pairs — serving paths that already
+        # hold the query on the driver skip a createDataFrame/collect
+        # round trip (r16); the cap contract is enforced identically
+        if len(queries) > cap:
+            raise ValueError(
+                f"serving batch exceeds max_queries={cap}: batch ANN "
+                "kernels broadcast the full query set to every "
+                "executor — use the join-form twin for bulk workloads."
+            )
+        return queries
     qrows = queries.select(query_id_col, query_vec_col).limit(cap + 1).collect()
     if len(qrows) > cap:
         raise ValueError(
