@@ -2489,7 +2489,12 @@ def q_text_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(6) — the float discipline the bigram oracle already proved
     cross-engine-stable at all three fixture scales."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    t = docs.select("doc_id", tokens("text").alias("toks"))
+    # persisted (r16): the count tables and the scored stream rebuilt
+    # the scan + tokenize SIX times (u2/u3, b12/b23, tgc, d were each
+    # a fresh parquet subtree in the plan); pinning the token table
+    # and the two shared count aggregates makes it one tokenize pass
+    # and one aggregate per n-gram order.
+    t = docs.select("doc_id", tokens("text").alias("toks")).persist()
     d = (
         t.where(F.size("toks") >= 3)
         .select(
@@ -2509,6 +2514,7 @@ def q_text_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
+        .persist()
     )
     n_tot = uni.groupBy().agg(F.sum("c1").alias("n"))
     bg = (
@@ -2524,6 +2530,7 @@ def q_text_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g.w1", "g.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c2"))
+        .persist()
     )
     tgc = d.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
     b12 = bg.select(
