@@ -1792,8 +1792,13 @@ def minhash_incremental_pairs(
     crawl corpora).
 
     Returns (new_id, hist_id, jaccard >= threshold)."""
-    sn = _minhash_sigs(new_docs, id_col, text_col, n_hashes)
-    sh = _minhash_sigs(hist_docs, id_col, text_col, n_hashes)
+    # persisted (r16): the skew branch references the history
+    # signatures three times (hot_keys agg, cold, hot) and the batch
+    # side twice — each reference replayed the tokenize + shingle +
+    # MIN-aggregate pipeline without the pin. Narrow (id, idx, sig)
+    # rows, released after the candidate checkpoint below.
+    sn = _minhash_sigs(new_docs, id_col, text_col, n_hashes).persist()
+    sh = _minhash_sigs(hist_docs, id_col, text_col, n_hashes).persist()
 
     def _cross(a_sig, b_sig, extra=None):
         a, b = a_sig.alias("a"), b_sig.alias("b")
@@ -1843,6 +1848,8 @@ def minhash_incremental_pairs(
         pairs.distinct()
         .localCheckpoint(eager=True)  # candidates only — never the corpus
     )
+    sn.unpersist()
+    sh.unpersist()
     new_ids = cand.select(F.col("new_id").alias(id_col)).distinct()
     hist_ids = cand.select(F.col("hist_id").alias(id_col)).distinct()
     sa = (
@@ -1962,6 +1969,12 @@ def minhash_native_pairs(
     sig = sig_wide.select(
         F.col(id_col), F.explode(F.array(*structs)).alias("b")
     ).select(id_col, "b.band_no", "b.k1", "b.k2")
+    # persisted (r16): the band self-join references sig on BOTH sides
+    # and the skew branch three more times (hot_keys agg, cold, hot) —
+    # each reference replayed the tokenize + shingle + n_hashes MIN
+    # aggregate without the pin. Narrow rows (id + band key), released
+    # after the candidate checkpoint below.
+    sig = sig.persist()
     key = ["band_no", "k1", "k2"]
 
     def _key_eq(a: str, b: str):
@@ -2010,6 +2023,7 @@ def minhash_native_pairs(
         pairs.distinct()
         .localCheckpoint(eager=True)  # candidates only — never the corpus
     )
+    sig.unpersist()
     ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     ).distinct()
