@@ -661,11 +661,18 @@ def jaccard_pairs_prefix(
     # with [a]*7+[b,c] vs [a,b,c]). array_distinct is one extra
     # scan-stage expression; in-repo callers already pass distinct
     # shingle arrays so their plans/outputs are unchanged.
+    # NO .where(size > 0) on the computed column (r16): Catalyst
+    # pushes such a filter below the projection WITH the whole
+    # shingle-defining expression inlined, so the O(tokens·k) build
+    # ran TWICE per row (measured 6.5 → 3.0 cpu-s on the pin job at
+    # sf0.1 — the minhash_near_dup_pairs pathology). Empty sets are
+    # harmless downstream: explode() emits no postings for them, so
+    # they cannot become candidates on either path.
     sh = sh.select(
         id_col,
         block_col,
         F.array_distinct(set_col).alias(set_col),
-    ).where(F.size(set_col) > 0)
+    )
     # pinned: feeds the prefix build AND both verify sides; released
     # via the eager checkpoint of the verified pairs (the
     # hamming_pairs_banded discipline). DISK_ONLY — see docstring.
@@ -834,12 +841,14 @@ def containment_pairs_prefix(
     nominal threshold still sees every pair."""
     t = max(threshold - 0.01, 0.0)
     # set semantics enforced exactly as in jaccard_pairs_prefix:
-    # duplicate elements would inflate sizes and mis-prune
+    # duplicate elements would inflate sizes and mis-prune; no
+    # size filter on the computed column (same double-evaluation
+    # pathology — see the jaccard twin), empty sets emit no postings
     sh = sh.select(
         id_col,
         block_col,
         F.array_distinct(set_col).alias(set_col),
-    ).where(F.size(set_col) > 0)
+    )
     if materialize:
         from pyspark import StorageLevel
 
